@@ -1,0 +1,132 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The data-plane operator chain of the engine, one function per SURVEY §2
+  * operator. Each is a plain `DataFrame => DataFrame` so Catalyst sees one
+  * declarative plan end-to-end (filters collapse and push down to the scan;
+  * the registry join broadcasts).
+  *
+  * Scale notes (100 TB): T2/T3/T8 are conjunctive predicates on scan columns
+  * — pushed to parquet; T6 explode is narrow (no shuffle); T16 is a
+  * broadcast join against a tiny registry (#tables rows); the only shuffles
+  * in the whole chain are the ones the checkpoint/stats aggregations (T26+)
+  * genuinely need, keyed by topic/table.
+  */
+object CdcOps {
+  import CdcSqlFragments._
+
+  /** T2 — source event-type filter (reference `only_events`,
+    * low_level_binlog_stream_reader_wrapper.py:63-69). */
+  def admit(df: DataFrame): DataFrame = df.filter(col("kind") =!= "other")
+
+  /** T5 — heartbeat beacons: consumed for position/lag, never emitted
+    * (reference simple_binlog_stream_reader_wrapper.py:150-183). */
+  def heartbeats(df: DataFrame): DataFrame = df.filter(col("kind") === "heartbeat")
+
+  def dataOnly(df: DataFrame): DataFrame = df.filter(col("kind") === "data")
+
+  def ddlOnly(df: DataFrame): DataFrame = df.filter(col("kind") === "ddl")
+
+  /** T3 — table whitelist with refresh expansion (reference
+    * low_level_binlog_stream_reader_wrapper.py:78-94). A refresh row's
+    * base_table is its base, so whitelisting by base implements the
+    * expanded set {t, t_data_pipeline_refresh}. */
+  def whitelist(df: DataFrame): DataFrame =
+    df.filter(col("base_table").isin(WHITELIST: _*))
+
+  /** T4 + T7 — refresh rows re-target to the base table and become
+    * RefreshMessage (reference low_level_binlog_stream_reader_wrapper.py:114-124). */
+  def retarget(df: DataFrame): DataFrame = df
+    .withColumn("target_table", col("base_table"))
+    .withColumn("out_message_type",
+      when(col("is_refresh"), lit("refresh")).otherwise(col("message_type")))
+
+  /** T8 — schema blacklist (reference base_event_handler.py:51-63). */
+  def blacklistFilter(df: DataFrame): DataFrame =
+    df.filter(!col("database_name").isin(BLACKLIST: _*))
+
+  /** T6 — RowsEvent explode: one binlog event packs k%3+1 row images
+    * (reference low_level_binlog_stream_reader_wrapper.py:100-135).
+    * Narrow transform — no shuffle. */
+  def explodeRows(df: DataFrame): DataFrame = df
+    .withColumn("row_idx", explode(sequence(lit(0), col("k") % 3)))
+    .withColumn("payload_id", col("event_id") * 10 + col("row_idx"))
+    .withColumn("payload_value", col("value") + col("row_idx"))
+    .withColumn("payload_k", col("k") + col("row_idx"))
+
+  /** T16/T18 registry: distinct table identities with a deterministic
+    * schema_id and the PII flag (reference schema_wrapper.py:29-32,64-77).
+    * The distinct is a tiny shuffle (#tables rows); the window runs on one
+    * partition of ~12 rows — the real registry at scale is a broadcast map
+    * maintained on the driver, which this models. */
+  def registry(filteredData: DataFrame): DataFrame =
+    filteredData.select("database_name", "target_table").distinct()
+      .withColumn("schema_id",
+        dense_rank().over(Window.orderBy("database_name", "target_table")).cast("int"))
+      .withColumn("contains_pii", col("target_table").isin(PII_TABLES: _*))
+
+  /** T16 — schema-registry lookup join, broadcast (reference
+    * data_event_handler.py:40-52). */
+  def enrich(rows: DataFrame, reg: DataFrame): DataFrame =
+    rows.join(broadcast(reg), Seq("database_name", "target_table"))
+
+  /** T9/T10 — after-image is the payload; updates also carry the before
+    * image (reference util/message_builder.py:73-88). */
+  def images(df: DataFrame): DataFrame = df
+    .withColumn("prev_id", when(col("out_message_type") === "update", col("payload_id")))
+    .withColumn("prev_value", when(col("out_message_type") === "update", col("payload_value") - 1.0))
+    .withColumn("prev_k", when(col("out_message_type") === "update", col("payload_k") - 1))
+
+  /** SET-column emulation for T11 (reference message_builder.py:99-100:
+    * python set → list; we sort for determinism). Shared with the oracle. */
+  val TAGS_CASE: String =
+    """CASE k % 4 WHEN 0 THEN '' WHEN 1 THEN 'TWO,ONE'
+       WHEN 2 THEN 'ONE' ELSE 'TWO,ONE,THREE' END"""
+
+  /** T11 — per-type output transforms (reference message_builder.py:90-107):
+    * datetime → ISO-8601 micros string, TIME → µs-since-midnight long,
+    * SET → sorted list. */
+  def typeTransforms(df: DataFrame): DataFrame = df
+    .withColumn("ts_iso",
+      date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    .withColumn("time_of_day_us", col("ts_us") % 86400000000L)
+    .withColumn("tags_sorted", array_join(array_sort(split(expr(TAGS_CASE), ",")), ","))
+
+  /** T12/T14/T26 — final envelope: metadata, transaction id, topic, and a
+    * sortable position key `(log_file, log_pos, offset)` (reference
+    * util/message_builder.py:51-78, util/transaction_id.py:22-68). */
+  def envelope(df: DataFrame): DataFrame = df.select(
+    lit(CLUSTER).as("cluster_name"),
+    col("database_name"),
+    col("target_table").as("table_name"),
+    col("out_message_type").as("message_type"),
+    col("log_file"), col("log_pos"),
+    col("row_idx").as("pos_offset"),
+    col("ts_us"), col("schema_id"), col("contains_pii"),
+    col("payload_id"), col("payload_value"), col("payload_k"),
+    col("tags_sorted"), col("ts_iso"), col("time_of_day_us"),
+    col("prev_id"), col("prev_value"), col("prev_k"),
+    concat_ws(":", lit(CLUSTER), col("log_file"), col("log_pos")).as("transaction_id"),
+    concat(col("database_name"), lit("."), col("target_table")).as("topic"),
+    concat_ws(":", col("log_file"),
+      lpad(col("log_pos").cast("string"), 5, "0"),
+      col("row_idx").cast("string")).as("pos_key"),
+    col("event_id"), col("row_idx"), col("k"))
+
+  // ---- composed chain ------------------------------------------------
+
+  /** cdc frame → filtered (pre-explode) data events. */
+  def filteredData(cdc: DataFrame): DataFrame =
+    blacklistFilter(retarget(whitelist(dataOnly(admit(cdc)))))
+
+  /** Full data-plane pipeline: events → envelope. */
+  def pipeline(events: DataFrame): DataFrame = {
+    val cdc = CdcReplay.fromEvents(events)
+    val filtered = filteredData(cdc)
+    val reg = registry(filtered)
+    envelope(typeTransforms(images(enrich(explodeRows(filtered), reg))))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.cdc
+
+/** DuckDB-dialect oracle for the CDC operator chain. The WITH-prologue
+  * mirrors [[CdcReplay]]/[[CdcOps]] stage by stage; scalar mappings are the
+  * SAME strings ([[CdcSqlFragments]]) the Spark side compiles via expr().
+  * DuckDB reads the parquet TIMESTAMP(NANOS) column truncated to µs, so
+  * `epoch_us(ts)` equals the Spark side's `ts DIV 1000`.
+  */
+object CdcOracle {
+  import CdcSqlFragments._
+
+  val prologue: String = s"""
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value, $K AS k, event_type
+  FROM events
+), cdc0 AS (
+  SELECT *, $KIND AS kind, $MSG AS message_type, $DB AS database_name,
+         $BASE_TABLE AS base_table, $LOG_FILE AS log_file, $LOG_POS AS log_pos
+  FROM base
+), cdc AS (
+  SELECT *, ($IS_REFRESH) AS is_refresh,
+         CASE WHEN $IS_REFRESH THEN base_table || '$REFRESH_SUFFIX' ELSE base_table END AS table_name,
+         CASE WHEN kind = 'heartbeat' THEN event_id ELSE NULL END AS hb_serial
+  FROM cdc0
+), admitted AS (
+  SELECT * FROM cdc WHERE kind <> 'other'
+), datas AS (
+  SELECT * FROM admitted WHERE kind = 'data'
+), whitelisted AS (
+  SELECT * FROM datas WHERE base_table IN ${sqlList(WHITELIST)}
+), retargeted AS (
+  SELECT *, base_table AS target_table,
+         CASE WHEN is_refresh THEN 'refresh' ELSE message_type END AS out_message_type
+  FROM whitelisted
+), filtered AS (
+  SELECT * FROM retargeted WHERE database_name NOT IN ${sqlList(BLACKLIST)}
+), rows0 AS (
+  SELECT f.*, unnest(generate_series(0, f.k % 3)) AS ridx FROM filtered f
+), rows1 AS (
+  SELECT *, CAST(ridx AS INT) AS row_idx FROM rows0
+), rws AS (
+  SELECT *, event_id * 10 + row_idx AS payload_id,
+         value + row_idx AS payload_value,
+         k + row_idx AS payload_k
+  FROM rows1
+), registry AS (
+  SELECT database_name, target_table,
+         CAST(dense_rank() OVER (ORDER BY database_name, target_table) AS INT) AS schema_id,
+         target_table IN ${sqlList(PII_TABLES)} AS contains_pii
+  FROM (SELECT DISTINCT database_name, target_table FROM filtered) dt
+), enriched AS (
+  SELECT r.*, g.schema_id, g.contains_pii
+  FROM rws r JOIN registry g USING (database_name, target_table)
+), imaged AS (
+  SELECT *,
+    CASE WHEN out_message_type = 'update' THEN payload_id ELSE NULL END AS prev_id,
+    CASE WHEN out_message_type = 'update' THEN payload_value - 1.0 ELSE NULL END AS prev_value,
+    CASE WHEN out_message_type = 'update' THEN payload_k - 1 ELSE NULL END AS prev_k
+  FROM enriched
+), transformed AS (
+  SELECT *,
+    strftime(make_timestamp(ts_us), '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso,
+    ts_us % 86400000000 AS time_of_day_us,
+    array_to_string(list_sort(string_split(${CdcOps.TAGS_CASE}, ',')), ',') AS tags_sorted
+  FROM imaged
+), envelope AS (
+  SELECT 'refcluster' AS cluster_name, database_name,
+    target_table AS table_name, out_message_type AS message_type,
+    log_file, log_pos, row_idx AS pos_offset, ts_us, schema_id, contains_pii,
+    payload_id, payload_value, payload_k, tags_sorted, ts_iso, time_of_day_us,
+    prev_id, prev_value, prev_k,
+    'refcluster' || ':' || log_file || ':' || CAST(log_pos AS STRING) AS transaction_id,
+    database_name || '.' || target_table AS topic,
+    log_file || ':' || lpad(CAST(log_pos AS STRING), 5, '0') || ':' || CAST(row_idx AS STRING) AS pos_key,
+    event_id, row_idx, k
+  FROM transformed
+)
+"""
+
+  /** Wrap a final SELECT with the full prologue (DuckDB prunes unused CTEs). */
+  def q(finalSelect: String): String = prologue + finalSelect
+}

@@ -1,0 +1,143 @@
+package graft.cdc
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Named intermediate frames of the CDC chain, built lazily per query. */
+final class CdcChain(spark: SparkSession, sfDir: String) {
+  lazy val cdc: DataFrame = CdcReplay.fromEvents(Tables.events(spark, sfDir))
+  lazy val admitted: DataFrame = CdcOps.admit(cdc)
+  lazy val datas: DataFrame = CdcOps.dataOnly(admitted)
+  lazy val whitelisted: DataFrame = CdcOps.whitelist(datas)
+  lazy val retargeted: DataFrame = CdcOps.retarget(whitelisted)
+  lazy val filtered: DataFrame = CdcOps.blacklistFilter(retargeted)
+  lazy val rows: DataFrame = CdcOps.explodeRows(filtered)
+  lazy val reg: DataFrame = CdcOps.registry(filtered)
+  lazy val enriched: DataFrame = CdcOps.enrich(rows, reg)
+  lazy val imaged: DataFrame = CdcOps.images(enriched)
+  lazy val transformed: DataFrame = CdcOps.typeTransforms(imaged)
+  lazy val env: DataFrame = CdcOps.envelope(transformed)
+}
+
+/** One oracle-checked query per data-plane operator (SURVEY §2 T1-T19).
+  * Column names and row order match the DuckDB oracle exactly.
+  */
+object CdcQueries {
+  import CdcSqlFragments._
+
+  private def c(fn: CdcChain => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => fn(new CdcChain(spark, sfDir))
+
+  val envelopeCols: Seq[String] = Seq(
+    "cluster_name", "database_name", "table_name", "message_type",
+    "log_file", "log_pos", "pos_offset", "ts_us", "schema_id", "contains_pii",
+    "payload_id", "payload_value", "payload_k", "tags_sorted", "ts_iso",
+    "time_of_day_us", "prev_id", "prev_value", "prev_k",
+    "transaction_id", "topic", "pos_key", "event_id", "row_idx")
+
+  private val expandedWhitelist: Seq[String] =
+    WHITELIST ++ WHITELIST.map(_ + REFRESH_SUFFIX)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_cdc_source" -> c(_.cdc
+      .select("event_id", "kind", "database_name", "table_name", "log_file", "log_pos")
+      .orderBy("event_id")),
+    "t02_event_filter" -> c(_.admitted
+      .select("event_id", "kind").orderBy("event_id")),
+    "t03_table_whitelist" -> c(_.datas
+      .filter(col("table_name").isin(expandedWhitelist: _*))
+      .select("event_id", "table_name").orderBy("event_id")),
+    "t04_refresh_retarget" -> c(_.retargeted
+      .filter(col("is_refresh"))
+      .select(col("event_id"), col("table_name").as("source_table"),
+        col("target_table"), col("out_message_type"))
+      .orderBy("event_id")),
+    "t05_heartbeat_beacons" -> c(_.cdc
+      .filter(col("kind") === "heartbeat")
+      .select(col("event_id").as("serial"), col("ts_us").as("hb_ts_us"),
+        col("log_file"), col("log_pos"))
+      .orderBy("serial")),
+    "t06_rows_explode" -> c(_.rows
+      .select("event_id", "row_idx", "payload_id")
+      .orderBy("event_id", "row_idx")),
+    "t07_classify" -> c(_.retargeted
+      .select(col("event_id"), col("out_message_type").as("message_type"))
+      .orderBy("event_id")),
+    "t08_blacklist" -> c(_.filtered
+      .select("event_id", "database_name").orderBy("event_id")),
+    "t09_after_image" -> c(_.rows
+      .select("event_id", "row_idx", "payload_id", "payload_value", "payload_k")
+      .orderBy("event_id", "row_idx")),
+    "t10_before_image" -> c(_.imaged
+      .filter(col("out_message_type") === "update")
+      .select("event_id", "row_idx", "prev_id", "prev_value", "prev_k")
+      .orderBy("event_id", "row_idx")),
+    "t11_type_transforms" -> c(_.transformed
+      .select("event_id", "row_idx", "ts_iso", "time_of_day_us", "tags_sorted")
+      .orderBy("event_id", "row_idx")),
+    "t12_envelope" -> c(_.env
+      .select(envelopeCols.map(col): _*)
+      .orderBy("event_id", "row_idx")),
+    "t13_changelog" -> c(_.env
+      .select("database_name", "table_name", "payload_id")
+      .orderBy("database_name", "table_name", "payload_id")),
+    "t14_transaction_id" -> c(_.env
+      .select("event_id", "row_idx", "transaction_id", "cluster_name", "log_file", "log_pos")
+      .orderBy("event_id", "row_idx")),
+    "t15_dry_run" -> c(_.env
+      .select(col("event_id"), col("row_idx"), lit(1).as("schema_id"))
+      .orderBy("event_id", "row_idx")),
+    "t16_registry_join" -> c(_.env
+      .select("event_id", "row_idx", "database_name", "table_name", "schema_id")
+      .orderBy("event_id", "row_idx")),
+    "t18_pii_flags" -> c(_.reg
+      .select(col("database_name"), col("target_table").as("table_name"),
+        col("schema_id"), col("contains_pii"))
+      .orderBy("schema_id")),
+    "t19_event_routing" -> c(_.admitted
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .orderBy("kind"))
+  )
+
+  import CdcOracle.q
+
+  val oracle: Map[String, String] = Map(
+    "t01_cdc_source" -> q(
+      "SELECT event_id, kind, database_name, table_name, log_file, log_pos FROM cdc ORDER BY event_id"),
+    "t02_event_filter" -> q(
+      "SELECT event_id, kind FROM admitted ORDER BY event_id"),
+    "t03_table_whitelist" -> q(
+      s"SELECT event_id, table_name FROM datas WHERE table_name IN ${sqlList(expandedWhitelist)} ORDER BY event_id"),
+    "t04_refresh_retarget" -> q(
+      "SELECT event_id, table_name AS source_table, target_table, out_message_type FROM retargeted WHERE is_refresh ORDER BY event_id"),
+    "t05_heartbeat_beacons" -> q(
+      "SELECT event_id AS serial, ts_us AS hb_ts_us, log_file, log_pos FROM cdc WHERE kind = 'heartbeat' ORDER BY serial"),
+    "t06_rows_explode" -> q(
+      "SELECT event_id, row_idx, payload_id FROM rws ORDER BY event_id, row_idx"),
+    "t07_classify" -> q(
+      "SELECT event_id, out_message_type AS message_type FROM retargeted ORDER BY event_id"),
+    "t08_blacklist" -> q(
+      "SELECT event_id, database_name FROM filtered ORDER BY event_id"),
+    "t09_after_image" -> q(
+      "SELECT event_id, row_idx, payload_id, payload_value, payload_k FROM rws ORDER BY event_id, row_idx"),
+    "t10_before_image" -> q(
+      "SELECT event_id, row_idx, prev_id, prev_value, prev_k FROM imaged WHERE out_message_type = 'update' ORDER BY event_id, row_idx"),
+    "t11_type_transforms" -> q(
+      "SELECT event_id, row_idx, ts_iso, time_of_day_us, tags_sorted FROM transformed ORDER BY event_id, row_idx"),
+    "t12_envelope" -> q(
+      s"SELECT ${envelopeCols.mkString(", ")} FROM envelope ORDER BY event_id, row_idx"),
+    "t13_changelog" -> q(
+      "SELECT database_name, table_name, payload_id FROM envelope ORDER BY database_name, table_name, payload_id"),
+    "t14_transaction_id" -> q(
+      "SELECT event_id, row_idx, transaction_id, cluster_name, log_file, log_pos FROM envelope ORDER BY event_id, row_idx"),
+    "t15_dry_run" -> q(
+      "SELECT event_id, row_idx, CAST(1 AS INT) AS schema_id FROM envelope ORDER BY event_id, row_idx"),
+    "t16_registry_join" -> q(
+      "SELECT event_id, row_idx, database_name, table_name, schema_id FROM envelope ORDER BY event_id, row_idx"),
+    "t18_pii_flags" -> q(
+      "SELECT database_name, target_table AS table_name, schema_id, contains_pii FROM registry ORDER BY schema_id"),
+    "t19_event_routing" -> q(
+      "SELECT kind, CAST(count(*) AS BIGINT) AS n FROM admitted GROUP BY kind ORDER BY kind")
+  )
+}
