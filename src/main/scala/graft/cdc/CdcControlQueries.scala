@@ -1,0 +1,217 @@
+package graft.cdc
+
+import graft.sqlparse.MysqlStatementClassifier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Control-plane and positioning operators (SURVEY §2 T17, T20-T23,
+  * T26-T33, T37) as oracle-checked batch queries.
+  *
+  * Scale notes: the unpartitioned windows (cache_epoch, global position
+  * numbering) model driver-side state — in the streaming engine the global
+  * order exists only at the single saved position, not as a data-plane
+  * shuffle. Per-topic/per-table windows and aggregations are the scalable
+  * data-plane shapes. The one-row cutoff frames join via broadcast.
+  */
+object CdcControlQueries {
+  import CdcSqlFragments._
+
+  private def c(fn: CdcChain => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => fn(new CdcChain(spark, sfDir))
+
+  // ---- DDL text + classification (T20/T21) ---------------------------
+
+  private val classifyKindUdf = udf((s: String) => MysqlStatementClassifier.classify(s).kind)
+  private val isSupportedUdf = udf((s: String) => MysqlStatementClassifier.classify(s).isSupported)
+  private val doesRenameUdf = udf((s: String) => MysqlStatementClassifier.classify(s).doesRenameTable)
+  private val parsedDbUdf = udf((s: String) => MysqlStatementClassifier.classify(s).databaseName.orNull)
+  private val parsedTableUdf = udf((s: String) => MysqlStatementClassifier.classify(s).table.orNull)
+  private val isSkippableUdf = udf((s: String) => MysqlStatementClassifier.isSkippable(s))
+
+  private def ddls(ch: CdcChain): DataFrame =
+    CdcOps.ddlOnly(ch.admitted).withColumn("stmt", expr(CdcSqlFragments.DDL_STMT))
+
+  // ---- windows over the admitted stream (T17/T22-T24) ----------------
+
+  private val wAll =
+    Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  private val wTable = Window.partitionBy("database_name", "base_table")
+    .orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  private def epochs(ch: CdcChain): DataFrame =
+    ch.admitted.withColumn("cache_epoch",
+      sum(when(expr(IS_RENAME_DDL), 1).otherwise(0)).over(wAll).cast("long"))
+
+  private def versions(ch: CdcChain): DataFrame =
+    ch.admitted.withColumn("schema_version",
+      (lit(1) + sum(when(expr(IS_ALTER_DDL), 1).otherwise(0)).over(wTable)).cast("long"))
+
+  // ---- position numbering / recovery (T27-T33) -----------------------
+
+  private val wPos = Window.orderBy("pos_key")
+  private val wFull =
+    Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+  private val wTopic = Window.partitionBy("topic").orderBy("pos_key")
+
+  private def numbered(ch: CdcChain): DataFrame =
+    ch.env
+      .withColumn("rn", row_number().over(wPos).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wFull).cast("long"))
+      .withColumn("seq", row_number().over(wTopic).cast("long"))
+
+  private def cutoff(n: DataFrame): DataFrame =
+    n.filter(col("rn") === floor(col("cnt") * 0.6).cast("long"))
+      .select(col("pos_key").as("saved_pos"), col("rn").as("saved_rn"),
+        col("log_file").as("saved_file"))
+
+  private def kafkaCutoff(n: DataFrame): DataFrame =
+    n.filter(col("rn") === floor(col("cnt") * 0.65).cast("long"))
+      .select(col("pos_key").as("kafka_pos"))
+
+  private def candidates(n: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cutoff(n)))
+      .filter(col("rn") > col("saved_rn") && col("rn") <= col("saved_rn") + 1500)
+
+  private def hbs(ch: CdcChain): DataFrame =
+    ch.cdc.filter(col("kind") === "heartbeat")
+      .select(col("event_id").as("serial"), col("ts_us"), col("log_file"), col("log_pos"))
+      .withColumn("hb_rn", row_number().over(Window.orderBy("serial")).cast("long"))
+      .withColumn("hb_cnt", count(lit(1)).over(wFull).cast("long"))
+
+  // ---- queries -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_cache_epochs" -> c { ch =>
+      epochs(ch).filter(col("kind") === "data")
+        .select("event_id", "cache_epoch").orderBy("event_id")
+    },
+    "t20_ddl_classify" -> c { ch =>
+      ddls(ch).select(col("event_id"), col("stmt"),
+        classifyKindUdf(col("stmt")).as("stmt_kind"),
+        isSupportedUdf(col("stmt")).as("is_supported"),
+        doesRenameUdf(col("stmt")).as("does_rename"),
+        isSkippableUdf(col("stmt")).as("is_skippable"))
+        .orderBy("event_id")
+    },
+    "t21_identifier_parse" -> c { ch =>
+      ddls(ch).filter(expr("k % 8 IN (0, 1, 2, 4)"))
+        .select(col("event_id"),
+          parsedDbUdf(col("stmt")).as("parsed_db"),
+          parsedTableUdf(col("stmt")).as("parsed_table"))
+        .orderBy("event_id")
+    },
+    "t23_schema_versions" -> c { ch =>
+      versions(ch).filter(col("kind") === "data")
+        .select("event_id", "database_name", "base_table", "schema_version")
+        .orderBy("event_id")
+    },
+    "t26_topic_assign" -> c { ch =>
+      ch.env.groupBy("topic").agg(count(lit(1)).as("n_messages")).orderBy("topic")
+    },
+    "t27_checkpoint_state" -> c { ch =>
+      ch.env.groupBy("topic")
+        .agg(count(lit(1)).as("kafka_offset"), max("pos_key").as("max_pos_key"))
+        .orderBy("topic")
+    },
+    "t28_position_resume" -> c { ch =>
+      val n = numbered(ch)
+      n.crossJoin(broadcast(cutoff(n)))
+        .filter(col("pos_key") > col("saved_pos"))
+        .select("event_id", "row_idx", "pos_key").orderBy("pos_key")
+    },
+    "t29_offset_seek" -> c { ch =>
+      val n = numbered(ch)
+      n.crossJoin(broadcast(cutoff(n)))
+        .filter(col("log_file") === col("saved_file") && col("rn") > col("saved_rn") + 3)
+        .select("event_id", "row_idx", "pos_key").orderBy("pos_key")
+    },
+    "t31_replay_dedupe" -> c { ch =>
+      val n = numbered(ch)
+      val saved = n.crossJoin(broadcast(kafkaCutoff(n)))
+        .filter(col("pos_key") <= col("kafka_pos"))
+        .groupBy("topic").agg(count(lit(1)).as("saved_n"))
+      candidates(n).join(broadcast(saved), Seq("topic"), "left")
+        .filter(col("seq") > coalesce(col("saved_n"), lit(0L)))
+        .select("event_id", "row_idx", "topic", "seq")
+        .orderBy("topic", "seq")
+    },
+    "t32_catchup_bound" -> c { ch =>
+      candidates(numbered(ch))
+        .agg(count(lit(1)).as("n_replayed"),
+          (max(col("rn")) === max(col("cnt"))).as("caught_up"))
+    },
+    "t33_heartbeat_search" -> c { ch =>
+      val h = hbs(ch)
+      val target = h.filter(col("hb_rn") === floor(col("hb_cnt") / 2.0).cast("long"))
+        .select(col("serial").as("target_serial"))
+      val files = h.groupBy("log_file").agg(min("serial").as("first_serial"))
+      val scanned = files.crossJoin(broadcast(target))
+        .filter(col("first_serial") > col("target_serial"))
+        .agg(count(lit(1)).as("n_scanned"))
+      h.crossJoin(broadcast(target)).filter(col("serial") === col("target_serial"))
+        .crossJoin(broadcast(scanned))
+        .select(col("log_file"), col("log_pos"), col("serial"),
+          (col("n_scanned") + 1).as("n_files_scanned"))
+    },
+    "t37_stats_counters" -> c { ch =>
+      ch.env
+        .withColumn("bucket_start_us", col("ts_us") - col("ts_us") % 600000000L)
+        .groupBy("table_name", "bucket_start_us")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("table_name", "bucket_start_us")
+    }
+  )
+
+  import CdcOracle.q
+
+  val oracle: Map[String, String] = Map(
+    "t17_cache_epochs" -> q(
+      "SELECT event_id, cache_epoch FROM epochs WHERE kind = 'data' ORDER BY event_id"),
+    "t20_ddl_classify" -> q("""
+      SELECT event_id, stmt,
+        CASE k % 8 WHEN 0 THEN 'create_table' WHEN 1 THEN 'alter_table'
+          WHEN 2 THEN 'alter_table' WHEN 3 THEN 'rename_table'
+          WHEN 4 THEN 'drop_table' WHEN 5 THEN 'create_database'
+          ELSE 'unsupported' END AS stmt_kind,
+        k % 8 <= 5 AS is_supported,
+        k % 8 = 2 AS does_rename,
+        k % 8 = 6 AS is_skippable
+      FROM ddls ORDER BY event_id"""),
+    "t21_identifier_parse" -> q("""
+      SELECT event_id,
+        CASE WHEN k % 8 = 0 THEN database_name ELSE NULL END AS parsed_db,
+        base_table AS parsed_table
+      FROM ddls WHERE k % 8 IN (0, 1, 2, 4) ORDER BY event_id"""),
+    "t23_schema_versions" -> q(
+      "SELECT event_id, database_name, base_table, schema_version FROM versions WHERE kind = 'data' ORDER BY event_id"),
+    "t26_topic_assign" -> q(
+      "SELECT topic, CAST(count(*) AS BIGINT) AS n_messages FROM envelope GROUP BY topic ORDER BY topic"),
+    "t27_checkpoint_state" -> q("""
+      SELECT topic, CAST(count(*) AS BIGINT) AS kafka_offset, max(pos_key) AS max_pos_key
+      FROM envelope GROUP BY topic ORDER BY topic"""),
+    "t28_position_resume" -> q("""
+      SELECT event_id, row_idx, pos_key FROM numbered, cutoff
+      WHERE pos_key > saved_pos ORDER BY pos_key"""),
+    "t29_offset_seek" -> q("""
+      SELECT event_id, row_idx, pos_key FROM numbered n, cutoff c
+      WHERE n.log_file = c.saved_file AND n.rn > c.saved_rn + 3 ORDER BY pos_key"""),
+    "t31_replay_dedupe" -> q("""
+      SELECT c.event_id, c.row_idx, c.topic, c.seq
+      FROM candidates c LEFT JOIN saved_offsets s ON c.topic = s.topic
+      WHERE c.seq > coalesce(s.saved_n, 0)
+      ORDER BY c.topic, c.seq"""),
+    "t32_catchup_bound" -> q("""
+      SELECT CAST(count(*) AS BIGINT) AS n_replayed, max(rn) = max(cnt) AS caught_up
+      FROM candidates"""),
+    "t33_heartbeat_search" -> q("""
+      SELECT h.log_file, h.log_pos, h.serial,
+        (SELECT CAST(count(*) AS BIGINT) FROM hb_files f, hb_target t2
+         WHERE f.first_serial > t2.target_serial) + 1 AS n_files_scanned
+      FROM hbs h, hb_target t WHERE h.serial = t.target_serial"""),
+    "t37_stats_counters" -> q("""
+      SELECT table_name, ts_us - ts_us % 600000000 AS bucket_start_us,
+        CAST(count(*) AS BIGINT) AS n
+      FROM envelope GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+}

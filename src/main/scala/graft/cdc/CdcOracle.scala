@@ -74,6 +74,42 @@ WITH base AS (
     log_file || ':' || lpad(CAST(log_pos AS STRING), 5, '0') || ':' || CAST(row_idx AS STRING) AS pos_key,
     event_id, row_idx, k
   FROM transformed
+), ddls AS (
+  SELECT *, $DDL_STMT AS stmt FROM admitted WHERE kind = 'ddl'
+), epochs AS (
+  SELECT *, CAST(sum(CASE WHEN $IS_RENAME_DDL THEN 1 ELSE 0 END)
+    OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cache_epoch
+  FROM admitted
+), versions AS (
+  SELECT *, CAST(1 + sum(CASE WHEN $IS_ALTER_DDL THEN 1 ELSE 0 END)
+    OVER (PARTITION BY database_name, base_table ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS schema_version
+  FROM admitted
+), numbered AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY pos_key) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS cnt,
+         CAST(row_number() OVER (PARTITION BY topic ORDER BY pos_key) AS BIGINT) AS seq
+  FROM envelope
+), cutoff AS (
+  SELECT pos_key AS saved_pos, rn AS saved_rn, log_file AS saved_file
+  FROM numbered WHERE rn = CAST(floor(cnt * 0.6) AS BIGINT)
+), kafka_cutoff AS (
+  SELECT pos_key AS kafka_pos FROM numbered WHERE rn = CAST(floor(cnt * 0.65) AS BIGINT)
+), saved_offsets AS (
+  SELECT topic, CAST(count(*) AS BIGINT) AS saved_n
+  FROM numbered, kafka_cutoff WHERE pos_key <= kafka_pos GROUP BY topic
+), candidates AS (
+  SELECT n.* FROM numbered n, cutoff c
+  WHERE n.rn > c.saved_rn AND n.rn <= c.saved_rn + 1500
+), hbs AS (
+  SELECT event_id AS serial, ts_us, log_file, log_pos,
+         CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS hb_rn,
+         CAST(count(*) OVER () AS BIGINT) AS hb_cnt
+  FROM cdc WHERE kind = 'heartbeat'
+), hb_target AS (
+  SELECT serial AS target_serial FROM hbs WHERE hb_rn = CAST(floor(hb_cnt / 2.0) AS BIGINT)
+), hb_files AS (
+  SELECT log_file, min(serial) AS first_serial FROM hbs GROUP BY log_file
 )
 """
 

@@ -71,6 +71,28 @@ object CdcSqlFragments {
   val REFRESH_SUFFIX = "_data_pipeline_refresh"
   val CLUSTER = "refcluster"
 
+  /** Synthetic DDL text for QueryEvents (kind='ddl'), spanning the
+    * statement classes the reference's sql_handler distinguishes
+    * (components/sql_handler.py:306-462). Valid in both dialects. */
+  val DDL_STMT: String =
+    """CASE k % 8
+       WHEN 0 THEN 'CREATE TABLE `' || database_name || '`.`' || base_table || '` (id INT PRIMARY KEY, name VARCHAR(64))'
+       WHEN 1 THEN 'ALTER TABLE ' || base_table || ' ADD location VARCHAR(128) DEFAULT NULL'
+       WHEN 2 THEN 'ALTER TABLE `' || base_table || '` RENAME TO `' || base_table || '_v2`'
+       WHEN 3 THEN 'RENAME TABLE `' || base_table || '` TO `' || base_table || '_new`'
+       WHEN 4 THEN 'DROP TABLE IF EXISTS "' || base_table || '"'
+       WHEN 5 THEN 'CREATE DATABASE IF NOT EXISTS ' || database_name
+       WHEN 6 THEN 'BEGIN'
+       ELSE 'INSERT INTO ' || base_table || ' VALUES (1)' END"""
+
+  /** DDLs that clear the schema cache (RENAME flavors; reference
+    * schema_event_handler.py:114-121). */
+  val IS_RENAME_DDL: String = """kind = 'ddl' AND k % 8 IN (2, 3)"""
+
+  /** DDLs that bump a table's schema version (ALTER flavors; reference
+    * schema_event_handler.py:154-175). */
+  val IS_ALTER_DDL: String = """kind = 'ddl' AND k % 8 IN (1, 2)"""
+
   /** Schema blacklist (reference config.yaml:17-22). */
   val BLACKLIST: Seq[String] =
     Seq("information_schema", "mysql", "performance_schema", "test", "yelp_heartbeat")
