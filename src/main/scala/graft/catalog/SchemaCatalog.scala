@@ -1,0 +1,325 @@
+package graft.catalog
+
+import graft.sqlparse._
+import org.apache.spark.sql.types._
+
+/** Versioned schema registry + DDL-tracked shadow catalog
+  * (SURVEY §2 T16-T18, T22-T25).
+  *
+  * The reference keeps per-table schemas in an external registry
+  * ("Schematizer") keyed by schema_id, replays every DDL against a shadow
+  * MySQL "schema tracker" database, and snapshots the tracker state before
+  * checkpoints (reference components/schema_wrapper.py:29-162,
+  * schema_tracker.py:44-113, mysql_dump_handler.py:33-123). Here the
+  * tracker is a `StructType` catalog evolved directly by the parsed DDL,
+  * the registry is an idempotent (create-stmt-hash → schema_id) map, and
+  * the dump/restore pair is a JSON snapshot — no subprocess, no shadow DB.
+  *
+  * Driver-side state: at cluster scale this object lives on the driver and
+  * is broadcast to executors between micro-batches (SURVEY §1.3).
+  */
+final case class TableId(cluster: String, database: String, table: String)
+
+final case class TableSchema(
+    schemaId: Int,
+    struct: StructType,
+    containsPii: Boolean)
+
+class SchemaCatalog(piiTables: Set[String] = Set.empty) {
+
+  private var nextId = 1
+  private var entries = Map.empty[TableId, TableSchema]
+  /** (table, schema-fingerprint) → schema_id: re-registering an identical
+    * schema returns the existing id (reference schema_wrapper.py:97-141
+    * registration idempotence). */
+  private var byFingerprint = Map.empty[(TableId, String), Int]
+  /** Process-wide schema cache (reference schema_wrapper.py:35-42); cleared
+    * wholesale on renames (T17). */
+  private var cache = Map.empty[TableId, TableSchema]
+  private var versionCounter = 0
+
+  def version: Int = versionCounter
+  def cachedTables: Set[TableId] = cache.keySet
+  def all: Map[TableId, TableSchema] = entries
+
+  private def fingerprint(struct: StructType): String = struct.json
+
+  def register(id: TableId, struct: StructType): TableSchema = synchronized {
+    val fp = fingerprint(struct)
+    val sid = byFingerprint.getOrElse((id, fp), { val v = nextId; nextId += 1; v })
+    byFingerprint += ((id, fp) -> sid)
+    val ts = TableSchema(sid, struct, piiTables.contains(id.table))
+    entries += (id -> ts)
+    cache += (id -> ts)
+    versionCounter += 1
+    ts
+  }
+
+  /** Cache lookup; miss falls back to the registry (the reference's miss
+    * path re-fetches SHOW CREATE + registers; data_event_handler.py:40-52). */
+  def lookup(id: TableId): Option[TableSchema] = synchronized {
+    cache.get(id).orElse {
+      val e = entries.get(id)
+      e.foreach(ts => cache += (id -> ts))
+      e
+    }
+  }
+
+  /** T17 — RENAME clears the whole cache (reference
+    * schema_event_handler.py:114-121, schema_wrapper.py:143-144). */
+  def invalidateCache(): Unit = synchronized { cache = Map.empty }
+
+  /** T22/T23 — apply a DDL statement to the tracked catalog; returns the
+    * new TableSchema for schema-changing table DDL. */
+  def applyDdl(cluster: String, defaultDb: String, sql: String): Option[TableSchema] = synchronized {
+    if (MysqlStatementClassifier.isSkippable(sql)) return None
+    MysqlStatementClassifier.classify(sql) match {
+      case CreateTableStatement(db, tbl) =>
+        val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
+        Some(register(id, MysqlDdlToStruct.createTableStruct(sql)))
+      case AlterTableStatement(db, tbl, rename) =>
+        val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
+        val cur = entries.get(id).map(_.struct).getOrElse(new StructType())
+        if (rename) {
+          val (newStruct, newName) = MysqlDdlToStruct.applyAlterRename(sql, cur)
+          val newId = id.copy(table = newName)
+          entries -= id
+          invalidateCache()
+          Some(register(newId, newStruct))
+        } else {
+          Some(register(id, MysqlDdlToStruct.applyAlter(sql, cur)))
+        }
+      case DropTableStatement(db, tbl) =>
+        val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
+        entries -= id
+        cache -= id
+        versionCounter += 1
+        None
+      case RenameTableStatement() =>
+        invalidateCache()
+        None
+      case _ => None
+    }
+  }
+
+  // ---- T25: snapshot / restore ---------------------------------------
+
+  /** Serialize the whole catalog (reference dumps the tracker DB schema to
+    * the mysql_dumps state table; we emit one JSON blob). */
+  def snapshotJson: String = synchronized {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val rows = entries.toSeq.sortBy(e => (e._1.cluster, e._1.database, e._1.table)).map {
+      case (id, ts) =>
+        s"""{"cluster":"${esc(id.cluster)}","database":"${esc(id.database)}",""" +
+          s""""table":"${esc(id.table)}","schemaId":${ts.schemaId},""" +
+          s""""pii":${ts.containsPii},"struct":${ts.struct.json}}"""
+    }
+    s"""{"version":$versionCounter,"nextId":$nextId,"entries":[${rows.mkString(",")}]}"""
+  }
+
+  /** Restore from [[snapshotJson]] output (recovery path T30). */
+  def restore(json: String): Unit = synchronized {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(json)
+    implicit val fmt: Formats = DefaultFormats
+    versionCounter = (root \ "version").extract[Int]
+    nextId = (root \ "nextId").extract[Int]
+    entries = (root \ "entries").extract[List[JValue]].map { e =>
+      val id = TableId((e \ "cluster").extract[String],
+        (e \ "database").extract[String], (e \ "table").extract[String])
+      val struct = DataType.fromJson(JsonMethods.compact(e \ "struct")).asInstanceOf[StructType]
+      id -> TableSchema((e \ "schemaId").extract[Int], struct, (e \ "pii").extract[Boolean])
+    }.toMap
+    byFingerprint = entries.map { case (id, ts) => (id, fingerprint(ts.struct)) -> ts.schemaId }
+    cache = Map.empty
+  }
+}
+
+/** MySQL DDL → Spark StructType evolution (T22), with the type mapping of
+  * SURVEY §1.2 (reference end_to_end_test.py:77-196 type matrix;
+  * transforms at util/message_builder.py:90-107).
+  */
+object MysqlDdlToStruct {
+  import MysqlStatementClassifier.tokens
+
+  /** MySQL column type → Spark DataType. TIME maps to LongType
+    * (µs-since-midnight) and DATETIME to StringType (ISO-8601) because
+    * those are the reference's *output* representations (T11). */
+  def mysqlType(raw: String): DataType = {
+    val t = raw.toUpperCase
+    val base = t.takeWhile(c => c.isLetter)
+    def params: Seq[Int] =
+      "\\d+".r.findAllIn(t.substring(base.length).takeWhile(_ != ')') + ")").map(_.toInt).toSeq
+    base match {
+      case "TINYINT" => if (params.headOption.contains(1)) BooleanType else IntegerType
+      case "BOOL" | "BOOLEAN" => BooleanType
+      case "SMALLINT" | "MEDIUMINT" | "INT" | "INTEGER" | "YEAR" => IntegerType
+      case "BIGINT" => if (t.contains("UNSIGNED")) DecimalType(20, 0) else LongType
+      case "DECIMAL" | "DEC" | "FIXED" | "NUMERIC" =>
+        val p = params.headOption.getOrElse(10); val s = params.lift(1).getOrElse(0)
+        DecimalType(p, s)
+      case "FLOAT" => FloatType
+      case "DOUBLE" | "REAL" => DoubleType
+      case "DATE" => DateType
+      case "DATETIME" => StringType // ISO-8601 output transform (T11)
+      case "TIMESTAMP" => TimestampType // UTC-attached (T11)
+      case "TIME" => LongType // µs since midnight (T11)
+      case "CHAR" | "VARCHAR" | "NCHAR" | "NVARCHAR" | "TINYTEXT" | "TEXT" |
+           "MEDIUMTEXT" | "LONGTEXT" | "ENUM" => StringType
+      case "BINARY" | "VARBINARY" | "TINYBLOB" | "BLOB" | "MEDIUMBLOB" | "LONGBLOB" => BinaryType
+      case "SET" => ArrayType(StringType) // set → list (T11)
+      case _ => StringType
+    }
+  }
+
+  private def ident(tok: String): String =
+    MysqlIdentifierParser.parseUnqualified(tok)
+
+  /** Column definitions inside CREATE TABLE ( ... ): split on top-level
+    * commas, take `name type` pairs, skip constraint clauses. */
+  def createTableStruct(sql: String): StructType = {
+    val open = sql.indexOf('(')
+    if (open < 0) return new StructType()
+    // find matching close paren
+    var depth = 0; var i = open; var close = sql.length - 1
+    var found = false
+    while (i < sql.length && !found) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) { close = i; found = true }
+        case _ =>
+      }
+      i += 1
+    }
+    val body = sql.substring(open + 1, close)
+    val parts = splitTopLevel(body)
+    val constraintKw = Set("PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT",
+      "FOREIGN", "CHECK", "FULLTEXT", "SPATIAL")
+    val fields = parts.flatMap { p =>
+      val ts = tokens(p)
+      if (ts.isEmpty || constraintKw.contains(ts.head.toUpperCase)) None
+      else {
+        val name = ident(ts.head)
+        val tpe = if (ts.length > 1) typeWithParams(ts, 1) else "TEXT"
+        Some(StructField(name, mysqlType(tpe), nullable = true))
+      }
+    }
+    StructType(fields)
+  }
+
+  /** Reassemble a type token possibly followed by (p,s) params split by the
+    * tokenizer: VARCHAR ( 255 ) → VARCHAR(255). */
+  private def typeWithParams(ts: Vector[String], at: Int): String = {
+    val sb = new StringBuilder(ts(at))
+    var j = at + 1
+    if (j < ts.length && ts(j) == "(") {
+      while (j < ts.length && ts(j) != ")") { sb.append(ts(j)); j += 1 }
+      if (j < ts.length) sb.append(")")
+      j += 1
+    }
+    if (j < ts.length && ts(j).toUpperCase == "UNSIGNED") sb.append(" UNSIGNED")
+    sb.toString
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '`' | '"' | '\'' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** ALTER TABLE operations → evolved StructType. Supports ADD [COLUMN],
+    * DROP [COLUMN], MODIFY [COLUMN], CHANGE [COLUMN] old new type,
+    * ignoring ENGINE=/ROW_FORMAT=/AUTO_INCREMENT=/CONVERT TO noise
+    * (reference sql_handler.py:229-237 strips these lexically). */
+  def applyAlter(sql: String, cur: StructType): StructType = {
+    val ts = tokens(sql)
+    var fields = cur.fields.toVector
+    var j = 0
+    // skip to past the table identifier: ALTER [mods] TABLE <ident>
+    while (j < ts.length && ts(j).toUpperCase != "TABLE") j += 1
+    j += 2 // skip TABLE and the identifier
+    while (j < ts.length) {
+      ts(j).toUpperCase match {
+        case "ADD" =>
+          j += 1
+          if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
+          if (j < ts.length && !Set("PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT",
+            "FOREIGN").contains(ts(j).toUpperCase)) {
+            val name = ident(ts(j))
+            val tpe = typeWithParams(ts, j + 1)
+            // honor ADD ... AFTER <col> / FIRST ordering
+            var insertAt = fields.length
+            val afterIdx = ts.indexWhere(_.toUpperCase == "AFTER", j)
+            val nextComma = ts.indexWhere(_ == ",", j)
+            if (afterIdx >= 0 && (nextComma < 0 || afterIdx < nextComma) && afterIdx + 1 < ts.length) {
+              val anchor = ident(ts(afterIdx + 1))
+              val ai = fields.indexWhere(_.name == anchor)
+              if (ai >= 0) insertAt = ai + 1
+            } else if (ts.lift(j + 2).exists(_.toUpperCase == "FIRST")) insertAt = 0
+            val f = StructField(name, mysqlType(tpe), nullable = true)
+            fields = (fields.take(insertAt) :+ f) ++ fields.drop(insertAt)
+          }
+        case "DROP" =>
+          j += 1
+          if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
+          if (j < ts.length && !Set("PRIMARY", "INDEX", "KEY", "FOREIGN").contains(ts(j).toUpperCase)) {
+            val name = ident(ts(j))
+            fields = fields.filterNot(_.name == name)
+          }
+        case "MODIFY" =>
+          j += 1
+          if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
+          if (j < ts.length) {
+            val name = ident(ts(j))
+            val tpe = typeWithParams(ts, j + 1)
+            fields = fields.map(f => if (f.name == name) f.copy(dataType = mysqlType(tpe)) else f)
+          }
+        case "CHANGE" =>
+          j += 1
+          if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
+          if (j + 1 < ts.length) {
+            val oldName = ident(ts(j)); val newName = ident(ts(j + 1))
+            val tpe = typeWithParams(ts, j + 2)
+            fields = fields.map(f =>
+              if (f.name == oldName) StructField(newName, mysqlType(tpe), nullable = true) else f)
+          }
+        case _ =>
+      }
+      // advance to next top-level comma-separated operation
+      val nc = ts.indexWhere(_ == ",", j)
+      j = if (nc < 0) ts.length else nc + 1
+    }
+    StructType(fields)
+  }
+
+  /** ALTER TABLE x RENAME [TO|AS] y → (unchanged struct, new name). */
+  def applyAlterRename(sql: String, cur: StructType): (StructType, String) = {
+    val ts = tokens(sql)
+    val ri = ts.indexWhere(_.toUpperCase == "RENAME")
+    var j = ri + 1
+    if (j < ts.length && Set("TO", "AS").contains(ts(j).toUpperCase)) j += 1
+    val target = MysqlIdentifierParser.parseQualified(ts(j)).last
+    (cur, target)
+  }
+}

@@ -113,7 +113,7 @@ object MysqlStatementClassifier {
     * are consumed whole — so an identifier with spaces inside quotes stays
     * one token. Delimiters: whitespace and `(),;`.
     */
-  private[sqlparse] def tokens(s: String): Vector[String] = {
+  private[graft] def tokens(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < s.length) {

@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for T16-T18/T22-T25, mirroring the reference fixtures
+  * (FIXTURES.md §1-3: acceptance/simple_statements.feature,
+  * acceptance/complex_statements.feature, end-to-end type matrix). */
+class SchemaCatalogSpec extends AnyFunSuite {
+
+  private def cat = new SchemaCatalog(piiTables = Set("pii_table"))
+
+  test("biz: create, then ALTER ADD evolves schema and bumps schema_id") {
+    val c = cat
+    val ts1 = c.applyDdl("cluster", "yelp",
+      "CREATE TABLE `biz` (`id` int(11) NOT NULL PRIMARY KEY, `name` varchar(64) DEFAULT NULL)").get
+    assert(ts1.struct == StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType))))
+    val ts2 = c.applyDdl("cluster", "yelp",
+      "ALTER TABLE biz ADD location varchar(128) DEFAULT NULL").get
+    assert(ts2.struct.fieldNames.toSeq == Seq("id", "name", "location"))
+    assert(ts2.schemaId != ts1.schemaId)
+    assert(c.lookup(TableId("cluster", "yelp", "biz")).get.schemaId == ts2.schemaId)
+  }
+
+  test("registration is idempotent by schema fingerprint") {
+    val c = cat
+    val id = TableId("cluster", "db", "t")
+    val s = StructType(Seq(StructField("a", IntegerType)))
+    val first = c.register(id, s)
+    val again = c.register(id, s)
+    assert(first.schemaId == again.schemaId)
+    val changed = c.register(id, StructType(Seq(StructField("a", LongType))))
+    assert(changed.schemaId != first.schemaId)
+  }
+
+  test("employee chain: ADD AFTER, RENAME TABLE, ALTER RENAME TO, MODIFY widen") {
+    val c = cat
+    c.applyDdl("cl", "db",
+      "CREATE TABLE employee (id int, tiny tinyint, score float(10,2), bio text)")
+    val afterAdd = c.applyDdl("cl", "db",
+      "ALTER TABLE employee ADD title varchar(64) AFTER id").get
+    assert(afterAdd.struct.fieldNames.toSeq == Seq("id", "title", "tiny", "score", "bio"))
+
+    // ALTER ... RENAME TO moves the entry and clears the cache
+    val renamed = c.applyDdl("cl", "db", "ALTER TABLE employee RENAME TO employee2").get
+    assert(c.lookup(TableId("cl", "db", "employee")).isEmpty)
+    assert(c.lookup(TableId("cl", "db", "employee2")).get.schemaId == renamed.schemaId)
+
+    val widened = c.applyDdl("cl", "db",
+      "ALTER TABLE employee2 MODIFY title varchar(128)").get
+    assert(widened.struct("title").dataType == StringType)
+    assert(widened.struct.fieldNames.toSeq == Seq("id", "title", "tiny", "score", "bio"))
+  }
+
+  test("CHANGE renames a column in place; DROP COLUMN removes it") {
+    val c = cat
+    c.applyDdl("cl", "db", "CREATE TABLE t (a int, b varchar(10), c date)")
+    val changed = c.applyDdl("cl", "db", "ALTER TABLE t CHANGE b b2 varchar(20)").get
+    assert(changed.struct.fieldNames.toSeq == Seq("a", "b2", "c"))
+    val dropped = c.applyDdl("cl", "db", "ALTER TABLE t DROP COLUMN c").get
+    assert(dropped.struct.fieldNames.toSeq == Seq("a", "b2"))
+  }
+
+  test("type matrix maps per SURVEY §1.2") {
+    import MysqlDdlToStruct.mysqlType
+    assert(mysqlType("TINYINT(1)") == BooleanType)
+    assert(mysqlType("TINYINT(4)") == IntegerType)
+    assert(mysqlType("SMALLINT") == IntegerType)
+    assert(mysqlType("BIGINT") == LongType)
+    assert(mysqlType("BIGINT(20) UNSIGNED") == DecimalType(20, 0))
+    assert(mysqlType("DECIMAL(10,2)") == DecimalType(10, 2))
+    assert(mysqlType("FIXED(5,1)") == DecimalType(5, 1))
+    assert(mysqlType("FLOAT") == FloatType)
+    assert(mysqlType("DOUBLE") == DoubleType)
+    assert(mysqlType("DATE") == DateType)
+    assert(mysqlType("DATETIME(6)") == StringType) // ISO-8601 output transform
+    assert(mysqlType("TIMESTAMP(6)") == TimestampType)
+    assert(mysqlType("TIME(6)") == LongType) // µs since midnight
+    assert(mysqlType("YEAR") == IntegerType)
+    assert(mysqlType("VARCHAR(255)") == StringType)
+    assert(mysqlType("LONGBLOB") == BinaryType)
+    assert(mysqlType("ENUM('ONE','TWO')") == StringType)
+    assert(mysqlType("SET('ONE','TWO')") == ArrayType(StringType))
+  }
+
+  test("constraints in CREATE TABLE are skipped; PII flag applied") {
+    val c = cat
+    val ts = c.applyDdl("cl", "db",
+      """CREATE TABLE pii_table (id int, name varchar(10),
+         PRIMARY KEY (id), UNIQUE KEY uq (name), KEY ix (id))""").get
+    assert(ts.struct.fieldNames.toSeq == Seq("id", "name"))
+    assert(ts.containsPii)
+  }
+
+  test("RENAME TABLE clears cache; DROP TABLE removes entry") {
+    val c = cat
+    c.applyDdl("cl", "db", "CREATE TABLE a (x int)")
+    assert(c.cachedTables.nonEmpty)
+    c.applyDdl("cl", "db", "RENAME TABLE `a` TO `b`")
+    assert(c.cachedTables.isEmpty)
+    // registry still holds it; lookup repopulates the cache
+    assert(c.lookup(TableId("cl", "db", "a")).isDefined)
+    c.applyDdl("cl", "db", "DROP TABLE a")
+    assert(c.lookup(TableId("cl", "db", "a")).isEmpty)
+  }
+
+  test("snapshot/restore round-trips the whole catalog (T25/T30)") {
+    val c = cat
+    c.applyDdl("cl", "db", "CREATE TABLE t1 (a int, b set('X','Y'))")
+    c.applyDdl("cl", "db2", "CREATE TABLE t2 (c decimal(12,3))")
+    c.applyDdl("cl", "db", "ALTER TABLE t1 ADD d double")
+    val snap = c.snapshotJson
+    val c2 = new SchemaCatalog()
+    c2.restore(snap)
+    assert(c2.all == c.all)
+    assert(c2.version == c.version)
+    // ids keep advancing from the restored point, no collisions
+    val next = c2.register(TableId("cl", "db3", "t3"),
+      StructType(Seq(StructField("z", IntegerType))))
+    assert(!c.all.values.map(_.schemaId).toSet.contains(next.schemaId))
+  }
+
+  test("BEGIN/COMMIT and unsupported statements are no-ops") {
+    val c = cat
+    assert(c.applyDdl("cl", "db", "BEGIN").isEmpty)
+    assert(c.applyDdl("cl", "db", "COMMIT").isEmpty)
+    assert(c.applyDdl("cl", "db", "INSERT INTO t VALUES (1)").isEmpty)
+    assert(c.all.isEmpty)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.Tables
+import graft.cdc.CdcOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end streaming semantics (SURVEY §7.2 minimum slice + §7.4 risks):
+  * source → filters → explode → registry join → envelope → sink with
+  * checkpoint, then a restart that must produce no duplicates and no loss
+  * (reference failure_recovery_test.py:227-349 behavior, minus MySQL/Kafka).
+  */
+class CdcPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("cdc-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Write the events table as N replay segment files. */
+  private def writeSegments(dir: String, parts: Int): Unit = {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts_us")
+    ev.withColumn("seg", pmod(col("event_id"), lit(parts)))
+      .repartition(col("seg"))
+      .drop("seg")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("streaming pipeline matches the batch pipeline and survives restart without dupes") {
+    val root = Files.createTempDirectory("cdc-pipeline").toString
+    val replayDir = s"$root/replay"
+    val outDir = s"$root/out"
+    val ckDir = s"$root/checkpoint"
+    val stDir = s"$root/state"
+    writeSegments(replayDir, 3)
+
+    // first run: process everything available in ≥3 micro-batches
+    val q1 = CdcPipeline.start(spark, replayDir, outDir, ckDir, stDir)
+    q1.awaitTermination()
+
+    val expected = CdcOps.pipeline(Tables.events(spark, sfDir))
+      .select("event_id", "row_idx", "topic", "payload_id", "pos_key",
+        "message_type", "payload_value", "ts_iso")
+    val got = spark.read.parquet(outDir)
+      .select("event_id", "row_idx", "topic", "payload_id", "pos_key",
+        "message_type", "payload_value", "ts_iso")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streaming envelope must equal batch envelope")
+
+    // restart with no new input: no duplicates may appear, and the restored
+    // catalog must be byte-identical (T25/T30 snapshot round-trip)
+    val catBefore = CdcPipeline.loadState(stDir).get.catalogJson
+    val q2 = CdcPipeline.start(spark, replayDir, outDir, ckDir, stDir)
+    q2.awaitTermination()
+    assert(spark.read.parquet(outDir).count() == expected.count(),
+      "restart with no new data must not re-publish")
+    assert(CdcPipeline.loadState(stDir).get.catalogJson == catBefore,
+      "idle restart must not change the catalog")
+
+    // new segment arrives (re-keyed ids so they are new events)
+    Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts_us")
+      .limit(200)
+      .withColumn("event_id", col("event_id") + 1000000L)
+      .coalesce(1).write.mode("append").parquet(replayDir)
+
+    val q3 = CdcPipeline.start(spark, replayDir, outDir, ckDir, stDir)
+    q3.awaitTermination()
+
+    val after = spark.read.parquet(outDir)
+    assert(after.count() > expected.count(), "new segment must be published")
+    // old rows still exactly once
+    val oldRows = after.filter(col("event_id") < 1000000L)
+    assert(oldRows.count() == expected.count())
+    // catalog evolved (the new segment carries DDLs) but stays restorable
+    val catAfter = CdcPipeline.loadState(stDir).get.catalogJson
+    val restored = new graft.catalog.SchemaCatalog()
+    restored.restore(catAfter)
+    assert(restored.all.nonEmpty)
+  }
+
+  test("per-topic output preserves binlog order (SURVEY §7.4 risk 3)") {
+    val root = Files.createTempDirectory("cdc-order").toString
+    writeSegments(s"$root/replay", 2)
+    val q = CdcPipeline.start(spark, s"$root/replay", s"$root/out", s"$root/ck", s"$root/st")
+    q.awaitTermination()
+    // within every output file, pos_key must be non-decreasing (files are
+    // written one-partition-per-topic, sorted)
+    val byFile = spark.read.parquet(s"$root/out")
+      .withColumn("file", input_file_name())
+      .select("file", "topic", "pos_key")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("file").orderBy(monotonically_increasing_id())
+    // simpler: per (file, topic), check max(pos_key) ordering via collect
+    val rows = byFile.collect()
+    val grouped = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    grouped.foreach { case ((f, t), rs) =>
+      val keys = rs.map(_.getString(2)).toSeq
+      assert(keys == keys.sorted, s"pos_key order violated in $f topic $t")
+    }
+  }
+}
