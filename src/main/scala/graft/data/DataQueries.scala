@@ -1,0 +1,217 @@
+package graft.data
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-checked queries for the large-scale data-pipeline operators:
+  * text analysis (x*), deduplication (d*), similarity search (s*),
+  * multimodal plumbing (m*).
+  */
+object DataQueries {
+
+  private def docs(fn: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => fn(Tables.documents(spark, sfDir))
+  private def embs(fn: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => fn(Tables.embeddings(spark, sfDir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_lang_id" -> docs(TextOps.langId),
+    "x2_quality_score" -> docs(TextOps.qualityScore),
+    "x3_token_count" -> docs(TextOps.tokenCount),
+    "x4_fingerprint" -> docs(TextOps.fingerprint),
+    "d1_dedup_exact" -> docs(TextOps.dedupExact),
+    "d2_dedup_ngram_jaccard" -> docs(TextOps.dedupNgramJaccard(_)),
+    "d3_dedup_minhash_lsh" -> docs(TextOps.dedupMinhashLsh(_)),
+    "d4_dedup_simhash" -> docs(TextOps.simhash),
+    "d5_dedup_embedding" -> embs(VectorOps.dedupEmbedding(_)),
+    "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
+    "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
+    "s3_ann_lsh" -> ((spark, sfDir) =>
+      VectorOps.annLsh(spark, Tables.embeddings(spark, sfDir))),
+    "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures)
+  )
+
+  // ---- DuckDB oracle --------------------------------------------------
+
+  private def cnt(w: String): String =
+    s"len(list_filter(string_split(text, ' '), x -> x = '$w'))"
+  private def cntSum(ws: Seq[String]): String = ws.map(cnt).mkString(" + ")
+
+  /** Shingle/jaccard/minhash CTE chain over `documents`. */
+  private val docProlog = s"""
+WITH wordsx AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh0 AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM wordsx
+), shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh FROM sh0
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY 1
+), prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jacp AS (
+  SELECT p.doc_a, p.doc_b, p.common, sa.n_sh AS sa, sb.n_sh AS sb,
+         CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) AS jac
+  FROM prs p JOIN sizes sa ON p.doc_a = sa.doc_id JOIN sizes sb ON p.doc_b = sb.doc_id
+), mh AS (
+  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || sh)) AS mh
+  FROM (SELECT doc_id, sh, unnest(generate_series(1, 12)) AS i FROM shingles) q
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, CAST(floor((i - 1) / 3.0) AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS sig
+  FROM mh GROUP BY doc_id, band
+), lsh_cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), sbits AS (
+  SELECT doc_id, j, sum((ascii(substring(md5(w), j + 1, 1)) % 2) * 2 - 1) AS s
+  FROM (SELECT doc_id, w, unnest(generate_series(0, 15)) AS j FROM tok) q
+  GROUP BY doc_id, j
+), simh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sbits GROUP BY doc_id
+)
+"""
+
+  /** Quantized-vector CTE chain over `embeddings` (see VectorOps for the
+    * exactness rationale). */
+  private val vecProlog = s"""
+WITH qe AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT)) AS qv
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(generate_series(1, len(qv)), d -> qv[d] * qv[d])) AS BIGINT) AS nn
+  FROM qe
+), signs AS (
+  SELECT b, d,
+    (ascii(substring(md5(CAST(b AS STRING) || ':' || CAST(d AS STRING)), 1, 1)) % 2) * 2 - 1 AS sgn
+  FROM (SELECT unnest(generate_series(0, 7)) AS b) tb,
+       (SELECT unnest(generate_series(1, 64)) AS d) td
+), vexp AS (
+  SELECT vec_id, unnest(generate_series(1, len(qv))) AS d, qv FROM qn
+), vexp2 AS (
+  SELECT vec_id, d, qv[d] AS qx FROM vexp
+), vbits AS (
+  SELECT v.vec_id, s.b, sum(v.qx * s.sgn) AS s
+  FROM vexp2 v JOIN signs s ON v.d = s.d GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM vbits GROUP BY 1
+)
+"""
+
+  private def pairDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a.qv)), d -> $a.qv[d] * $b.qv[d])) AS BIGINT)"
+
+  private def topK(where: String, k: Int, extraCols: String = ""): String = s"""
+, pairsx AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ${pairDot("a", "b")} AS dot, a.nn AS na, b.nn AS nb
+  FROM qn a JOIN qn b ON $where
+), scored AS (
+  SELECT query_id, neighbor_id, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM pairsx
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, dot, cos$extraCols FROM ranked
+WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  val oracle: Map[String, String] = Map(
+    "x1_lang_id" -> s"""
+      SELECT doc_id, ${TextOps.LangCase} AS lang_pred, en_n, de_n, es_n
+      FROM (SELECT doc_id,
+              CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS en_n,
+              CAST(${cntSum(TextOps.StopwordsDe)} AS BIGINT) AS de_n,
+              CAST(${cntSum(TextOps.StopwordsEs)} AS BIGINT) AS es_n
+            FROM documents) q""",
+    "x2_quality_score" -> s"""
+      SELECT doc_id, n_words, n_stop,
+        CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        ${TextOps.QualityExpr} AS quality_score
+      FROM (SELECT doc_id, n_chars,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop
+            FROM documents) q""",
+    "x3_token_count" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+      FROM documents""",
+    "x4_fingerprint" -> """
+      SELECT doc_id, md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+      FROM documents""",
+    "d1_dedup_exact" -> """
+      SELECT md5(text) AS fp, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY keeper""",
+    "d2_dedup_ngram_jaccard" -> (docProlog + """
+      SELECT doc_a, doc_b, common, sa, sb, jac FROM jacp
+      WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""),
+    "d3_dedup_minhash_lsh" -> (docProlog + """
+      SELECT c.doc_a, c.doc_b, j.jac
+      FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+      WHERE j.jac >= 0.5 ORDER BY c.doc_a, c.doc_b"""),
+    "d4_dedup_simhash" -> (docProlog + """
+      SELECT doc_id, simhash, CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
+      FROM simh ORDER BY doc_id"""),
+    "d5_dedup_embedding" -> (vecProlog + s"""
+, dpairs AS (
+  SELECT a.vec_id, b.vec_id AS nn_id, ${pairDot("a", "b")} AS dot, a.nn AS na, b.nn AS nb
+  FROM qn a JOIN qn b ON a.label = b.label AND b.vec_id <> a.vec_id
+), dscored AS (
+  SELECT vec_id, nn_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM dpairs
+), dranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS r FROM dscored
+)
+SELECT vec_id, nn_id, cos, cos >= 0.95 AS is_dup FROM dranked WHERE r = 1 ORDER BY vec_id"""),
+    "s1_ann_brute" -> (vecProlog +
+      topK("a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id", 5)),
+    "s2_ann_ivf" -> (vecProlog +
+      topK("a.vec_id % 50 = 0 AND a.label = b.label AND b.vec_id <> a.vec_id", 3)),
+    "s3_ann_lsh" -> (vecProlog + s"""
+, qnb AS (SELECT q.*, bk.bucket FROM qn q JOIN buckets bk ON q.vec_id = bk.vec_id)
+, pairsx AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         ${pairDot("a", "b")} AS dot, a.nn AS na, b.nn AS nb
+  FROM qnb a JOIN qnb b
+    ON a.vec_id % 50 = 0 AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id, bucket, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM pairsx
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, dot, cos, bucket FROM ranked
+WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+    "m1_multimodal_features" -> {
+      val fcols = MultimodalOps.FeatureBytes.zip(
+        Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {
+        case (ch, name) =>
+          val lit = if (ch == ' ') "' '" else s"'$ch'"
+          s"CAST(length(text) - length(replace(text, $lit, '')) AS BIGINT) AS $name"
+      }.mkString(",\n        ")
+      s"""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        $fcols
+      FROM documents ORDER BY doc_id"""
+    }
+  )
+}

@@ -1,0 +1,57 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed metadata,
+  * processed in executor-side batches via mapPartitions (the Scala analog
+  * of mapInPandas for decode / feature-extract / resize stages).
+  *
+  * The decode step is STUBBED with a deterministic byte-level feature
+  * extractor (this container has no image/audio codecs); everything
+  * around it — binary column, schema, partition-batch iteration, typed
+  * output — is the real Spark shape a production decoder would drop into.
+  */
+object MultimodalOps {
+
+  /** Bytes whose counts form the fake "feature vector". */
+  val FeatureBytes: Seq[Char] = Seq('a', 'e', 's', 't', ' ', 'r', 'o', 'n')
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long,
+      f_a: Long, f_e: Long, f_s: Long, f_t: Long,
+      f_sp: Long, f_r: Long, f_o: Long, f_n: Long)
+
+  /** documents → binary payload column (stand-in for image/audio bytes). */
+  def asBinary(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** m1 — batch feature extraction over binary payloads. The per-partition
+    * loop is where a real decoder (JNI codec, ONNX session, …) would be
+    * initialized once per partition and fed row batches. */
+  def extractFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val media: Dataset[MediaRow] = asBinary(documents).as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition init of the (stubbed) decoder happens here
+      rows.map { r =>
+        val counts = new Array[Long](FeatureBytes.length)
+        var i = 0
+        while (i < r.payload.length) {
+          val b = r.payload(i).toChar
+          var j = 0
+          while (j < FeatureBytes.length) {
+            if (b == FeatureBytes(j)) counts(j) += 1
+            j += 1
+          }
+          i += 1
+        }
+        MediaFeatures(r.doc_id, r.payload.length.toLong,
+          counts(0), counts(1), counts(2), counts(3),
+          counts(4), counts(5), counts(6), counts(7))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+}

@@ -1,0 +1,180 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All scalar logic is arithmetic/string-exact so the DuckDB oracle can
+  * replicate results bit-for-bit: counts are integers, ratios are single
+  * IEEE divisions of identical integers, and hashes are MD5 (identical hex
+  * in Spark and DuckDB).
+  *
+  * Scale: every operator is a narrow projection or a hash aggregation keyed
+  * by doc — no global sorts, no skew-prone joins; at 100 TB these pipeline
+  * over the scan with whole-stage codegen.
+  */
+object TextOps {
+
+  val StopwordsEn = Seq("the", "a", "of", "to")
+  val StopwordsDe = Seq("der", "die", "und")
+  val StopwordsEs = Seq("el", "la", "que")
+
+  /** Portable token-count expression: occurrences of `w` in the
+    * space-tokenized text. */
+  private def cnt(w: String): String = s"size(filter(split(text, ' '), x -> x = '$w'))"
+  private def cntSum(ws: Seq[String]): String = ws.map(cnt).mkString(" + ")
+
+  /** Argmax with deterministic tie-break (en > de > es), shared with the
+    * oracle via identical CASE text over the count columns. */
+  val LangCase: String =
+    """CASE WHEN en_n = 0 AND de_n = 0 AND es_n = 0 THEN 'unknown'
+       WHEN en_n >= de_n AND en_n >= es_n THEN 'en'
+       WHEN de_n >= es_n THEN 'de' ELSE 'es' END"""
+
+  /** x1 — language ID by stopword-count heuristic. */
+  def langId(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("en_n", expr(cntSum(StopwordsEn)).cast("long"))
+      .withColumn("de_n", expr(cntSum(StopwordsDe)).cast("long"))
+      .withColumn("es_n", expr(cntSum(StopwordsEs)).cast("long"))
+      .withColumn("lang_pred", expr(LangCase))
+      .select("doc_id", "lang_pred", "en_n", "de_n", "es_n")
+
+  /** Quality-score formula over integer inputs; identical text on both
+    * sides so the doubles agree bitwise. */
+  val QualityExpr: String =
+    """(CASE WHEN n_words >= 20 AND n_words <= 80 THEN 1.0 ELSE 0.5 END)
+       * (1.0 - abs(CAST(n_stop AS DOUBLE) / n_words - 0.1))"""
+
+  /** x2 — quality scoring: length band, stopword ratio, average word
+    * length. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+      .withColumn("n_stop", expr(cntSum(StopwordsEn)).cast("long"))
+      .withColumn("avg_word_len",
+        expr("CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words"))
+      .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_words"))
+      .withColumn("quality_score", expr(QualityExpr))
+      .select("doc_id", "n_words", "n_stop", "avg_word_len", "stop_ratio", "quality_score")
+
+  /** x3 — token counting: whitespace tokens and a BPE-ish bound of
+    * ceil(len/4) per word. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("ws_tokens", expr("size(split(text, ' '))").cast("long"))
+      .withColumn("bpe_tokens", expr(
+        """aggregate(transform(split(text, ' '),
+             w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT)),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .select("doc_id", "ws_tokens", "bpe_tokens")
+
+  /** x4 — order-insensitive document fingerprint: MD5 over the sorted token
+    * multiset (the rolling-hash use case: cheap identity for shuffles and
+    * caches). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fp", expr("md5(array_join(array_sort(split(text, ' ')), ' '))"))
+      .select("doc_id", "fp")
+
+  // -------------------------------------------------------------------
+  // Deduplication family
+  // -------------------------------------------------------------------
+
+  /** d1 — exact dedup: hash-groupBy on md5(text). One shuffle keyed by the
+    * hash — the canonical 100 TB-safe shape (no pairwise anything). */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fp", md5(col("text")))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .select("fp", "keeper", "n_dups")
+      .orderBy("keeper")
+
+  /** Distinct word-3gram shingles per doc. */
+  def shingles(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  /** All candidate pairs sharing ≥1 shingle, with exact jaccard.
+    * Scale note: the shingle self-join is quadratic in per-shingle
+    * frequency — fine for verification scale; the production path is
+    * [[dedupMinhashLsh]] where candidates come from banded signatures. */
+  def jaccardPairs(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"), "doc_b")
+      .withColumn("jac", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
+  }
+
+  /** d2 — n-gram jaccard dedup: pairs over threshold. */
+  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    jaccardPairs(documents)
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "common", "sa", "sb", "jac")
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash signatures: h_i(doc) = min over shingles of md5(i ':' sh) for
+    * i in 1..12 — the "permutation" is the keyed MD5, portable across
+    * engines because minimum-of-hex-strings is byte order in both. */
+  def minhash(documents: DataFrame, numHashes: Int = 12): DataFrame =
+    shingles(documents)
+      .withColumn("i", explode(expr(s"sequence(1, $numHashes)")))
+      .groupBy("doc_id", "i")
+      .agg(min(expr("md5(concat(CAST(i AS STRING), ':', sh))")).as("mh"))
+
+  /** LSH band keys: 4 bands x 3 rows; docs sharing any band key are
+    * candidates. At scale this is the linear-cost path: one shuffle by
+    * band key instead of a quadratic shingle join. */
+  def lshBands(mh: DataFrame, rowsPerBand: Int = 3): DataFrame =
+    mh.withColumn("band", expr(s"CAST(floor((i - 1) / $rowsPerBand.0) AS INT)"))
+      .groupBy("doc_id", "band")
+      .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|'))")
+        .as("sig"))
+
+  /** d3 — MinHash+LSH dedup: banded candidates, verified by exact jaccard. */
+  def dedupMinhashLsh(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val bands = lshBands(minhash(documents))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands.join(jaccardPairs(documents), Seq("doc_a", "doc_b"))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d4 — SimHash: 16-bit signature from MD5-hex-digit parity weighted by
+    * token frequency; identical signature = dup bucket. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .withColumn("w", explode(split(col("text"), " ")))
+      .select("doc_id", "w")
+    val bits = tok
+      .withColumn("j", explode(expr("sequence(0, 15)")))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("(ascii(substring(md5(w), j + 1, 1)) % 2) * 2 - 1")).as("s"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+        .as("simhash"))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
+      .select("doc_id", "simhash", "n_same")
+      .orderBy("doc_id")
+  }
+}

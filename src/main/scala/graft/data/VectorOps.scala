@@ -1,0 +1,123 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Exactness discipline: floats are quantized to integers
+  * (floor(x * 2^20)) so dot products and norms are EXACT integer sums —
+  * order-independent, overflow-safe (|q| ≲ 2^21, 64-dim dot ≲ 2^48), and
+  * bit-identical between Spark and the DuckDB oracle. The final cosine is
+  * then one IEEE division/sqrt over identical integers, so ranking ties
+  * break identically everywhere.
+  *
+  * Scale: brute force is O(Q·N) — the verification baseline. The scale
+  * paths are [[annIvf]] (coarse partition pruning: only the query's cell
+  * is scanned — with a cluster assignment column this is partition
+  * pruning at the parquet level) and [[annLsh]] (random-hyperplane
+  * buckets: one shuffle by bucket key, candidates drop by ~2^bits).
+  */
+object VectorOps {
+
+  /** Quantized vectors + exact squared norm. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
+      .withColumn("nn", expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .select("vec_id", "label", "qv", "nn")
+
+  private val dotExpr =
+    "aggregate(zip_with(q_qv, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  private val cosExpr =
+    "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"
+
+  private def queriesOf(qv: DataFrame, everyNth: Int): DataFrame =
+    qv.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("nn").as("q_nn"))
+
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("dot"), col("cos"))
+      .orderBy("query_id", "rnk")
+
+  /** s1 — brute-force top-k cosine (baseline; exact). */
+  def annBrute(embeddings: DataFrame, everyNth: Int = 50, k: Int = 5): DataFrame = {
+    val v = quantized(embeddings)
+    val q = queriesOf(v, everyNth)
+    rankTopK(q.join(v, col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** s2 — IVF-style: the label column is the coarse cell assignment; only
+    * the query's cell is scanned. */
+  def annIvf(embeddings: DataFrame, everyNth: Int = 50, k: Int = 3): DataFrame = {
+    val v = quantized(embeddings)
+    val q = queriesOf(v, everyNth)
+    rankTopK(
+      q.join(v, col("q_label") === col("label") && col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** Random-hyperplane signs, derived from MD5 parity so the oracle can
+    * reproduce them: sign(b, d) ∈ {-1, +1}. */
+  def hyperplaneSigns(spark: SparkSession, bits: Int, dims: Int): DataFrame =
+    spark.range(bits).toDF("b").crossJoin(spark.range(1, dims + 1).toDF("d"))
+      .withColumn("sgn", expr(
+        "(ascii(substring(md5(concat(CAST(b AS STRING), ':', CAST(d AS STRING))), 1, 1)) % 2) * 2 - 1"))
+
+  /** LSH bucket per vector: bit b set iff the signed projection is
+    * positive (exact integer sum). */
+  def lshBuckets(spark: SparkSession, v: DataFrame, bits: Int = 8): DataFrame = {
+    val signs = hyperplaneSigns(spark, bits, 64)
+    val vexp = v.select(col("vec_id"), posexplode(col("qv")))
+      .withColumn("d", col("pos") + 1)
+      .select(col("vec_id"), col("d"), col("col").as("qx"))
+    vexp.join(broadcast(signs), "d")
+      .groupBy("vec_id", "b")
+      .agg(sum(col("qx") * col("sgn")).as("s"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** s3 — LSH-bucketed ANN: candidates share the bucket; top-k within. */
+  def annLsh(spark: SparkSession, embeddings: DataFrame, everyNth: Int = 50, k: Int = 3): DataFrame = {
+    val v = quantized(embeddings)
+    val buckets = lshBuckets(spark, v)
+    val vb = v.join(buckets, "vec_id")
+    val q = vb.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("bucket").as("q_bucket"))
+    rankTopK(
+      q.join(vb, col("q_bucket") === col("bucket") && col("vec_id") =!= col("query_id")), k)
+      .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .select("query_id", "neighbor_id", "rnk", "dot", "cos", "bucket")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** d5 — embedding near-dup: exact nearest neighbor per vector within its
+    * label cell, flagged as dup over a cosine threshold. */
+  def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val v = quantized(embeddings)
+    val a = v.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("qv").as("q_qv"), col("nn").as("q_nn"))
+    val pairs = a.join(v, col("q_label") === col("label") && col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+    pairs
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("nn_id"),
+        col("cos"), (col("cos") >= threshold).as("is_dup"))
+      .orderBy("vec_id")
+  }
+}
