@@ -16,8 +16,10 @@ object SparkEntry {
     cdc.CdcOps.pipeline(Tables.events(spark, "/root/testdata/sf0.001"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries ++ cdc.CdcControlQueries.queries ++ data.DataQueries.queries
+    cdc.CdcQueries.queries ++ cdc.CdcControlQueries.queries ++
+      data.DataQueries.queries ++ data.RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracle ++ cdc.CdcControlQueries.oracle ++ data.DataQueries.oracle
+    cdc.CdcQueries.oracle ++ cdc.CdcControlQueries.oracle ++
+      data.DataQueries.oracle ++ data.RelationalQueries.oracle
 }

@@ -1,0 +1,213 @@
+package graft.data
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish tables — the aggregation / join
+  * / window / top-k surface of the engine, written plan-first:
+  *
+  *  - filters and projections sit directly on the scan (parquet pushdown,
+  *    `PushedFilters` visible in explain),
+  *  - dimension joins are explicit `broadcast()` (region/nation/customer/
+  *    supplier are orders of magnitude smaller than lineitem at any SF),
+  *  - money math is DECIMAL end-to-end: double sums are order-dependent
+  *    and would never hash-match an oracle, while decimal sums are exact
+  *    and engine-independent,
+  *  - windows partition by high-cardinality keys (supplier), never
+  *    unpartitioned.
+  */
+object RelationalQueries {
+
+  private def t(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
+
+  private val priceD = "CAST(l_extendedprice AS DECIMAL(12,2))"
+  private val discD = "CAST(l_discount AS DECIMAL(12,2))"
+  private val qtyD = "CAST(l_quantity AS DECIMAL(12,2))"
+  /** revenue element: exact decimal, scale 4. */
+  private val revD = s"$priceD * (1 - $discD)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> t { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(expr("CAST(l_shipdate AS DATE) <= DATE '1999-09-01'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr(s"CAST(sum($qtyD) AS DECIMAL(38,2))").as("sum_qty"),
+          expr(s"CAST(sum($priceD) AS DECIMAL(38,2))").as("sum_base_price"),
+          expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q03_shipping_priority" -> t { (spark, dir) =>
+      val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(spark, dir)
+        .filter(expr("CAST(o_orderdate AS DATE) < DATE '1998-03-15'"))
+      val li = Tables.lineitem(spark, dir)
+        .filter(expr("CAST(l_shipdate AS DATE) > DATE '1998-03-15'"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          expr("CAST(CAST(o_orderdate AS DATE) AS STRING)").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    "q05_local_supplier_volume" -> t { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .filter(expr("CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'"))
+      val cust = Tables.customer(spark, dir)
+      val supp = Tables.supplier(spark, dir)
+      val nat = Tables.nation(spark, dir)
+      val reg = Tables.region(spark, dir)
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    "q06_revenue_forecast" -> t { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(expr(
+          """CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+             AND l_discount >= 0.05 AND l_discount <= 0.07
+             AND l_quantity < 24"""))
+        .agg(expr(s"CAST(sum($priceD * $discD) AS DECIMAL(38,4))").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q07_supplier_running_revenue" -> t { (spark, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("ship_date", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_date", expr("CAST(CAST(l_shipdate AS DATE) AS STRING)"))
+        .withColumn("rev", expr(revD))
+        .withColumn("running_revenue", expr("CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))"))
+        .select("l_suppkey", "ship_date", "l_orderkey", "l_linenumber", "running_revenue")
+        .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+    },
+    "q08_top_parts_per_brand" -> t { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val part = Tables.part(spark, dir)
+      val byPart = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"))
+      byPart
+        .withColumn("rnk", row_number()
+          .over(Window.partitionBy("p_brand")
+            .orderBy(col("revenue").desc, col("p_partkey"))).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+        .orderBy("p_brand", "rnk")
+    },
+    "q10_returned_items" -> t { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    "q11_user_sessions" -> t { (spark, dir) =>
+      // sessionization over the events stream: a session break is a >30min
+      // gap; windows keyed by user (high-cardinality at scale).
+      val ev = Tables.events(spark, dir)
+      val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev.withColumn("prev_ts", lag("ts_us", 1).over(wU))
+        .withColumn("is_new_session",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("is_new_session").cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum($qtyD) AS DECIMAL(38,2)) AS sum_qty,
+        CAST(sum($priceD) AS DECIMAL(38,2)) AS sum_base_price,
+        CAST(sum($revD) AS DECIMAL(38,4)) AS sum_disc_price,
+        CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1999-09-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q03_shipping_priority" -> s"""
+      SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
+        o_orderpriority, CAST(sum($revD) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+        AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+      GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "q05_local_supplier_volume" -> s"""
+      SELECT n_name, CAST(sum($revD) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q06_revenue_forecast" -> s"""
+      SELECT CAST(sum($priceD * $discD) AS DECIMAL(38,4)) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q07_supplier_running_revenue" -> s"""
+      SELECT l_suppkey, ship_date, l_orderkey, l_linenumber,
+        CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_revenue
+      FROM (SELECT l_suppkey, CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date,
+              l_orderkey, l_linenumber, $revD AS rev FROM lineitem) q
+      ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""",
+    "q08_top_parts_per_brand" -> s"""
+      WITH byPart AS (
+        SELECT p_brand, p_partkey, CAST(sum($revD) AS DECIMAL(38,4)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rnk
+        FROM byPart
+      )
+      SELECT p_brand, p_partkey, revenue, rnk FROM ranked WHERE rnk <= 3
+      ORDER BY p_brand, rnk""",
+    "q10_returned_items" -> s"""
+      SELECT c_custkey, c_name, CAST(sum($revD) AS DECIMAL(38,4)) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q11_user_sessions" -> """
+      WITH gaps AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        FROM events
+      )
+      SELECT user_id,
+        CAST(sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM gaps GROUP BY user_id ORDER BY user_id"""
+  )
+}

@@ -129,52 +129,78 @@ object TextOps {
 
   /** MinHash signatures: h_i(doc) = min over shingles of md5(i ':' sh) for
     * i in 1..12 — the "permutation" is the keyed MD5, portable across
-    * engines because minimum-of-hex-strings is byte order in both. */
-  def minhash(documents: DataFrame, numHashes: Int = 12): DataFrame =
-    shingles(documents)
-      .withColumn("i", explode(expr(s"sequence(1, $numHashes)")))
-      .groupBy("doc_id", "i")
-      .agg(min(expr("md5(concat(CAST(i AS STRING), ':', sh))")).as("mh"))
+    * engines because minimum-of-hex-strings is byte order in both.
+    *
+    * All 12 minima are aggregated in ONE groupBy pass (12 min columns), so
+    * the shuffle carries #docs × 12 hex strings after map-side partial
+    * aggregation — not #shingles × 12 exploded rows. */
+  def minhashOf(shingleDf: DataFrame, numHashes: Int = 12): DataFrame = {
+    val mins = (1 to numHashes).map(i =>
+      min(expr(s"md5(concat('$i:', sh))")).as(s"h$i"))
+    shingleDf.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH band keys: 4 bands x 3 rows; docs sharing any band key are
-    * candidates. At scale this is the linear-cost path: one shuffle by
-    * band key instead of a quadratic shingle join. */
-  def lshBands(mh: DataFrame, rowsPerBand: Int = 3): DataFrame =
-    mh.withColumn("band", expr(s"CAST(floor((i - 1) / $rowsPerBand.0) AS INT)"))
-      .groupBy("doc_id", "band")
-      .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|'))")
-        .as("sig"))
+  /** LSH band keys: 4 bands x 3 rows, hashed straight from the wide
+    * signature columns (no collect_list, no second shuffle); docs sharing
+    * any band key are candidates. */
+  def lshBands(mh: DataFrame, rowsPerBand: Int = 3, numHashes: Int = 12): DataFrame = {
+    val sigs = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (1 to rowsPerBand).map(r => s"h${b * rowsPerBand + r}").mkString(", ")
+      expr(s"md5(concat_ws('|', $cols))")
+    }
+    mh.select(col("doc_id"), posexplode(array(sigs: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sig")
+  }
 
-  /** d3 — MinHash+LSH dedup: banded candidates, verified by exact jaccard. */
+  /** d3 — MinHash+LSH dedup: banded candidates, then exact jaccard computed
+    * for the CANDIDATE PAIRS ONLY — this is the whole point of LSH at
+    * scale: the quadratic verification work shrinks to the (tiny) band-
+    * collision set, and every stage is a hash shuffle on a key (shingle,
+    * band sig, pair), never an all-pairs product. */
   def dedupMinhashLsh(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val bands = lshBands(minhash(documents))
+    val sh = shingles(documents).cache()
+    val bands = lshBands(minhashOf(sh))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands.join(jaccardPairs(documents), Seq("doc_a", "doc_b"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // verify candidates only: intersect the two shingle sets per pair
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"))
+    val common = cands
+      .join(shA, "doc_a")
+      .join(shB, col("doc_b") === col("doc_b2") && col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common.join(sizes.toDF("doc_a", "sa"), "doc_a")
+      .join(sizes.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("jac", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
   }
 
   /** d4 — SimHash: 16-bit signature from MD5-hex-digit parity weighted by
-    * token frequency; identical signature = dup bucket. */
-  def simhash(documents: DataFrame): DataFrame = {
-    val tok = documents
-      .withColumn("w", explode(split(col("text"), " ")))
-      .select("doc_id", "w")
-    val bits = tok
-      .withColumn("j", explode(expr("sequence(0, 15)")))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("(ascii(substring(md5(w), j + 1, 1)) % 2) * 2 - 1")).as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
-        .as("simhash"))
+    * token frequency; identical signature = dup bucket.
+    *
+    * Computed entirely per-row (nested higher-order functions), so the
+    * signature stage needs NO shuffle at all — at 100 TB it pipelines over
+    * the scan; the only shuffle is the final bucket count. The integer
+    * sums are order-independent, so this matches the oracle's explode/
+    * group-by formulation bit-for-bit. */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+             acc + CASE WHEN aggregate(ws, 0,
+               (s, w) -> s + (ascii(substring(md5(w), j + 1, 1)) % 2) * 2 - 1) > 0
+             THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""))
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
       .select("doc_id", "simhash", "n_same")
       .orderBy("doc_id")
-  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan discipline: these assertions encode the 100 TB scale
+  * contract — filters reach the parquet scan, dimension joins broadcast
+  * (no shuffle of the fact table for them), narrow operators stay narrow.
+  * If a refactor regresses a plan shape, this suite fails even though
+  * results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): (String, SparkPlan) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // force AQE to finalize
+    val qe = df.queryExecution
+    (qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      qe.executedPlan)
+  }
+
+  private def countShuffles(p: SparkPlan): Int = {
+    def walk(n: SparkPlan): Int = {
+      val self = n match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val kids = n.children.map(walk).sum
+      val aqe = n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => 0
+      }
+      self + kids + aqe
+    }
+    walk(p)
+  }
+
+  test("CDC chain prunes the scan to needed columns (T2/T3/T8)") {
+    // the whitelist/blacklist predicates are CASE expressions over derived
+    // columns — not parquet-pushable by construction — but the scan must
+    // read only the 4 columns the filters+output need, not ts/value.
+    val (s, _) = planOf("t08_blacklist")
+    val readSchemas = s.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, s)
+    assert(readSchemas.forall(l => !l.contains("value") && !l.contains("ts")),
+      s"t08 scan reads unused columns:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("registry lookup join broadcasts (T16) — no fact-side shuffle") {
+    val (s, _) = planOf("t16_registry_join")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      "registry join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q03 dimension joins broadcast; scans prune columns") {
+    val (s, _) = planOf("q03_shipping_priority")
+    assert(s.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!s.contains("SortMergeJoin"), "dimension join degraded to sort-merge")
+    // lineitem scan must not read all 11 columns for a 5-column query
+    val readSchemas = s.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("l_orderkey") && !l.contains("l_tax")),
+      s"lineitem scan reads too many columns:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("q06 is a scan→filter→partial-agg pipeline with filter pushdown") {
+    val (s, p) = planOf("q06_revenue_forecast")
+    assert(s.contains("PushedFilters:"), "q06 filters must push down")
+    assert(s.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_quantity")),
+      "l_quantity comparison must reach the scan")
+    assert(countShuffles(p) <= 1,
+      s"q06 must shuffle only the single-group partial aggregate, got ${countShuffles(p)}")
+  }
+
+  test("exact dedup is one hash-shuffle (map-side partial agg)") {
+    val (_, p) = planOf("d1_dedup_exact")
+    // one shuffle for the groupBy(fp); the orderBy adds a range exchange
+    assert(countShuffles(p) <= 2, s"d1 shuffles: ${countShuffles(p)}")
+  }
+
+  test("simhash signature stage is narrow (no shuffle before the window)") {
+    val (s, _) = planOf("d4_dedup_simhash")
+    // the signature must be computed by projection over the scan, not via
+    // an explode+groupBy pair
+    assert(!s.contains("Generate"), "simhash must not explode tokens:\n" + s.take(2000))
+  }
+
+  test("whole-stage codegen covers the envelope projection chain") {
+    // formatted mode omits codegen markers; the executed plan tree shows
+    // them as *(n) stage ids
+    val (_, p) = planOf("t12_envelope")
+    assert(p.toString.contains("*("), "envelope chain fell out of codegen:\n" + p.toString.take(1500))
+  }
+}
