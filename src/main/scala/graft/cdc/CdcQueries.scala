@@ -79,6 +79,8 @@ object CdcQueries {
     "t12_envelope" -> c(_.env
       .select(envelopeCols.map(col): _*)
       .orderBy("event_id", "row_idx")),
+    "t12b_avro_roundtrip" -> c(ch => AvroEnvelope.roundTrip(ch.env)
+      .orderBy("event_id", "row_idx")),
     "t13_changelog" -> c(_.env
       .select("database_name", "table_name", "payload_id")
       .orderBy("database_name", "table_name", "payload_id")),
@@ -127,6 +129,10 @@ object CdcQueries {
       "SELECT event_id, row_idx, ts_iso, time_of_day_us, tags_sorted FROM transformed ORDER BY event_id, row_idx"),
     "t12_envelope" -> q(
       s"SELECT ${envelopeCols.mkString(", ")} FROM envelope ORDER BY event_id, row_idx"),
+    "t12b_avro_roundtrip" -> q(
+      """SELECT event_id, row_idx, payload_id, payload_value, payload_k,
+         message_type, tags_sorted, ts_iso, prev_id, prev_value, prev_k
+         FROM envelope ORDER BY event_id, row_idx"""),
     "t13_changelog" -> q(
       "SELECT database_name, table_name, payload_id FROM envelope ORDER BY database_name, table_name, payload_id"),
     "t14_transaction_id" -> q(
