@@ -53,9 +53,23 @@ object CdcPipeline {
     StructField("payload_value", DoubleType),
     StructField("payload_k", IntegerType)))
 
-  final case class State(lastBatchId: Long, catalogJson: String)
+  final case class State(lastBatchId: Long, catalogJson: String, cleanShutdown: Boolean)
+
+  /** Per-micro-batch stats surfaced by the `observe` node (T37 counters +
+    * T5 lag beacon; reference parse_replication_stream_internal.py:47-88
+    * flushes per-table counters, simple_binlog_stream_reader_wrapper.py:
+    * 81-124 reports the heartbeat-lag gauge). */
+  final case class BatchStats(
+      batchId: Long, events: Long, heartbeats: Long,
+      maxTsUs: Option[Long], perTable: Map[String, Long]) {
+    /** Replication delay in seconds at `nowUs` (alerting threshold in the
+      * reference is 600 s; config.yaml:32). */
+    def lagSeconds(nowUs: Long): Option[Double] =
+      maxTsUs.map(t => (nowUs - t) / 1e6)
+  }
 
   private def stateFile(stateDir: String) = Paths.get(stateDir, "state.json")
+  private def lockFile(stateDir: String) = Paths.get(stateDir, "lock")
 
   def loadState(stateDir: String): Option[State] = {
     val f = stateFile(stateDir)
@@ -66,17 +80,53 @@ object CdcPipeline {
       implicit val fmt: Formats = DefaultFormats
       val root = JsonMethods.parse(Files.readString(f))
       Some(State((root \ "lastBatchId").extract[Long],
-        JsonMethods.compact(root \ "catalog")))
+        JsonMethods.compact(root \ "catalog"),
+        (root \ "cleanShutdown").extractOrElse[Boolean](true)))
     }
   }
 
-  private def saveState(stateDir: String, batchId: Long, cat: SchemaCatalog): Unit = {
+  private def saveState(stateDir: String, batchId: Long, cat: SchemaCatalog,
+      clean: Boolean): Unit = {
     Files.createDirectories(Paths.get(stateDir))
     val tmp = Paths.get(stateDir, s".state.json.tmp")
     Files.writeString(tmp,
-      s"""{"lastBatchId":$batchId,"catalog":${cat.snapshotJson}}""")
+      s"""{"lastBatchId":$batchId,"cleanShutdown":$clean,"catalog":${cat.snapshotJson}}""")
     Files.move(tmp, stateFile(stateDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** T34 — rewrite the state file with the clean-shutdown flag set
+    * (reference saves GlobalEventState with is_clean_shutdown=True on
+    * graceful stop; base_parse_replication_stream.py:233-267). */
+  private def markCleanShutdown(stateDir: String): Unit = {
+    val f = stateFile(stateDir)
+    if (Files.exists(f)) {
+      val txt = Files.readString(f)
+      val tmp = Paths.get(stateDir, ".state.json.tmp")
+      Files.writeString(tmp, txt.replaceFirst("\"cleanShutdown\":false", "\"cleanShutdown\":true"))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** T35 — single-instance lock with ZK-ephemeral-style stale takeover: the
+    * lock names the holder's streaming runId; it is live only while that
+    * query is active on this SparkSession (the reference holds a ZooKeeper
+    * lock for the process lifetime; base_parse_replication_stream.py:124-132). */
+  private def acquireLock(spark: SparkSession, stateDir: String, runId: String): Unit = {
+    Files.createDirectories(Paths.get(stateDir))
+    val f = lockFile(stateDir)
+    if (Files.exists(f)) {
+      val holder = Files.readString(f).trim
+      val live = spark.streams.active.exists(_.runId.toString == holder)
+      if (live) throw new IllegalStateException(
+        s"another pipeline instance (runId=$holder) holds the lock on $stateDir")
+    }
+    Files.writeString(f, runId)
+  }
+
+  private def releaseLock(stateDir: String, runId: String): Unit = {
+    val f = lockFile(stateDir)
+    if (Files.exists(f) && Files.readString(f).trim == runId) Files.delete(f)
   }
 
   /** Start the pipeline. `replayDir` holds parquet files in [[replaySchema]];
@@ -87,20 +137,62 @@ object CdcPipeline {
       outDir: String,
       checkpointDir: String,
       stateDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      statsSink: BatchStats => Unit = _ => ()): StreamingQuery = {
 
     val catalog = new SchemaCatalog(piiTables = CdcSqlFragments.PII_TABLES.toSet)
     loadState(stateDir).foreach(s => catalog.restore(s.catalogJson)) // T30 recovery
     var lastCommitted = loadState(stateDir).map(_.lastBatchId).getOrElse(-1L)
+
+    // provisional lock token; swapped for the streaming runId once known
+    val token = java.util.UUID.randomUUID().toString
+    acquireLock(spark, stateDir, token)
 
     val stream = spark.readStream
       .schema(replaySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(replayDir)
 
-    val cdcStream = CdcOps.admit(CdcReplay.fromEvents(stream))
+    // T37/T5 — metric node evaluated during the write job itself (no extra
+    // pass over the data): event/heartbeat counters, per-table message
+    // counts (fixed whitelist → one sum(when) each), and the heartbeat
+    // high-water timestamp the lag gauge derives from.
+    val perTableCols = CdcSqlFragments.WHITELIST.map(t =>
+      sum(when(col("kind") === "data" && col("base_table") === t, 1L)
+        .otherwise(0L)).as(s"n_$t"))
+    val observeCols: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).as("events"),
+      sum(when(col("kind") === "heartbeat", 1L).otherwise(0L)).as("heartbeats"),
+      max(when(col("kind") === "heartbeat", col("ts_us"))).as("hb_max_ts_us")
+    ) ++ perTableCols
 
-    cdcStream.writeStream
+    val cdcStream = CdcOps.admit(CdcReplay.fromEvents(stream))
+      .observe("cdc", observeCols.head, observeCols.tail: _*)
+
+    @volatile var runId: String = token
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.runId.toString == runId) {
+          val m = e.progress.observedMetrics.get("cdc")
+          if (m != null) statsSink(BatchStats(
+            e.progress.batchId,
+            m.getAs[Long]("events"),
+            m.getAs[Long]("heartbeats"),
+            Option(m.getAs[java.lang.Long]("hb_max_ts_us")).map(_.longValue),
+            CdcSqlFragments.WHITELIST.map(t => t -> m.getAs[Long](s"n_$t")).toMap))
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.runId.toString == runId) {
+          if (e.exception.isEmpty) markCleanShutdown(stateDir) // T34
+          releaseLock(stateDir, runId)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+
+    val query = cdcStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -109,12 +201,15 @@ object CdcPipeline {
           // committed; skip (offset-dedupe parity).
         } else {
           processBatch(spark, batch, catalog, outDir)
-          saveState(stateDir, batchId, catalog)
+          saveState(stateDir, batchId, catalog, clean = false)
           lastCommitted = batchId
         }
         ()
       }
       .start()
+    runId = query.runId.toString
+    Files.writeString(lockFile(stateDir), runId)
+    query
   }
 
   private def processBatch(spark: SparkSession, batch: DataFrame, catalog: SchemaCatalog,

@@ -89,6 +89,54 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(restored.all.nonEmpty)
   }
 
+  private def eventually[A](timeoutMs: Long = 10000)(f: => A): A = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last: Throwable = null
+    while (System.currentTimeMillis() < deadline) {
+      try return f
+      catch { case t: Throwable => last = t; Thread.sleep(100) }
+    }
+    throw last
+  }
+
+  test("observe metrics, clean-shutdown flag, and instance lock (T34/T35/T37)") {
+    val root = Files.createTempDirectory("cdc-obs").toString
+    writeSegments(s"$root/replay", 2)
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[CdcPipeline.BatchStats]()
+    val q = CdcPipeline.start(spark, s"$root/replay", s"$root/out", s"$root/ck",
+      s"$root/st", statsSink = stats.add)
+    q.awaitTermination()
+
+    // T37 — per-table counters from the observe node must equal the true
+    // per-table input counts (reference flushes per-table message counters;
+    // parse_replication_stream_internal.py:47-88)
+    eventually() { assert(!stats.isEmpty) }
+    import scala.jdk.CollectionConverters._
+    val all = stats.asScala.toSeq
+    val expected = CdcOps.dataOnly(CdcOps.admit(
+      graft.cdc.CdcReplay.fromEvents(Tables.events(spark, sfDir))))
+      .groupBy("base_table").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counted = all.flatMap(_.perTable.toSeq).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sum }
+    expected.foreach { case (t, n) =>
+      if (counted.contains(t)) assert(counted(t) == n, s"counter mismatch for $t")
+    }
+    // T5 — heartbeat high-water mark yields a finite lag gauge
+    val hbStats = all.filter(_.heartbeats > 0)
+    assert(hbStats.nonEmpty)
+    assert(hbStats.forall(_.lagSeconds(System.currentTimeMillis() * 1000).exists(_ > 0)))
+
+    // T34 — listener marked the state clean after graceful termination
+    eventually() {
+      assert(CdcPipeline.loadState(s"$root/st").exists(_.cleanShutdown))
+    }
+    // T35 — lock released after termination; a fresh start re-acquires
+    eventually() {
+      assert(!Files.exists(java.nio.file.Paths.get(s"$root/st", "lock")))
+    }
+  }
+
   test("per-topic output preserves binlog order (SURVEY §7.4 risk 3)") {
     val root = Files.createTempDirectory("cdc-order").toString
     writeSegments(s"$root/replay", 2)
