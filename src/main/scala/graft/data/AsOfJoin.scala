@@ -1,0 +1,91 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: for every left row, the right row with the
+  * greatest timestamp ≤ the left timestamp ("last value before").
+  *
+  * The naive formulations both die at scale: a range theta-join explodes
+  * into BroadcastNestedLoopJoin (quadratic), and a global
+  * union-then-window moves everything to ONE partition. This uses time
+  * bucketing to stay linear with bounded shuffles:
+  *
+  *   1. bucket both sides by `floor(ts / bucketUs)`;
+  *   2. per-bucket right maximum + a running "max of all earlier buckets"
+  *      — computed over the tiny per-bucket frame (#buckets rows, not
+  *      #rows) and broadcast;
+  *   3. equi-join left↔right on bucket (hash join, linear) to resolve
+  *      within-bucket candidates, then `greatest(inBucket, prevBuckets)`.
+  *
+  * Shuffles: one hash join keyed by bucket + one aggregation keyed by the
+  * left key. Both scale horizontally; nothing is quadratic and no global
+  * single-partition pass touches the big side. The CDC engine uses the
+  * same shape to position data events against heartbeat beacons (SURVEY
+  * §2 T33; reference components/heartbeat_searcher.py:35-159 is the
+  * sequential-scan original).
+  */
+object AsOfJoin {
+
+  /** @param left      big side; all its columns are preserved
+    * @param leftKey   unique key column of `left` (dedupes the bucket join)
+    * @param right     small-to-medium side: (rightTs, rightVal) pairs
+    * @param bucketUs  bucket width in the timestamp unit; pick so a typical
+    *                  right-side gap spans O(1) buckets
+    * @return left columns + `asof_ts`, `asof_val` (null when no right row
+    *         precedes the left timestamp). Ties on rightTs resolve to the
+    *         greatest rightVal.
+    */
+  def lastBefore(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightTs: String,
+      rightVal: String,
+      bucketUs: Long): DataFrame = {
+
+    val r = right
+      .select(col(rightTs).as("__rts"), col(rightVal).as("__rval"))
+      .groupBy("__rts").agg(max("__rval").as("__rval"))
+      .withColumn("__bucket", expr(s"__rts DIV $bucketUs"))
+
+    val l = left.withColumn("__bucket", expr(s"$leftTs DIV $bucketUs"))
+
+    // tiny frames: one row per occupied bucket; the unpartitioned window
+    // runs over #buckets rows, never over data rows. Left buckets are
+    // unioned in (a right-side gap can span many empty buckets, and those
+    // left rows must still see the carry-forward max of all EARLIER right
+    // buckets — same-bucket right rows are excluded by ordering left rows
+    // first on ties; the ≤-filtered in-bucket path handles them).
+    val perBucket = r.groupBy("__bucket")
+      .agg(max(struct(col("__rts"), col("__rval"))).as("__bmax"))
+      .withColumn("__isr", lit(1))
+    val leftBuckets = l.select("__bucket").distinct()
+      .withColumn("__bmax", lit(null).cast(perBucket.schema("__bmax").dataType))
+      .withColumn("__isr", lit(0))
+    val wPrev = Window.orderBy("__bucket", "__isr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevCum = perBucket.unionByName(leftBuckets)
+      .withColumn("__prev", max(col("__bmax")).over(wPrev))
+      .filter(col("__isr") === 0)
+      .select(col("__bucket"), col("__prev"))
+
+    // within-bucket resolution: linear equi-join on bucket, then one
+    // aggregation per left key (both map-side-combinable).
+    val inBucket = l
+      .join(r, Seq("__bucket"), "left")
+      .withColumn("__cand",
+        when(col("__rts") <= col(leftTs), struct(col("__rts"), col("__rval"))))
+      .groupBy(leftKey)
+      .agg(max(col("__cand")).as("__in"))
+
+    l.join(inBucket, Seq(leftKey))
+      .join(broadcast(prevCum), Seq("__bucket"), "left")
+      .withColumn("__best", greatest(col("__in"), col("__prev")))
+      .withColumn("asof_ts", col("__best.__rts"))
+      .withColumn("asof_val", col("__best.__rval"))
+      .drop("__bucket", "__in", "__prev", "__best")
+  }
+}

@@ -28,7 +28,8 @@ object DataQueries {
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
       VectorOps.annLsh(spark, Tables.embeddings(spark, sfDir))),
-    "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures)
+    "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
+    "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_))
   )
 
   // ---- DuckDB oracle --------------------------------------------------
@@ -212,6 +213,17 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         $fcols
       FROM documents ORDER BY doc_id"""
-    }
+    },
+    "m2_frame_sample" -> """
+      WITH f AS (
+        SELECT doc_id, i AS frame_idx, substring(text, i * 64 + 1, 64) AS frame
+        FROM documents,
+             unnest(generate_series(0, CAST(floor((length(text) - 1) / 64) AS INT))) AS t(i)
+        WHERE i % 2 = 0
+      )
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        CAST(length(frame) AS BIGINT) AS n_bytes,
+        CAST(length(frame) - length(replace(frame, 'e', '')) AS BIGINT) AS f_e
+      FROM f ORDER BY doc_id, frame_idx"""
   )
 }

@@ -27,6 +27,32 @@ object MultimodalOps {
   def asBinary(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, f_e: Long)
+
+  /** m2 — frame sampling: chunk the binary payload into fixed-size frames
+    * and keep every `stride`-th one (the video-frame-sampling shape: a real
+    * decoder would demux to frames here; the stub chunks raw bytes). Narrow
+    * per-partition transform, no shuffle; each frame carries a cheap
+    * feature (count of byte 'e') the oracle can recompute. */
+  def sampleFrames(documents: DataFrame, frameBytes: Int = 64, stride: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val media: Dataset[MediaRow] = asBinary(documents).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.filter(_ % stride == 0).map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          var fe = 0L
+          var j = from
+          while (j < until) { if (r.payload(j) == 'e'.toByte) fe += 1; j += 1 }
+          Frame(r.doc_id, i, (until - from).toLong, fe)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** m1 — batch feature extraction over binary payloads. The per-partition
     * loop is where a real decoder (JNI codec, ONNX session, …) would be
     * initialized once per partition and fed row batches. */

@@ -133,6 +133,58 @@ object RelationalQueries {
         .agg(sum("is_new_session").cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+    "q12_rollup_revenue" -> t { (spark, dir) =>
+      // hierarchical totals in one pass: ROLLUP is a single shuffle with
+      // map-side partial aggregation, not three separate groupBys.
+      Tables.lineitem(spark, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("revenue"), col("n_items"))
+        .orderBy("rf", "ls")
+    },
+    "q13_semi_anti_join" -> t { (spark, dir) =>
+      // existence tests as leftsemi/leftanti — no row multiplication, the
+      // orders side reduces to a broadcast hash-set probe.
+      val cust = Tables.customer(spark, dir)
+      val ordKeys = broadcast(Tables.orders(spark, dir).select("o_custkey"))
+      val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        .orderBy("c_mktsegment")
+    },
+    "q14_set_ops" -> t { (spark, dir) =>
+      def buyers(y: Int) = Tables.orders(spark, dir)
+        .filter(expr(s"CAST(o_orderdate AS DATE) >= DATE '$y-01-01' AND CAST(o_orderdate AS DATE) < DATE '${y + 1}-01-01'"))
+        .select("o_custkey").distinct()
+      val c96 = buyers(1996)
+      val c97 = buyers(1997)
+      c96.union(c97).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(c96.intersect(c97).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(c96.except(c97).agg(count(lit(1)).as("n_only_1996")))
+        .crossJoin(c97.except(c96).agg(count(lit(1)).as("n_only_1997")))
+    },
+    "q15_asof_heartbeat" -> t { (spark, dir) =>
+      // position every event against the last heartbeat at or before it —
+      // the distributed form of the reference's heartbeat search (T33).
+      val ev = Tables.events(spark, dir)
+      val hb = ev.filter(col("event_type") === "view")
+        .select(col("ts_us").as("hb_ts_us"), col("event_id").as("hb_serial"))
+      val dat = ev.filter(col("event_type") =!= "view").select("event_id", "ts_us")
+      AsOfJoin.lastBefore(dat, "event_id", "ts_us", hb, "hb_ts_us", "hb_serial",
+        bucketUs = 3600L * 1000000L)
+        .select(col("event_id"), col("ts_us"),
+          col("asof_ts").as("hb_ts_us"), col("asof_val").as("hb_serial"))
+        .orderBy("event_id")
     }
   )
 
@@ -208,6 +260,47 @@ object RelationalQueries {
       SELECT user_id,
         CAST(sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         CAST(count(*) AS BIGINT) AS n_events
-      FROM gaps GROUP BY user_id ORDER BY user_id"""
+      FROM gaps GROUP BY user_id ORDER BY user_id""",
+    "q12_rollup_revenue" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        CAST(sum($revD) AS DECIMAL(38,4)) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls""",
+    "q13_semi_anti_join" -> """
+      WITH flags AS (
+        SELECT c_mktsegment, c_custkey,
+          c_custkey IN (SELECT o_custkey FROM orders) AS has_o
+        FROM customer
+      )
+      SELECT c_mktsegment,
+        CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS n_without_orders
+      FROM flags GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q14_set_ops" -> """
+      WITH c96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      ), c97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      )
+      SELECT
+        CAST((SELECT count(*) FROM (SELECT * FROM c96 UNION SELECT * FROM c97) u) AS BIGINT) AS n_union,
+        CAST((SELECT count(*) FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97) i) AS BIGINT) AS n_intersect,
+        CAST((SELECT count(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97) e) AS BIGINT) AS n_only_1996,
+        CAST((SELECT count(*) FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c96) e) AS BIGINT) AS n_only_1997""",
+    "q15_asof_heartbeat" -> """
+      WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+      ), hb AS (
+        SELECT ts_us AS hb_ts_us, max(event_id) AS hb_serial
+        FROM ev WHERE event_type = 'view' GROUP BY ts_us
+      ), dat AS (
+        SELECT event_id, ts_us FROM ev WHERE event_type <> 'view'
+      )
+      SELECT d.event_id, d.ts_us, h.hb_ts_us, h.hb_serial
+      FROM dat d ASOF LEFT JOIN hb h ON d.ts_us >= h.hb_ts_us
+      ORDER BY d.event_id"""
   )
 }
