@@ -34,31 +34,70 @@ object CdcControlQueries {
 
   // ---- windows over the admitted stream (T17/T22-T24) ----------------
 
-  private val wAll =
-    Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-  private val wTable = Window.partitionBy("database_name", "base_table")
-    .orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Running DDL counters without windowing the big stream: a global (or
+    * per-table) running sum over ALL events would single-partition (or
+    * skew-partition: #tables partitions) the data. DDLs are control-plane
+    * tiny, so instead number THEM (tiny frame) and as-of join every event
+    * to the last DDL at or before it — [[graft.data.AsOfJoin]]'s bucketed
+    * linear shape, keyed on event_id. */
+  private val ID_BUCKET = 4096L
 
-  private def epochs(ch: CdcChain): DataFrame =
-    ch.admitted.withColumn("cache_epoch",
-      sum(when(expr(IS_RENAME_DDL), 1).otherwise(0)).over(wAll).cast("long"))
+  private def epochs(ch: CdcChain): DataFrame = {
+    val renames = ch.admitted.filter(expr(IS_RENAME_DDL))
+      .select(col("event_id").as("ddl_id"))
+      .withColumn("idx", row_number().over(Window.orderBy("ddl_id")).cast("long"))
+    graft.data.AsOfJoin.lastBefore(
+      ch.admitted, "event_id", "event_id", renames, "ddl_id", "idx", ID_BUCKET)
+      .withColumn("cache_epoch", coalesce(col("asof_val"), lit(0L)))
+      .drop("asof_ts", "asof_val")
+  }
 
-  private def versions(ch: CdcChain): DataFrame =
-    ch.admitted.withColumn("schema_version",
-      (lit(1) + sum(when(expr(IS_ALTER_DDL), 1).otherwise(0)).over(wTable)).cast("long"))
+  private def versions(ch: CdcChain): DataFrame = {
+    val alters = ch.admitted.filter(expr(IS_ALTER_DDL))
+      .select(col("database_name"), col("base_table"), col("event_id").as("ddl_id"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("database_name", "base_table").orderBy("ddl_id")).cast("long"))
+    graft.data.AsOfJoin.lastBefore(
+      ch.admitted, "event_id", "event_id", alters, "ddl_id", "idx", ID_BUCKET,
+      keys = Seq("database_name", "base_table"))
+      .withColumn("schema_version", lit(1L) + coalesce(col("asof_val"), lit(0L)))
+      .drop("asof_ts", "asof_val")
+  }
 
   // ---- position numbering / recovery (T27-T33) -----------------------
 
-  private val wPos = Window.orderBy("pos_key")
   private val wFull =
     Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
   private val wTopic = Window.partitionBy("topic").orderBy("pos_key")
 
-  private def numbered(ch: CdcChain): DataFrame =
-    ch.env
-      .withColumn("rn", row_number().over(wPos).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(wFull).cast("long"))
+  /** Global sequence numbers without a global single-partition sort.
+    *
+    * `row_number() OVER (ORDER BY pos_key)` moves EVERYTHING to one
+    * partition (Spark even warns "No Partition Defined for Window
+    * operation"), which is fatal at 100 TB. Two-phase instead:
+    * range-repartition by pos_key (ranges are assigned to ascending
+    * partition ids), number rows within each partition in parallel, then
+    * add per-partition offsets computed on a #partitions-row frame and
+    * broadcast back. `rn` is identical to the global row_number because
+    * pos_key is unique and ranges are ordered.
+    */
+  private def numbered(ch: CdcChain): DataFrame = {
+    val local = ch.env
+      .repartitionByRange(col("pos_key"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy("__pid").orderBy("pos_key")).cast("long"))
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(
+        sum("__pn").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("cnt", sum("__pn").over(wFull).cast("long"))
+      .select("__pid", "__off", "cnt")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("rn", col("__lrn") + col("__off"))
       .withColumn("seq", row_number().over(wTopic).cast("long"))
+      .drop("__pid", "__lrn", "__off")
+  }
 
   private def cutoff(n: DataFrame): DataFrame =
     n.filter(col("rn") === floor(col("cnt") * 0.6).cast("long"))

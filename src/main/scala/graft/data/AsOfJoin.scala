@@ -33,6 +33,9 @@ object AsOfJoin {
     * @param right     small-to-medium side: (rightTs, rightVal) pairs
     * @param bucketUs  bucket width in the timestamp unit; pick so a typical
     *                  right-side gap spans O(1) buckets
+    * @param keys      optional equi-keys present on both sides: the as-of
+    *                  match is resolved independently per key group (e.g.
+    *                  per table)
     * @return left columns + `asof_ts`, `asof_val` (null when no right row
     *         precedes the left timestamp). Ties on rightTs resolve to the
     *         greatest rightVal.
@@ -44,45 +47,50 @@ object AsOfJoin {
       right: DataFrame,
       rightTs: String,
       rightVal: String,
-      bucketUs: Long): DataFrame = {
+      bucketUs: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+
+    val keyCols = keys.map(col)
 
     val r = right
-      .select(col(rightTs).as("__rts"), col(rightVal).as("__rval"))
-      .groupBy("__rts").agg(max("__rval").as("__rval"))
+      .select(keyCols ++ Seq(col(rightTs).as("__rts"), col(rightVal).as("__rval")): _*)
+      .groupBy(keyCols :+ col("__rts"): _*).agg(max("__rval").as("__rval"))
       .withColumn("__bucket", expr(s"__rts DIV $bucketUs"))
 
     val l = left.withColumn("__bucket", expr(s"$leftTs DIV $bucketUs"))
+    val grpCols = keys :+ "__bucket"
 
-    // tiny frames: one row per occupied bucket; the unpartitioned window
-    // runs over #buckets rows, never over data rows. Left buckets are
-    // unioned in (a right-side gap can span many empty buckets, and those
-    // left rows must still see the carry-forward max of all EARLIER right
-    // buckets — same-bucket right rows are excluded by ordering left rows
-    // first on ties; the ≤-filtered in-bucket path handles them).
-    val perBucket = r.groupBy("__bucket")
+    // tiny frames: one row per occupied (key, bucket); the key-partitioned
+    // window runs over #buckets rows, never over data rows. Left buckets
+    // are unioned in (a right-side gap can span many empty buckets, and
+    // those left rows must still see the carry-forward max of all EARLIER
+    // right buckets — same-bucket right rows are excluded by ordering left
+    // rows first on ties; the ≤-filtered in-bucket path handles them).
+    val perBucket = r.groupBy(grpCols.map(col): _*)
       .agg(max(struct(col("__rts"), col("__rval"))).as("__bmax"))
       .withColumn("__isr", lit(1))
-    val leftBuckets = l.select("__bucket").distinct()
+    val leftBuckets = l.select(grpCols.map(col): _*).distinct()
       .withColumn("__bmax", lit(null).cast(perBucket.schema("__bmax").dataType))
       .withColumn("__isr", lit(0))
-    val wPrev = Window.orderBy("__bucket", "__isr")
+    val wPrev = (if (keys.isEmpty) Window.orderBy("__bucket", "__isr")
+                 else Window.partitionBy(keyCols: _*).orderBy(col("__bucket"), col("__isr")))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevCum = perBucket.unionByName(leftBuckets)
       .withColumn("__prev", max(col("__bmax")).over(wPrev))
       .filter(col("__isr") === 0)
-      .select(col("__bucket"), col("__prev"))
+      .select(grpCols.map(col) :+ col("__prev"): _*)
 
-    // within-bucket resolution: linear equi-join on bucket, then one
-    // aggregation per left key (both map-side-combinable).
+    // within-bucket resolution: linear equi-join on (keys, bucket), then
+    // one aggregation per left key (both map-side-combinable).
     val inBucket = l
-      .join(r, Seq("__bucket"), "left")
+      .join(r, grpCols, "left")
       .withColumn("__cand",
         when(col("__rts") <= col(leftTs), struct(col("__rts"), col("__rval"))))
       .groupBy(leftKey)
       .agg(max(col("__cand")).as("__in"))
 
     l.join(inBucket, Seq(leftKey))
-      .join(broadcast(prevCum), Seq("__bucket"), "left")
+      .join(broadcast(prevCum), grpCols, "left")
       .withColumn("__best", greatest(col("__in"), col("__prev")))
       .withColumn("asof_ts", col("__best.__rts"))
       .withColumn("asof_val", col("__best.__rval"))

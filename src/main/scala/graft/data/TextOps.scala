@@ -94,13 +94,18 @@ object TextOps {
       .select("fp", "keeper", "n_dups")
       .orderBy("keeper")
 
-  /** Distinct word-3gram shingles per doc. */
+  /** Distinct word-3gram shingles per doc. Generator + element_at instead
+    * of a transform(...) lambda: higher-order functions drop out of
+    * whole-stage codegen (interpreted eval per row), while explode +
+    * ElementAt stay fully codegen'd. */
   def shingles(documents: DataFrame): DataFrame =
     documents
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("sh"))
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 2)))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("sh"))
       .distinct()
 
   /** All candidate pairs sharing ≥1 shingle, with exact jaccard.
@@ -167,15 +172,18 @@ object TextOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // verify candidates only: intersect the two shingle sets per pair
+    // verify candidates only: intersect the two shingle sets per pair.
+    // The candidate set is tiny by construction (band collisions), so it
+    // broadcasts; the big shingle frame is only ever hash-joined, never
+    // self-producted.
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"))
-    val common = cands
-      .join(shA, "doc_a")
+    val common = shA
+      .join(broadcast(cands), "doc_a")
       .join(shB, col("doc_b") === col("doc_b2") && col("sh") === col("sh_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    common.join(sizes.toDF("doc_a", "sa"), "doc_a")
+    broadcast(common).join(sizes.toDF("doc_a", "sa"), "doc_a")
       .join(sizes.toDF("doc_b", "sb"), "doc_b")
       .withColumn("jac", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
       .filter(col("jac") >= threshold)
@@ -191,16 +199,25 @@ object TextOps {
     * the scan; the only shuffle is the final bucket count. The integer
     * sums are order-independent, so this matches the oracle's explode/
     * group-by formulation bit-for-bit. */
-  def simhash(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-             acc + CASE WHEN aggregate(ws, 0,
-               (s, w) -> s + (ascii(substring(md5(w), j + 1, 1)) % 2) * 2 - 1) > 0
-             THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""))
+  def simhash(documents: DataFrame): DataFrame = {
+    // Explode/groupBy instead of nested aggregate(...) lambdas: the
+    // higher-order-function form runs interpreted (outside whole-stage
+    // codegen) and re-hashes every word per bit position; this form does
+    // one codegen'd md5 per word occurrence and 16 map-side-combinable
+    // sum aggregates, so the shuffle carries #docs × 16 ints.
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("m", md5(col("w")))
+    val sumCols = (0 until 16).map(j =>
+      sum(expr(s"(ascii(substring(m, ${j + 1}, 1)) % 2) * 2 - 1")).as(s"s$j"))
+    val bitsExpr = (0 until 16)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    words.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      .withColumn("simhash", expr(bitsExpr))
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
       .select("doc_id", "simhash", "n_same")
       .orderBy("doc_id")
+  }
 }
