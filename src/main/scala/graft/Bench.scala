@@ -16,13 +16,16 @@ object Bench {
   /** Scale-relevant subset: full CDC envelope, recovery dedupe, the
     * relational joins/windows, the dedup family, ANN, text analysis. */
   val headline: Seq[String] = Seq(
-    "t12_envelope", "t31_replay_dedupe",
+    "t12_envelope", "t12b_avro_roundtrip", "t31_replay_dedupe",
     "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
     "q06_revenue_forecast", "q07_supplier_running_revenue",
     "q08_top_parts_per_brand", "q10_returned_items", "q11_user_sessions",
+    "q12_rollup_revenue", "q13_semi_anti_join", "q14_set_ops", "q15_asof_heartbeat",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
-    "d4_dedup_simhash", "s1_ann_brute", "s3_ann_lsh",
-    "x1_lang_id", "x3_token_count", "m1_multimodal_features")
+    "d4_dedup_simhash", "d5_dedup_embedding",
+    "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh",
+    "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
+    "m1_multimodal_features", "m2_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
