@@ -21,15 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Quantized vectors + exact squared norm. */
+  /** Quantized vectors + exact squared norm (norm via the native codegen'd
+    * [[graft.functions.LongDotProduct]] of the vector with itself). */
   def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
-      .withColumn("nn", expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("nn", expr("graft_dot_long(qv, qv)"))
       .select("vec_id", "label", "qv", "nn")
 
-  private val dotExpr =
-    "aggregate(zip_with(q_qv, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  /** Pair dot product — native expression, generated into whole-stage
+    * codegen (the HOF aggregate/zip_with form runs interpreted and
+    * allocates per pair; this is THE hot loop of brute-force ANN). */
+  private val dotExpr = "graft_dot_long(q_qv, qv)"
   private val cosExpr =
     "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"
 
