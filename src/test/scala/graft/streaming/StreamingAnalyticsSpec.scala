@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time semantics: watermark closes windows and drops late data;
+  * custom session state survives batches and times out on watermark
+  * advance. */
+class StreamingAnalyticsSpec extends AnyFunSuite {
+
+  private lazy val spark = Tables.session("streaming-analytics-spec", "4")
+
+  private val T0 = 1700000000000000L // µs epoch base
+
+  private def min(m: Long): Long = m * 60L * 1000000L
+
+  test("watermarked windowed counts emit closed windows and drop late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)] // (user, table, ts_us)
+    val cdc = input.toDF().toDF("user_id", "base_table", "ts_us")
+    val q = StreamingAnalytics.windowedCounts(cdc, "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+
+    // window [T0, T0+1m): 3 rows for t1, 1 for t2
+    input.addData((1L, "t1", T0), (2L, "t1", T0 + 1000), (3L, "t1", T0 + 2000), (4L, "t2", T0 + 3000))
+    q.processAllAvailable()
+    // advance watermark past T0+1m+2m: close the first window
+    input.addData((5L, "t1", T0 + min(5)))
+    q.processAllAvailable()
+    input.addData((6L, "t1", T0 + min(6))) // push watermark again
+    q.processAllAvailable()
+
+    val closed = spark.table("wc")
+      .select(unix_micros(col("window_start")).as("ws"), col("base_table"), col("n_messages"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(closed.contains((T0 - T0 % min(1), "t1", 3L)), s"got $closed")
+    assert(closed.contains((T0 - T0 % min(1), "t2", 1L)), s"got $closed")
+
+    // a row 10 minutes behind the watermark must be DROPPED, not re-emitted
+    input.addData((7L, "t1", T0 + 500))
+    q.processAllAvailable()
+    val afterLate = spark.table("wc").filter(col("base_table") === "t1")
+      .agg(sum("n_messages")).collect()(0).getLong(0)
+    assert(afterLate == 3L, "late row must not reopen a closed window")
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer: in-batch splits and timeout emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAnalytics.Ev]
+    val sessions = StreamingAnalytics.sessionize(input.toDS(), gapUs = min(30))
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+
+    // user 1: two sessions split by a >30min in-batch gap; user 2: one
+    input.addData(
+      StreamingAnalytics.Ev(1, T0), StreamingAnalytics.Ev(1, T0 + min(5)),
+      StreamingAnalytics.Ev(1, T0 + min(60)), StreamingAnalytics.Ev(2, T0 + min(60)))
+    q.processAllAvailable()
+    // in-batch closed session emitted immediately
+    val r1 = spark.table("sess").as[StreamingAnalytics.SessionOut].collect()
+    assert(r1.toSet == Set(StreamingAnalytics.SessionOut(1, T0, T0 + min(5), 2)), s"got ${r1.toSet}")
+
+    // advance watermark far past lastSeen+gap → open sessions time out
+    input.addData(StreamingAnalytics.Ev(3, T0 + min(300)))
+    q.processAllAvailable()
+    input.addData(StreamingAnalytics.Ev(3, T0 + min(301)))
+    q.processAllAvailable()
+
+    val r2 = spark.table("sess").as[StreamingAnalytics.SessionOut].collect().toSet
+    assert(r2.contains(StreamingAnalytics.SessionOut(1, T0 + min(60), T0 + min(60), 1)), s"got $r2")
+    assert(r2.contains(StreamingAnalytics.SessionOut(2, T0 + min(60), T0 + min(60), 1)), s"got $r2")
+    q.stop()
+  }
+
+  test("streaming windowed counts equal the batch groupBy on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), lit("t0").as("base_table"), col("ts_us"))
+    val rows = ev.as[(Long, String, Long)].collect()
+
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamingAnalytics.windowedCounts(input.toDF().toDF("user_id", "base_table", "ts_us"))
+      .writeStream.format("memory").queryName("wc2").outputMode("complete").start()
+    input.addData(rows.toSeq)
+    q.processAllAvailable()
+
+    val streaming = spark.table("wc2")
+      .select(unix_micros(col("window_start")), col("n_messages"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = ev.withColumn("ws", expr("ts_us - ts_us % 60000000"))
+      .groupBy("ws").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streaming == batch)
+    q.stop()
+  }
+}
