@@ -19,7 +19,8 @@ object Bench {
     "t12_envelope", "t12b_avro_roundtrip", "t31_replay_dedupe",
     "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
     "q06_revenue_forecast", "q07_supplier_running_revenue",
-    "q08_top_parts_per_brand", "q10_returned_items", "q11_user_sessions",
+    "q04_order_priority", "q08_top_parts_per_brand", "q10_returned_items",
+    "q11_user_sessions", "q18_large_volume_customer",
     "q12_rollup_revenue", "q13_semi_anti_join", "q14_set_ops", "q15_asof_heartbeat",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding",

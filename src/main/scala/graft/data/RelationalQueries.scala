@@ -134,6 +134,37 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+    "q04_order_priority" -> t { (spark, dir) =>
+      // EXISTS → left_semi: the lineitem side is reduced to distinct keys
+      // before the join, so no row multiplication ever happens.
+      val ord = Tables.orders(spark, dir)
+        .filter(expr("CAST(o_orderdate AS DATE) >= DATE '1996-07-01' AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'"))
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            expr("CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    "q18_large_volume_customer" -> t { (spark, dir) =>
+      // HAVING over a big aggregation: one shuffle keyed by orderkey with
+      // map-side partials, then a broadcast join back to the dimensions.
+      val big = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey")
+        .agg(expr(s"CAST(sum($qtyD) AS DECIMAL(38,2))").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
+          expr("CAST(CAST(o_orderdate AS DATE) AS STRING)").as("o_orderdate"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_orderkey"))
+        .limit(50)
+    },
     "q12_rollup_revenue" -> t { (spark, dir) =>
       // hierarchical totals in one pass: ROLLUP is a single shuffle with
       // map-side partial aggregation, not three separate groupBys.
@@ -261,6 +292,26 @@ object RelationalQueries {
         CAST(sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         CAST(count(*) AS BIGINT) AS n_events
       FROM gaps GROUP BY user_id ORDER BY user_id""",
+    "q04_order_priority" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q18_large_volume_customer" -> s"""
+      WITH big AS (
+        SELECT l_orderkey, CAST(sum($qtyD) AS DECIMAL(38,2)) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum($qtyD) > 300
+      )
+      SELECT c_custkey, c_name, l_orderkey,
+        CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, total_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, l_orderkey LIMIT 50""",
     "q12_rollup_revenue" -> s"""
       SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         CAST(sum($revD) AS DECIMAL(38,4)) AS revenue,
