@@ -14,14 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("plan-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = Tables.session("plan-spec", "4")
 
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -102,6 +95,18 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("HashAggregate"), "simhash must partial-aggregate:\n" + s.take(2000))
     // no lambda (interpreted) expressions anywhere in the signature path
     assert(!s.toLowerCase.contains("lambdafunction"), "interpreted lambda in plan")
+  }
+
+  test("minhash-LSH dedup never forms an all-pairs product") {
+    val (s, _) = planOf("d3_dedup_minhash_lsh")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "d3 must only hash-join on band/pair keys:\n" + s.take(2000))
+  }
+
+  test("brute ANN uses the native codegen'd dot product, not HOF lambdas") {
+    val (s, p) = planOf("s1_ann_brute")
+    assert(s.contains("graft_dot_long"), "native expression missing:\n" + s.take(2000))
+    assert(p.toString.contains("*("), "ANN scoring fell out of codegen")
   }
 
   test("whole-stage codegen covers the envelope projection chain") {
