@@ -26,7 +26,7 @@ object Bench {
     "d4_dedup_simhash", "d5_dedup_embedding",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
-    "m1_multimodal_features", "m2_frame_sample")
+    "m1_multimodal_features", "m2_frame_sample", "m3_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

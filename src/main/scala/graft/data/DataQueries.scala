@@ -29,7 +29,8 @@ object DataQueries {
     "s3_ann_lsh" -> ((spark, sfDir) =>
       VectorOps.annLsh(spark, Tables.embeddings(spark, sfDir))),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
-    "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_))
+    "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
+    "m3_resize" -> docs(MultimodalOps.resize(_))
   )
 
   // ---- DuckDB oracle --------------------------------------------------
@@ -224,6 +225,12 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         CAST(length(frame) AS BIGINT) AS n_bytes,
         CAST(length(frame) - length(replace(frame, 'e', '')) AS BIGINT) AS f_e
-      FROM f ORDER BY doc_id, frame_idx"""
+      FROM f ORDER BY doc_id, frame_idx""",
+    "m3_resize" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_in,
+        CAST(len(generate_series(1, length(text), 4)) AS BIGINT) AS n_out,
+        CAST(list_sum(list_transform(generate_series(1, length(text), 4),
+          i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum
+      FROM documents ORDER BY doc_id"""
   )
 }

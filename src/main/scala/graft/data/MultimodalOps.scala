@@ -28,6 +28,31 @@ object MultimodalOps {
     documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
   final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, f_e: Long)
+  final case class Resized(doc_id: Long, n_in: Long, n_out: Long, checksum: Long)
+
+  /** m3 — "resize": downsample the binary payload by `stride` (the
+    * image-resize shape — a real resizer would interpolate pixels; the
+    * stub keeps every stride-th byte). Narrow per-partition transform;
+    * output carries the downsampled length and a byte-sum checksum the
+    * oracle recomputes. */
+  def resize(documents: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val media: Dataset[MediaRow] = asBinary(documents).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var i = 0
+        var n = 0L
+        var sum = 0L
+        while (i < r.payload.length) {
+          n += 1
+          sum += r.payload(i) & 0xff
+          i += stride
+        }
+        Resized(r.doc_id, r.payload.length.toLong, n, sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
 
   /** m2 — frame sampling: chunk the binary payload into fixed-size frames
     * and keep every `stride`-th one (the video-frame-sampling shape: a real

@@ -70,25 +70,26 @@ object VectorOps {
   }
 
   /** Random-hyperplane signs, derived from MD5 parity so the oracle can
-    * reproduce them: sign(b, d) ∈ {-1, +1}. */
-  def hyperplaneSigns(spark: SparkSession, bits: Int, dims: Int): DataFrame =
-    spark.range(bits).toDF("b").crossJoin(spark.range(1, dims + 1).toDF("d"))
-      .withColumn("sgn", expr(
-        "(ascii(substring(md5(concat(CAST(b AS STRING), ':', CAST(d AS STRING))), 1, 1)) % 2) * 2 - 1"))
+    * reproduce them: sign(b, d) ∈ {-1, +1}. Computed at PLAN TIME on the
+    * driver (bits × dims values — constants), so the per-vector bucket
+    * needs no explode, no join and no shuffle at all. */
+  def hyperplaneSign(b: Long, d: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$b:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (hex.charAt(0).toInt % 2) * 2 - 1
+  }
 
   /** LSH bucket per vector: bit b set iff the signed projection is
-    * positive (exact integer sum). */
+    * positive (exact integer sum). The hyperplanes are literal arrays, the
+    * projections are native codegen'd dot products — the whole bucketing
+    * is a narrow projection over the scan. */
   def lshBuckets(spark: SparkSession, v: DataFrame, bits: Int = 8): DataFrame = {
-    val signs = hyperplaneSigns(spark, bits, 64)
-    val vexp = v.select(col("vec_id"), posexplode(col("qv")))
-      .withColumn("d", col("pos") + 1)
-      .select(col("vec_id"), col("d"), col("col").as("qx"))
-    vexp.join(broadcast(signs), "d")
-      .groupBy("vec_id", "b")
-      .agg(sum(col("qx") * col("sgn")).as("s"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
-        .as("bucket"))
+    val bucketExpr = (0 until bits).map { b =>
+      val sgns = (1 to 64).map(d => hyperplaneSign(b, d)).mkString(", ")
+      s"CASE WHEN graft_dot_long(qv, CAST(array($sgns) AS ARRAY<BIGINT>)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    v.select(col("vec_id"), expr(bucketExpr).as("bucket"))
   }
 
   /** s3 — LSH-bucketed ANN: candidates share the bucket; top-k within. */
