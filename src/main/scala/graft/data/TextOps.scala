@@ -115,8 +115,11 @@ object TextOps {
   def jaccardPairs(documents: DataFrame): DataFrame = {
     val sh = shingles(documents).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    // self-join on the 8-byte shingle hash, not the 20-30-char string: the
+    // shuffle ships (doc_id, hash) pairs only
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val common = hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -176,11 +179,11 @@ object TextOps {
     // The candidate set is tiny by construction (band collisions), so it
     // broadcasts; the big shingle frame is only ever hash-joined, never
     // self-producted.
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val shB = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"))
+    val shA = sh.select(col("doc_id").as("doc_a"), xxhash64(col("sh")).as("h"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), xxhash64(col("sh")).as("h_b"))
     val common = shA
       .join(broadcast(cands), "doc_a")
-      .join(shB, col("doc_b") === col("doc_b2") && col("sh") === col("sh_b"))
+      .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     broadcast(common).join(sizes.toDF("doc_a", "sa"), "doc_a")
