@@ -32,7 +32,9 @@ object AsOfJoin {
     * @param leftKey   unique key column of `left` (dedupes the bucket join)
     * @param right     small-to-medium side: (rightTs, rightVal) pairs
     * @param bucketUs  bucket width in the timestamp unit; pick so a typical
-    *                  right-side gap spans O(1) buckets
+    *                  right-side gap spans O(1) buckets. Timestamps must be
+    *                  non-negative: `DIV` truncates toward zero, so negative
+    *                  values would fold into the wrong bucket
     * @param keys      optional equi-keys present on both sides: the as-of
     *                  match is resolved independently per key group (e.g.
     *                  per table)

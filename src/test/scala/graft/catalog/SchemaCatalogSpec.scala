@@ -84,6 +84,33 @@ class SchemaCatalogSpec extends AnyFunSuite {
     assert(mysqlType("SET('ONE','TWO')") == ArrayType(StringType))
   }
 
+  test("full reference type matrix survives CREATE TABLE parsing and Avro generation") {
+    // the matrix of reference tests/integration/end_to_end_test.py:77-196
+    val struct = MysqlDdlToStruct.createTableStruct(
+      """CREATE TABLE matrix (
+         c1 TINYINT(1), c2 TINYINT, c3 SMALLINT, c4 MEDIUMINT, c5 INT,
+         c6 BIGINT, c7 BIGINT UNSIGNED, c8 DECIMAL(12,4), c9 FLOAT,
+         c10 DOUBLE, c11 REAL, c12 DATE, c13 DATETIME(6), c14 TIMESTAMP(6),
+         c15 TIME(6), c16 YEAR, c17 CHAR(4), c18 VARCHAR(64), c19 NCHAR(4),
+         c20 TINYTEXT, c21 MEDIUMTEXT, c22 BINARY(8), c23 VARBINARY(16),
+         c24 BLOB, c25 ENUM('a','b'), c26 SET('a','b'),
+         PRIMARY KEY (c5))""")
+    assert(struct.fields.length == 26)
+    val byName = struct.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("c1") == BooleanType)
+    assert(byName("c7") == DecimalType(20, 0)) // unsigned BIGINT can exceed Long
+    assert(byName("c8") == DecimalType(12, 4))
+    assert(byName("c13") == StringType) // datetime → ISO-8601 (T11)
+    assert(byName("c14") == TimestampType)
+    assert(byName("c15") == LongType) // time → µs since midnight (T11)
+    assert(byName("c23") == BinaryType)
+    assert(byName("c26") == ArrayType(StringType)) // set → list (T11)
+    // and the whole struct must be registerable as Avro
+    val avro = graft.cdc.AvroEnvelope.avroSchemaJson("matrix", struct)
+    val parsed = new org.apache.avro.Schema.Parser().parse(avro)
+    assert(parsed.getFields.size() == 26)
+  }
+
   test("constraints in CREATE TABLE are skipped; PII flag applied") {
     val c = cat
     val ts = c.applyDdl("cl", "db",
