@@ -166,7 +166,9 @@ object CdcControlQueries {
         .select("event_id", "row_idx", "pos_key").orderBy("pos_key")
     },
     "t31_replay_dedupe" -> c { ch =>
-      val n = numbered(ch)
+      // the numbered frame feeds four subtrees (cutoffs, candidates, saved
+      // offsets); persist so the envelope + range shuffle run once
+      val n = numbered(ch).persist()
       val saved = n.crossJoin(broadcast(kafkaCutoff(n)))
         .filter(col("pos_key") <= col("kafka_pos"))
         .groupBy("topic").agg(count(lit(1)).as("saved_n"))
