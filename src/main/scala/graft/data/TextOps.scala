@@ -168,7 +168,9 @@ object TextOps {
     * band sig, pair), never an all-pairs product. */
   def dedupMinhashLsh(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(documents).cache()
-    val bands = lshBands(minhashOf(sh))
+    // both sides of the candidate self-join read bands; persist so the
+    // 12-hash minhash aggregation runs once, not twice
+    val bands = lshBands(minhashOf(sh)).persist()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
