@@ -166,12 +166,26 @@ object RelationalQueries {
         .limit(50)
     },
     "q12_rollup_revenue" -> t { (spark, dir) =>
-      // hierarchical totals in one pass: ROLLUP is a single shuffle with
-      // map-side partial aggregation, not three separate groupBys.
-      Tables.lineitem(spark, dir)
-        .rollup("l_returnflag", "l_linestatus")
+      // ROLLUP via re-aggregation of the finest level, not Spark's Expand:
+      // Expand would push 3× the scan rows through partial aggregation,
+      // while the coarser levels here aggregate the TINY (rf, ls) frame.
+      // Lossless because the per-group sums are exact decimals of the same
+      // scale, so sum-of-sums equals the direct sum.
+      val base = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"),
           count(lit(1)).as("n_items"))
+      val byFlag = base.groupBy("l_returnflag")
+        .agg(expr("CAST(sum(revenue) AS DECIMAL(38,4))").as("revenue"),
+          sum("n_items").as("n_items"))
+        .withColumn("l_linestatus", lit(null).cast("string"))
+      val total = base
+        .agg(expr("CAST(sum(revenue) AS DECIMAL(38,4))").as("revenue"),
+          sum("n_items").as("n_items"))
+        .withColumn("l_returnflag", lit(null).cast("string"))
+        .withColumn("l_linestatus", lit(null).cast("string"))
+      base.unionByName(byFlag.select(base.columns.map(col): _*))
+        .unionByName(total.select(base.columns.map(col): _*))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
