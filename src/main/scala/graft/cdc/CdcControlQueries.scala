@@ -40,7 +40,10 @@ object CdcControlQueries {
     * tiny, so instead number THEM (tiny frame) and as-of join every event
     * to the last DDL at or before it — [[graft.data.AsOfJoin]]'s bucketed
     * linear shape, keyed on event_id. */
-  private val ID_BUCKET = 4096L
+  /** DDLs are ~4% of events (so one per ~25 ids): bucket width 64 keeps
+    * O(1) right rows per bucket — a too-wide bucket multiplies the
+    * in-bucket join by the per-bucket DDL count. */
+  private val ID_BUCKET = 64L
 
   private def epochs(ch: CdcChain): DataFrame = {
     val renames = ch.admitted.filter(expr(IS_RENAME_DDL))

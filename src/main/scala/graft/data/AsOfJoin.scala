@@ -83,7 +83,11 @@ object AsOfJoin {
       .select(grpCols.map(col) :+ col("__prev"): _*)
 
     // within-bucket resolution: linear equi-join on (keys, bucket), then
-    // one aggregation per left key (both map-side-combinable).
+    // one NARROW aggregation per left key (only the candidate struct rides
+    // the shuffle) and a join-back to re-attach the left columns. The
+    // join-back costs a second left-key shuffle but keeps the aggregate
+    // narrow — measured faster than folding wide left rows through max()
+    // aggregates.
     val inBucket = l
       .join(r, grpCols, "left")
       .withColumn("__cand",
