@@ -85,11 +85,16 @@ object CdcControlQueries {
     * pos_key is unique and ranges are ordered.
     */
   private def numbered(ch: CdcChain): DataFrame = {
+    // persist: `local` feeds both the offsets aggregate and the join; an
+    // unmaterialized range shuffle can be recomputed with DIFFERENT
+    // sampled range bounds per branch, which desynchronizes partition ids
+    // and corrupts rn (observed at sf0.1)
     val local = ch.env
       .repartitionByRange(col("pos_key"))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrn",
         row_number().over(Window.partitionBy("__pid").orderBy("pos_key")).cast("long"))
+      .persist()
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__pn"))
       .withColumn("__off", coalesce(
         sum("__pn").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),

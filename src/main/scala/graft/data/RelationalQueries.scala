@@ -84,15 +84,16 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     },
     "q07_supplier_running_revenue" -> t { (spark, dir) =>
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy("ship_date", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // `rev` is the final ORDER BY tiebreaker: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) rows, so without it the running
+      // sum's intermediate values are order-ambiguous on exact key ties.
       Tables.lineitem(spark, dir)
         .withColumn("ship_date", expr("CAST(CAST(l_shipdate AS DATE) AS STRING)"))
         .withColumn("rev", expr(revD))
-        .withColumn("running_revenue", expr("CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))"))
+        .withColumn("running_revenue", expr("CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber, rev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))"))
         .select("l_suppkey", "ship_date", "l_orderkey", "l_linenumber", "running_revenue")
-        .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
+          col("l_linenumber"), col("running_revenue"))
     },
     "q08_top_parts_per_brand" -> t { (spark, dir) =>
       val li = Tables.lineitem(spark, dir)
@@ -272,11 +273,11 @@ object RelationalQueries {
         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
     "q07_supplier_running_revenue" -> s"""
       SELECT l_suppkey, ship_date, l_orderkey, l_linenumber,
-        CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber
+        CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber, rev
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_revenue
       FROM (SELECT l_suppkey, CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date,
               l_orderkey, l_linenumber, $revD AS rev FROM lineitem) q
-      ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""",
+      ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber, running_revenue""",
     "q08_top_parts_per_brand" -> s"""
       WITH byPart AS (
         SELECT p_brand, p_partkey, CAST(sum($revD) AS DECIMAL(38,4)) AS revenue

@@ -2,10 +2,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Tables.session("graft-smoke", "4")
     spark.sparkContext.setLogLevel("ERROR")
     for (t <- Seq("events", "documents", "embeddings", "lineitem")) {
       val df = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
