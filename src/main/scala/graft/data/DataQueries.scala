@@ -19,6 +19,8 @@ object DataQueries {
     "x2_quality_score" -> docs(TextOps.qualityScore),
     "x3_token_count" -> docs(TextOps.tokenCount),
     "x4_fingerprint" -> docs(TextOps.fingerprint),
+    "x5_top_terms" -> docs(TextOps.topTerms(_)),
+    "x6_vocab_bigrams" -> docs(TextOps.vocabBigrams(_)),
     "d1_dedup_exact" -> docs(TextOps.dedupExact),
     "d2_dedup_ngram_jaccard" -> docs(TextOps.dedupNgramJaccard(_)),
     "d3_dedup_minhash_lsh" -> docs(TextOps.dedupMinhashLsh(_)),
@@ -226,6 +228,30 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
         CAST(length(frame) AS BIGINT) AS n_bytes,
         CAST(length(frame) - length(replace(frame, 'e', '')) AS BIGINT) AS f_e
       FROM f ORDER BY doc_id, frame_idx""",
+    "x5_top_terms" -> """
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+      ), df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      ), ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          CAST(row_number() OVER (PARTITION BY t.doc_id
+            ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS INT) AS rnk
+        FROM tf t JOIN df d USING (term)
+      )
+      SELECT doc_id, rnk, term, tf, df FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk""",
+    "x6_vocab_bigrams" -> """
+      WITH ws AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+      ), bg AS (
+        SELECT w[i] || ' ' || w[i+1] AS bigram
+        FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      )
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""",
     "m3_resize" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_in,
         CAST(len(generate_series(1, length(text), 4)) AS BIGINT) AS n_out,

@@ -204,6 +204,39 @@ object TextOps {
     * the scan; the only shuffle is the final bucket count. The integer
     * sums are order-independent, so this matches the oracle's explode/
     * group-by formulation bit-for-bit. */
+  /** x5 — top-k salient terms per document, ranked by (tf DESC, df ASC):
+    * the tf-idf ordering expressed in exact integers — a float idf would
+    * differ in final ulps across engines and break the oracle hash.
+    * Two hash shuffles (doc-term counts, term document-frequencies); the
+    * df side joins back by term (hash join, AQE-broadcast when small). */
+  def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val words = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "df")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** x6 — corpus bigram vocabulary, top-N by frequency: the vocabulary-
+    * building pass of a BPE-ish tokenizer pipeline. One hash shuffle on
+    * the bigram (map-side combined), then a top-N sort of the tiny
+    * aggregate. */
+  def vocabBigrams(documents: DataFrame, topN: Int = 100): DataFrame =
+    documents
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(concat_ws(" ", element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topN)
+
   def simhash(documents: DataFrame): DataFrame = {
     // Explode/groupBy instead of nested aggregate(...) lambdas: the
     // higher-order-function form runs interpreted (outside whole-stage
