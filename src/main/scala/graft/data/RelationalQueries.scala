@@ -226,8 +226,10 @@ object RelationalQueries {
       val hb = ev.filter(col("event_type") === "view")
         .select(col("ts_us").as("hb_ts_us"), col("event_id").as("hb_serial"))
       val dat = ev.filter(col("event_type") =!= "view").select("event_id", "ts_us")
+      // heartbeat mean gap is ~2 min at sf0.1: a 10-min bucket keeps O(1)
+      // beacons per bucket so the in-bucket join stays linear
       AsOfJoin.lastBefore(dat, "event_id", "ts_us", hb, "hb_ts_us", "hb_serial",
-        bucketUs = 3600L * 1000000L)
+        bucketUs = 600L * 1000000L)
         .select(col("event_id"), col("ts_us"),
           col("asof_ts").as("hb_ts_us"), col("asof_val").as("hb_serial"))
         .orderBy("event_id")

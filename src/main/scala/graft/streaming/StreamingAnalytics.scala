@@ -33,6 +33,20 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("base_table"), col("n_messages"))
 
+  /** Streaming exact dedup with watermark-bounded state: duplicates
+    * arriving within the watermark horizon are dropped; the key state is
+    * evicted once the watermark passes, so state size is bounded by the
+    * horizon's key cardinality — the indefinitely-runnable form of d1
+    * (plain dropDuplicates would grow state forever at 100 TB/day). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCol: String = "event_id",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -77,6 +77,35 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("dedup within watermark drops near dups but evicts state past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val df = input.toDF().toDF("event_id", "ts_us")
+    val q = StreamingAnalytics.dedupWithinWatermark(df, "event_id", "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+
+    // duplicate ids inside the horizon → one survivor each
+    input.addData((1L, T0), (1L, T0 + 1000), (2L, T0), (2L, T0 + 2000))
+    q.processAllAvailable()
+    assert(spark.table("dd").groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    val n1 = spark.table("dd").count()
+    assert(n1 == 2)
+
+    // advance the watermark far past the horizon, then re-send id 1:
+    // its state must have been evicted, so it is emitted AGAIN
+    input.addData((99L, T0 + min(120)))
+    q.processAllAvailable()
+    input.addData((98L, T0 + min(121)))
+    q.processAllAvailable()
+    input.addData((1L, T0 + min(122)))
+    q.processAllAvailable()
+    val id1 = spark.table("dd").filter(col("event_id") === 1L).count()
+    assert(id1 == 2, s"state not evicted: id1 seen $id1 times")
+    q.stop()
+  }
+
   test("streaming windowed counts equal the batch groupBy on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
