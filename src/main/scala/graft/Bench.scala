@@ -37,17 +37,31 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // warmup: codegen + classloading + parquet footer caches
-    headline.foreach(run)
+    // warmup: codegen + classloading + parquet footer caches. A failure
+    // here must not abort the run before the JSON contract line prints.
+    headline.foreach(name =>
+      try run(name)
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") })
 
+    // Timed pass: a failing query records -1 (never its time-to-failure,
+    // which would silently "improve" the total) and fails the process.
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { run(name); name -> (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

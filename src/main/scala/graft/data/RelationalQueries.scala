@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   *    `PushedFilters` visible in explain),
   *  - dimension joins are explicit `broadcast()` (region/nation/customer/
   *    supplier are orders of magnitude smaller than lineitem at any SF),
-  *  - money math is DECIMAL end-to-end: double sums are order-dependent
-  *    and would never hash-match an oracle, while decimal sums are exact
-  *    and engine-independent,
+  *  - money math is engine-rounding-proof: raw doubles are quantized to
+  *    integer units per row (`floor(x*100 + 0.5)` — IEEE double ops are
+  *    bit-deterministic across engines), summed as BIGINT (exact and
+  *    order-independent), and scaled back once at the end with a single
+  *    `CAST(sum AS DOUBLE) / 10^k` (an integer < 2^53 divided by a power
+  *    of ten is correctly rounded identically in every IEEE engine). This
+  *    removes the per-row double→DECIMAL cast whose half-up/half-even tie
+  *    behavior differs between engine versions. DECIMAL stays in use for
+  *    the small/filtered aggregates where it already hash-matches.
+  *    At extreme scale (≳10^12 rows) the BIGINT accumulator would need a
+  *    DECIMAL(38,0) upgrade; unit sums here peak ~10^17, well in range.
   *  - windows partition by high-cardinality keys (supplier), never
   *    unpartitioned.
   */
@@ -28,15 +36,22 @@ object RelationalQueries {
   /** revenue element: exact decimal, scale 4. */
   private val revD = s"$priceD * (1 - $discD)"
 
+  // Integer-unit quantization (see scaladoc): cents / percent points /
+  // hundredths; revU is in 1e-4 currency units.
+  private val priceC = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+  private val discC = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+  private val qtyC = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+  private val revU = s"$priceC * (100 - $discC)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> t { (spark, dir) =>
       Tables.lineitem(spark, dir)
         .filter(expr("CAST(l_shipdate AS DATE) <= DATE '1999-09-01'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          expr(s"CAST(sum($qtyD) AS DECIMAL(38,2))").as("sum_qty"),
-          expr(s"CAST(sum($priceD) AS DECIMAL(38,2))").as("sum_base_price"),
-          expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("sum_disc_price"),
+          expr(s"CAST(sum($qtyC) AS DOUBLE) / 100").as("sum_qty"),
+          expr(s"CAST(sum($priceC) AS DOUBLE) / 100").as("sum_base_price"),
+          expr(s"CAST(sum($revU) AS DOUBLE) / 10000").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -70,7 +85,7 @@ object RelationalQueries {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"))
+        .agg(expr(s"CAST(sum($revU) AS DOUBLE) / 10000").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     "q06_revenue_forecast" -> t { (spark, dir) =>
@@ -84,13 +99,13 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     },
     "q07_supplier_running_revenue" -> t { (spark, dir) =>
-      // `rev` is the final ORDER BY tiebreaker: the synthetic lineitem has
-      // duplicate (orderkey, linenumber) rows, so without it the running
-      // sum's intermediate values are order-ambiguous on exact key ties.
+      // `rev_u` is the window + final ORDER BY tiebreaker: the synthetic
+      // lineitem has duplicate (orderkey, linenumber) rows, so without it
+      // the running sum's intermediates are order-ambiguous on key ties.
       Tables.lineitem(spark, dir)
         .withColumn("ship_date", expr("CAST(CAST(l_shipdate AS DATE) AS STRING)"))
-        .withColumn("rev", expr(revD))
-        .withColumn("running_revenue", expr("CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber, rev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))"))
+        .withColumn("rev_u", expr(revU))
+        .withColumn("running_revenue", expr("CAST(sum(rev_u) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber, rev_u ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000"))
         .select("l_suppkey", "ship_date", "l_orderkey", "l_linenumber", "running_revenue")
         .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
           col("l_linenumber"), col("running_revenue"))
@@ -100,7 +115,7 @@ object RelationalQueries {
       val part = Tables.part(spark, dir)
       val byPart = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
-        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"))
+        .agg(expr(s"CAST(sum($revU) AS DOUBLE) / 10000").as("revenue"))
       byPart
         .withColumn("rnk", row_number()
           .over(Window.partitionBy("p_brand")
@@ -154,15 +169,15 @@ object RelationalQueries {
       // map-side partials, then a broadcast join back to the dimensions.
       val big = Tables.lineitem(spark, dir)
         .groupBy("l_orderkey")
-        .agg(expr(s"CAST(sum($qtyD) AS DECIMAL(38,2))").as("total_qty"))
-        .filter(col("total_qty") > 300)
+        .agg(expr(s"sum($qtyC)").as("qty_c"))
+        .filter(col("qty_c") > 30000)
       val ord = Tables.orders(spark, dir)
       val cust = Tables.customer(spark, dir)
       big.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
           expr("CAST(CAST(o_orderdate AS DATE) AS STRING)").as("o_orderdate"),
-          col("total_qty"))
+          expr("CAST(qty_c AS DOUBLE) / 100").as("total_qty"))
         .orderBy(col("total_qty").desc, col("l_orderkey"))
         .limit(50)
     },
@@ -174,14 +189,14 @@ object RelationalQueries {
       // scale, so sum-of-sums equals the direct sum.
       val base = Tables.lineitem(spark, dir)
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(expr(s"CAST(sum($revD) AS DECIMAL(38,4))").as("revenue"),
+        .agg(expr(s"sum($revU)").as("rev_u"),
           count(lit(1)).as("n_items"))
       val byFlag = base.groupBy("l_returnflag")
-        .agg(expr("CAST(sum(revenue) AS DECIMAL(38,4))").as("revenue"),
+        .agg(sum("rev_u").as("rev_u"),
           sum("n_items").as("n_items"))
         .withColumn("l_linestatus", lit(null).cast("string"))
       val total = base
-        .agg(expr("CAST(sum(revenue) AS DECIMAL(38,4))").as("revenue"),
+        .agg(sum("rev_u").as("rev_u"),
           sum("n_items").as("n_items"))
         .withColumn("l_returnflag", lit(null).cast("string"))
         .withColumn("l_linestatus", lit(null).cast("string"))
@@ -190,7 +205,7 @@ object RelationalQueries {
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("revenue"), col("n_items"))
+          expr("CAST(rev_u AS DOUBLE) / 10000").as("revenue"), col("n_items"))
         .orderBy("rf", "ls")
     },
     "q13_semi_anti_join" -> t { (spark, dir) =>
@@ -239,9 +254,9 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> s"""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum($qtyD) AS DECIMAL(38,2)) AS sum_qty,
-        CAST(sum($priceD) AS DECIMAL(38,2)) AS sum_base_price,
-        CAST(sum($revD) AS DECIMAL(38,4)) AS sum_disc_price,
+        CAST(sum($qtyC) AS DOUBLE) / 100 AS sum_qty,
+        CAST(sum($priceC) AS DOUBLE) / 100 AS sum_base_price,
+        CAST(sum($revU) AS DOUBLE) / 10000 AS sum_disc_price,
         CAST(count(*) AS BIGINT) AS count_order
       FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1999-09-01'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -256,7 +271,7 @@ object RelationalQueries {
         AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
       GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
     "q05_local_supplier_volume" -> s"""
-      SELECT n_name, CAST(sum($revD) AS DECIMAL(38,4)) AS revenue
+      SELECT n_name, CAST(sum($revU) AS DOUBLE) / 10000 AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -275,14 +290,14 @@ object RelationalQueries {
         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
     "q07_supplier_running_revenue" -> s"""
       SELECT l_suppkey, ship_date, l_orderkey, l_linenumber,
-        CAST(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber, rev
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_revenue
+        CAST(sum(rev_u) OVER (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber, rev_u
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000 AS running_revenue
       FROM (SELECT l_suppkey, CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date,
-              l_orderkey, l_linenumber, $revD AS rev FROM lineitem) q
+              l_orderkey, l_linenumber, $revU AS rev_u FROM lineitem) q
       ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber, running_revenue""",
     "q08_top_parts_per_brand" -> s"""
       WITH byPart AS (
-        SELECT p_brand, p_partkey, CAST(sum($revD) AS DECIMAL(38,4)) AS revenue
+        SELECT p_brand, p_partkey, CAST(sum($revU) AS DOUBLE) / 10000 AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
       ), ranked AS (
@@ -320,8 +335,8 @@ object RelationalQueries {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q18_large_volume_customer" -> s"""
       WITH big AS (
-        SELECT l_orderkey, CAST(sum($qtyD) AS DECIMAL(38,2)) AS total_qty
-        FROM lineitem GROUP BY l_orderkey HAVING sum($qtyD) > 300
+        SELECT l_orderkey, CAST(sum($qtyC) AS DOUBLE) / 100 AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum($qtyC) > 30000
       )
       SELECT c_custkey, c_name, l_orderkey,
         CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, total_qty
@@ -331,7 +346,7 @@ object RelationalQueries {
       ORDER BY total_qty DESC, l_orderkey LIMIT 50""",
     "q12_rollup_revenue" -> s"""
       SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        CAST(sum($revD) AS DECIMAL(38,4)) AS revenue,
+        CAST(sum($revU) AS DOUBLE) / 10000 AS revenue,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls""",
