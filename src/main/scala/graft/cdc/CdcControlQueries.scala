@@ -120,6 +120,15 @@ object CdcControlQueries {
     n.crossJoin(broadcast(cutoff(n)))
       .filter(col("rn") > col("saved_rn") && col("rn") <= col("saved_rn") + 1500)
 
+  // ---- GTID auto-position (reference util/position.py:74-107) --------
+
+  /** The [[GtidPosition]] arithmetic, lifted into the plan: both run on the
+    * ONE saved-position row, so the UDF is control-plane-only. */
+  private val autoPositionUdf = udf((gtid: String, offset: Int) =>
+    GtidPosition(Some(gtid), Some(offset)).toReplicationDict("auto_position"))
+  private val resumeTxnUdf = udf((gtid: String, offset: Int) =>
+    GtidPosition.resumeTxn(gtid, Some(offset)))
+
   private def hbs(ch: CdcChain): DataFrame =
     ch.cdc.filter(col("kind") === "heartbeat")
       .select(col("event_id").as("serial"), col("ts_us"), col("log_file"), col("log_pos"))
@@ -166,6 +175,30 @@ object CdcControlQueries {
       n.crossJoin(broadcast(cutoff(n)))
         .filter(col("pos_key") > col("saved_pos"))
         .select("event_id", "row_idx", "pos_key").orderBy("pos_key")
+    },
+    "t28b_gtid_resume" -> c { ch =>
+      // GTID-mode resume (reference position.py:74-107 + position_finder):
+      // the saved position is the 60%-cutoff row's gtid plus an
+      // in-transaction offset (rn % 3 — exercising both the offset and the
+      // no-offset arithmetic branch depending on the data). The replayed
+      // set is txn > resume OR (txn = resume AND skip `offset` row images)
+      // — a single filter that covers both branches because offset 0 maps
+      // to resume = txn+1.
+      val n = numbered(ch).withColumn("txn", expr(GTID_TXN)).persist()
+      val saved = n.filter(col("rn") === floor(col("cnt") * 0.6).cast("long"))
+        .select(
+          concat(lit(GTID_SID + ":"), col("txn").cast("string")).as("saved_gtid"),
+          (col("rn") % 3).cast("int").as("saved_offset"))
+        .withColumn("auto_position", autoPositionUdf(col("saved_gtid"), col("saved_offset")))
+        .withColumn("resume_txn", resumeTxnUdf(col("saved_gtid"), col("saved_offset")))
+      // txn is high-cardinality (events/4), so the window never collapses
+      n.withColumn("txn_row",
+          (row_number().over(Window.partitionBy("txn").orderBy("pos_key")) - 1).cast("long"))
+        .crossJoin(broadcast(saved))
+        .filter(col("txn") > col("resume_txn") ||
+          (col("txn") === col("resume_txn") && col("txn_row") >= col("saved_offset")))
+        .select("event_id", "row_idx", "pos_key", "auto_position")
+        .orderBy("pos_key")
     },
     "t29_offset_seek" -> c { ch =>
       val n = numbered(ch)
@@ -242,6 +275,23 @@ object CdcControlQueries {
     "t28_position_resume" -> q("""
       SELECT event_id, row_idx, pos_key FROM numbered, cutoff
       WHERE pos_key > saved_pos ORDER BY pos_key"""),
+    "t28b_gtid_resume" -> q(s"""
+      , gnumbered AS (
+        SELECT *, $GTID_TXN AS txn FROM numbered
+      ), gsaved AS (
+        SELECT CAST(rn % 3 AS INT) AS saved_offset,
+          CASE WHEN rn % 3 <> 0 THEN txn ELSE txn + 1 END AS resume_txn,
+          '$GTID_SID' || ':1-' ||
+            CAST(CASE WHEN rn % 3 <> 0 THEN txn ELSE txn + 1 END AS STRING) AS auto_position
+        FROM gnumbered WHERE rn = CAST(floor(cnt * 0.6) AS BIGINT)
+      ), gtxn AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY txn ORDER BY pos_key) AS BIGINT) - 1 AS txn_row
+        FROM gnumbered
+      )
+      SELECT g.event_id, g.row_idx, g.pos_key, s.auto_position
+      FROM gtxn g, gsaved s
+      WHERE g.txn > s.resume_txn OR (g.txn = s.resume_txn AND g.txn_row >= s.saved_offset)
+      ORDER BY g.pos_key"""),
     "t29_offset_seek" -> q("""
       SELECT event_id, row_idx, pos_key FROM numbered n, cutoff c
       WHERE n.log_file = c.saved_file AND n.rn > c.saved_rn + 3 ORDER BY pos_key"""),

@@ -93,6 +93,12 @@ object CdcSqlFragments {
     * schema_event_handler.py:154-175). */
   val IS_ALTER_DDL: String = """kind = 'ddl' AND k % 8 IN (1, 2)"""
 
+  /** GTID mode (reference util/position.py:50-107): the cluster's server
+    * uuid is fixed; we model one transaction per 4 binlog events, so the
+    * transaction counter is a pure function of the monotone event_id. */
+  val GTID_SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+  val GTID_TXN: String = "CAST(floor(event_id / 4) AS BIGINT) + 1"
+
   /** Schema blacklist (reference config.yaml:17-22). */
   val BLACKLIST: Seq[String] =
     Seq("information_schema", "mysql", "performance_schema", "test", "yelp_heartbeat")
