@@ -23,7 +23,11 @@ final case class TableId(cluster: String, database: String, table: String)
 final case class TableSchema(
     schemaId: Int,
     struct: StructType,
-    containsPii: Boolean)
+    containsPii: Boolean,
+    /** Primary-key column names in key-ordinal order (reference
+      * mysql_parser.py:22-35 MySQLKey; consumers need these for upsert
+      * semantics). */
+    pkeys: Seq[String] = Nil)
 
 class SchemaCatalog(piiTables: Set[String] = Set.empty) {
 
@@ -42,18 +46,22 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
   def cachedTables: Set[TableId] = cache.keySet
   def all: Map[TableId, TableSchema] = entries
 
-  private def fingerprint(struct: StructType): String = struct.json
+  /** Key columns are part of schema identity: the same columns with a
+    * different primary key register as a different schema version. */
+  private def fingerprint(struct: StructType, pkeys: Seq[String]): String =
+    struct.json + "|pk:" + pkeys.mkString(",")
 
-  def register(id: TableId, struct: StructType): TableSchema = synchronized {
-    val fp = fingerprint(struct)
-    val sid = byFingerprint.getOrElse((id, fp), { val v = nextId; nextId += 1; v })
-    byFingerprint += ((id, fp) -> sid)
-    val ts = TableSchema(sid, struct, piiTables.contains(id.table))
-    entries += (id -> ts)
-    cache += (id -> ts)
-    versionCounter += 1
-    ts
-  }
+  def register(id: TableId, struct: StructType, pkeys: Seq[String] = Nil): TableSchema =
+    synchronized {
+      val fp = fingerprint(struct, pkeys)
+      val sid = byFingerprint.getOrElse((id, fp), { val v = nextId; nextId += 1; v })
+      byFingerprint += ((id, fp) -> sid)
+      val ts = TableSchema(sid, struct, piiTables.contains(id.table), pkeys)
+      entries += (id -> ts)
+      cache += (id -> ts)
+      versionCounter += 1
+      ts
+    }
 
   /** Cache lookup; miss falls back to the registry (the reference's miss
     * path re-fetches SHOW CREATE + registers; data_event_handler.py:40-52). */
@@ -76,18 +84,21 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
     MysqlStatementClassifier.classify(sql) match {
       case CreateTableStatement(db, tbl) =>
         val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
-        Some(register(id, MysqlDdlToStruct.createTableStruct(sql)))
+        val (struct, pkeys) = MysqlDdlToStruct.createTable(sql)
+        Some(register(id, struct, pkeys))
       case AlterTableStatement(db, tbl, rename) =>
         val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
         val cur = entries.get(id).map(_.struct).getOrElse(new StructType())
+        val curPkeys = entries.get(id).map(_.pkeys).getOrElse(Nil)
         if (rename) {
           val (newStruct, newName) = MysqlDdlToStruct.applyAlterRename(sql, cur)
           val newId = id.copy(table = newName)
           entries -= id
           invalidateCache()
-          Some(register(newId, newStruct))
+          Some(register(newId, newStruct, curPkeys))
         } else {
-          Some(register(id, MysqlDdlToStruct.applyAlter(sql, cur)))
+          val (newStruct, newPkeys) = MysqlDdlToStruct.applyAlterWithKeys(sql, cur, curPkeys)
+          Some(register(id, newStruct, newPkeys))
         }
       case DropTableStatement(db, tbl) =>
         val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
@@ -118,9 +129,22 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
       case (id, ts) =>
         s"""{"cluster":"${esc(id.cluster)}","database":"${esc(id.database)}",""" +
           s""""table":"${esc(id.table)}","schemaId":${ts.schemaId},""" +
-          s""""pii":${ts.containsPii},"struct":${ts.struct.json}}"""
+          s""""pii":${ts.containsPii},""" +
+          s""""pkeys":[${ts.pkeys.map(k => "\"" + esc(k) + "\"").mkString(",")}],""" +
+          s""""struct":${ts.struct.json}}"""
     }
-    s"""{"version":$versionCounter,"nextId":$nextId,"entries":[${rows.mkString(",")}]}"""
+    // the FULL (table, fingerprint) → schema_id history, not just the
+    // latest entry per table: re-registering a previously seen schema
+    // after recovery must return its original id (registration
+    // idempotence across restarts)
+    val fps = byFingerprint.toSeq
+      .sortBy { case ((id, fp), _) => (id.cluster, id.database, id.table, fp) }
+      .map { case ((id, fp), sid) =>
+        s"""{"cluster":"${esc(id.cluster)}","database":"${esc(id.database)}",""" +
+          s""""table":"${esc(id.table)}","fp":"${esc(fp)}","schemaId":$sid}"""
+      }
+    s"""{"version":$versionCounter,"nextId":$nextId,""" +
+      s""""entries":[${rows.mkString(",")}],"fingerprints":[${fps.mkString(",")}]}"""
   }
 
   /** Restore from [[snapshotJson]] output (recovery path T30). */
@@ -135,9 +159,24 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
       val id = TableId((e \ "cluster").extract[String],
         (e \ "database").extract[String], (e \ "table").extract[String])
       val struct = DataType.fromJson(JsonMethods.compact(e \ "struct")).asInstanceOf[StructType]
-      id -> TableSchema((e \ "schemaId").extract[Int], struct, (e \ "pii").extract[Boolean])
+      val pkeys = (e \ "pkeys") match {
+        case JArray(ks) => ks.map(_.extract[String])
+        case _ => Nil
+      }
+      id -> TableSchema((e \ "schemaId").extract[Int], struct, (e \ "pii").extract[Boolean], pkeys)
     }.toMap
-    byFingerprint = entries.map { case (id, ts) => (id, fingerprint(ts.struct)) -> ts.schemaId }
+    // restore the full fingerprint history; fall back to deriving it from
+    // the entries for snapshots written before the history was persisted
+    byFingerprint = (root \ "fingerprints") match {
+      case JArray(fs) if fs.nonEmpty =>
+        fs.map { f =>
+          val id = TableId((f \ "cluster").extract[String],
+            (f \ "database").extract[String], (f \ "table").extract[String])
+          (id, (f \ "fp").extract[String]) -> (f \ "schemaId").extract[Int]
+        }.toMap
+      case _ =>
+        entries.map { case (id, ts) => (id, fingerprint(ts.struct, ts.pkeys)) -> ts.schemaId }
+    }
     cache = Map.empty
   }
 }
@@ -184,9 +223,17 @@ object MysqlDdlToStruct {
 
   /** Column definitions inside CREATE TABLE ( ... ): split on top-level
     * commas, take `name type` pairs, skip constraint clauses. */
-  def createTableStruct(sql: String): StructType = {
+  def createTableStruct(sql: String): StructType = createTable(sql)._1
+
+  /** Full CREATE TABLE parse: the StructType plus the primary-key column
+    * names in declaration order — the same `(columns, primary_keys)` shape
+    * the reference derives from information_schema (mysql_parser.py:22-35,
+    * 166-181: CONSTRAINT_NAME='PRIMARY' ordered by ORDINAL_POSITION).
+    * Covers inline `col INT PRIMARY KEY`, the table-level
+    * `PRIMARY KEY (a, b)` clause, and `CONSTRAINT name PRIMARY KEY (...)`. */
+  def createTable(sql: String): (StructType, Seq[String]) = {
     val open = sql.indexOf('(')
-    if (open < 0) return new StructType()
+    if (open < 0) return (new StructType(), Nil)
     // find matching close paren
     var depth = 0; var i = open; var close = sql.length - 1
     var found = false
@@ -202,16 +249,72 @@ object MysqlDdlToStruct {
     val parts = splitTopLevel(body)
     val constraintKw = Set("PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT",
       "FOREIGN", "CHECK", "FULLTEXT", "SPATIAL")
+    var pkeys = Vector.empty[String]
     val fields = parts.flatMap { p =>
       val ts = tokens(p)
-      if (ts.isEmpty || constraintKw.contains(ts.head.toUpperCase)) None
-      else {
+      if (ts.isEmpty) None
+      else if (constraintKw.contains(ts.head.toUpperCase)) {
+        // PRIMARY KEY (...) / CONSTRAINT x PRIMARY KEY (...) name the key
+        val pi = ts.indexWhere(_.toUpperCase == "PRIMARY")
+        if (pi >= 0 && pkeys.isEmpty) pkeys = keyColumns(ts, pi).toVector
+        None
+      } else {
         val name = ident(ts.head)
         val tpe = if (ts.length > 1) typeWithParams(ts, 1) else "TEXT"
+        // inline `col <type> ... PRIMARY KEY`
+        val te = typeEnd(ts, 1)
+        if (ts.drop(te).exists(_.toUpperCase == "PRIMARY") && pkeys.isEmpty)
+          pkeys = Vector(name)
         Some(StructField(name, mysqlType(tpe), nullable = true))
       }
     }
-    StructType(fields)
+    (StructType(fields), pkeys)
+  }
+
+  /** Column names of a key clause: identifiers at paren depth 1, skipping
+    * prefix lengths `name(10)` (depth 2) and index options. */
+  private def keyColumns(ts: Vector[String], from: Int): Seq[String] = {
+    val skip = Set("ASC", "DESC", "USING", "BTREE", "HASH")
+    val out = Seq.newBuilder[String]
+    var depth = 0; var i = from; var done = false
+    while (i < ts.length && !done) {
+      ts(i) match {
+        case "(" => depth += 1
+        case ")" => depth -= 1; if (depth == 0) done = true
+        case "," =>
+        case t if depth == 1 && !skip.contains(t.toUpperCase) => out += ident(t)
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Index just past a type (and its (params) / UNSIGNED) starting at `at`. */
+  private def typeEnd(ts: Vector[String], at: Int): Int = {
+    var j = at + 1
+    if (j < ts.length && ts(j) == "(") {
+      while (j < ts.length && ts(j) != ")") j += 1
+      j += 1
+    }
+    if (j < ts.length && ts(j).toUpperCase == "UNSIGNED") j += 1
+    j
+  }
+
+  /** First top-level (paren-depth-0) comma at or after `from` — the commas
+    * inside DECIMAL(10,2) / ENUM('a','b') params never split an operation. */
+  private def nextTopComma(ts: Vector[String], from: Int): Int = {
+    var depth = 0; var i = from
+    while (i < ts.length) {
+      ts(i) match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case "," if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Reassemble a type token possibly followed by (p,s) params split by the
@@ -252,9 +355,16 @@ object MysqlDdlToStruct {
     * DROP [COLUMN], MODIFY [COLUMN], CHANGE [COLUMN] old new type,
     * ignoring ENGINE=/ROW_FORMAT=/AUTO_INCREMENT=/CONVERT TO noise
     * (reference sql_handler.py:229-237 strips these lexically). */
-  def applyAlter(sql: String, cur: StructType): StructType = {
+  def applyAlter(sql: String, cur: StructType): StructType =
+    applyAlterWithKeys(sql, cur, Nil)._1
+
+  /** ALTER evolution carrying the primary key through: ADD/DROP PRIMARY
+    * KEY update it, DROP COLUMN removes a member, CHANGE renames one. */
+  def applyAlterWithKeys(
+      sql: String, cur: StructType, curPkeys: Seq[String]): (StructType, Seq[String]) = {
     val ts = tokens(sql)
     var fields = cur.fields.toVector
+    var pkeys = curPkeys.toVector
     var j = 0
     // skip to past the table identifier: ALTER [mods] TABLE <ident>
     while (j < ts.length && ts(j).toUpperCase != "TABLE") j += 1
@@ -264,28 +374,46 @@ object MysqlDdlToStruct {
         case "ADD" =>
           j += 1
           if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
-          if (j < ts.length && !Set("PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT",
+          if (j < ts.length && ts(j).toUpperCase == "PRIMARY") {
+            pkeys = keyColumns(ts, j).toVector
+          } else if (j < ts.length && !Set("UNIQUE", "KEY", "INDEX", "CONSTRAINT",
             "FOREIGN").contains(ts(j).toUpperCase)) {
             val name = ident(ts(j))
             val tpe = typeWithParams(ts, j + 1)
-            // honor ADD ... AFTER <col> / FIRST ordering
+            // honor ADD ... AFTER <col> / FIRST: scan the tokens between
+            // the reassembled type and the next top-level comma — an
+            // AFTER in a later operation or a comma inside type params
+            // (DECIMAL(10,2), ENUM('a','b')) must not be matched
             var insertAt = fields.length
-            val afterIdx = ts.indexWhere(_.toUpperCase == "AFTER", j)
-            val nextComma = ts.indexWhere(_ == ",", j)
-            if (afterIdx >= 0 && (nextComma < 0 || afterIdx < nextComma) && afterIdx + 1 < ts.length) {
-              val anchor = ident(ts(afterIdx + 1))
-              val ai = fields.indexWhere(_.name == anchor)
-              if (ai >= 0) insertAt = ai + 1
-            } else if (ts.lift(j + 2).exists(_.toUpperCase == "FIRST")) insertAt = 0
+            val stop0 = nextTopComma(ts, j)
+            val stop = if (stop0 < 0) ts.length else stop0
+            var m = typeEnd(ts, j + 1)
+            var depth = 0
+            while (m < stop) {
+              ts(m) match {
+                case "(" => depth += 1
+                case ")" => depth -= 1
+                case t if depth == 0 && t.toUpperCase == "AFTER" && m + 1 < stop =>
+                  val ai = fields.indexWhere(_.name == ident(ts(m + 1)))
+                  if (ai >= 0) insertAt = ai + 1
+                case t if depth == 0 && t.toUpperCase == "FIRST" =>
+                  insertAt = 0
+                case _ =>
+              }
+              m += 1
+            }
             val f = StructField(name, mysqlType(tpe), nullable = true)
             fields = (fields.take(insertAt) :+ f) ++ fields.drop(insertAt)
           }
         case "DROP" =>
           j += 1
           if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
-          if (j < ts.length && !Set("PRIMARY", "INDEX", "KEY", "FOREIGN").contains(ts(j).toUpperCase)) {
+          if (j < ts.length && ts(j).toUpperCase == "PRIMARY") {
+            pkeys = Vector.empty // DROP PRIMARY KEY
+          } else if (j < ts.length && !Set("INDEX", "KEY", "FOREIGN").contains(ts(j).toUpperCase)) {
             val name = ident(ts(j))
             fields = fields.filterNot(_.name == name)
+            pkeys = pkeys.filterNot(_ == name)
           }
         case "MODIFY" =>
           j += 1
@@ -303,14 +431,15 @@ object MysqlDdlToStruct {
             val tpe = typeWithParams(ts, j + 2)
             fields = fields.map(f =>
               if (f.name == oldName) StructField(newName, mysqlType(tpe), nullable = true) else f)
+            pkeys = pkeys.map(k => if (k == oldName) newName else k)
           }
         case _ =>
       }
-      // advance to next top-level comma-separated operation
-      val nc = ts.indexWhere(_ == ",", j)
+      // advance to the next top-level comma-separated operation
+      val nc = nextTopComma(ts, j)
       j = if (nc < 0) ts.length else nc + 1
     }
-    StructType(fields)
+    (StructType(fields), pkeys)
   }
 
   /** ALTER TABLE x RENAME [TO|AS] y → (unchanged struct, new name). */

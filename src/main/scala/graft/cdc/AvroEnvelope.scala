@@ -50,11 +50,18 @@ object AvroEnvelope {
     case other => throw new IllegalArgumentException(s"no avro mapping for $other")
   }
 
-  def avroSchemaJson(recordName: String, struct: StructType): String = {
+  /** `pkeys` marks primary-key fields with a 1-based `"pkey": N` ordinal
+    * attribute — the registry convention the reference's Schematizer uses
+    * to carry key order inside the Avro schema (key info sourced from
+    * information_schema KEY_COLUMN_USAGE, mysql_parser.py:166-181). Extra
+    * attributes are legal Avro and ignored by plain decoders. */
+  def avroSchemaJson(recordName: String, struct: StructType, pkeys: Seq[String] = Nil): String = {
     val fields = struct.fields.map { f =>
       val t = if (f.nullable) s"""["null",${avroType(f.dataType)}]""" else avroType(f.dataType)
       val dflt = if (f.nullable) ",\"default\":null" else ""
-      s"""{"name":"${f.name}","type":$t$dflt}"""
+      val pk = pkeys.indexOf(f.name)
+      val pkAttr = if (pk >= 0) s""","pkey":${pk + 1}""" else ""
+      s"""{"name":"${f.name}","type":$t$dflt$pkAttr}"""
     }
     s"""{"type":"record","name":"$recordName","namespace":"graft.cdc",""" +
       s""""fields":[${fields.mkString(",")}]}"""

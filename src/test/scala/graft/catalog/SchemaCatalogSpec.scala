@@ -148,6 +148,80 @@ class SchemaCatalogSpec extends AnyFunSuite {
     assert(!c.all.values.map(_.schemaId).toSet.contains(next.schemaId))
   }
 
+  test("primary keys: inline, table-level (composite, ordinal order), constraint form") {
+    import MysqlDdlToStruct.createTable
+    assert(createTable("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)")._2 == Seq("id"))
+    assert(createTable(
+      "CREATE TABLE t (a INT, b VARCHAR(10), c INT, PRIMARY KEY (b, a))")._2 == Seq("b", "a"))
+    assert(createTable(
+      "CREATE TABLE t (a INT, b INT, CONSTRAINT pk PRIMARY KEY (a))")._2 == Seq("a"))
+    // prefix lengths and index options don't pollute the key list
+    assert(createTable(
+      "CREATE TABLE t (n VARCHAR(100), m INT, PRIMARY KEY (n(10), m) USING BTREE)")._2 ==
+      Seq("n", "m"))
+    assert(createTable("CREATE TABLE t (a INT, b INT)")._2 == Nil)
+  }
+
+  test("primary keys evolve through ALTER and land in the Avro schema") {
+    val c = cat
+    val ts1 = c.applyDdl("cl", "db",
+      "CREATE TABLE biz (id INT, name VARCHAR(64), PRIMARY KEY (id))").get
+    assert(ts1.pkeys == Seq("id"))
+    // same columns, different key → different schema identity
+    val ts2 = c.applyDdl("cl", "db", "ALTER TABLE biz DROP PRIMARY KEY").get
+    assert(ts2.pkeys.isEmpty && ts2.schemaId != ts1.schemaId)
+    val ts3 = c.applyDdl("cl", "db", "ALTER TABLE biz ADD PRIMARY KEY (id, name)").get
+    assert(ts3.pkeys == Seq("id", "name"))
+    // CHANGE renames the key member; DROP COLUMN removes it
+    val ts4 = c.applyDdl("cl", "db", "ALTER TABLE biz CHANGE name title VARCHAR(64)").get
+    assert(ts4.pkeys == Seq("id", "title"))
+    val ts5 = c.applyDdl("cl", "db", "ALTER TABLE biz DROP COLUMN title").get
+    assert(ts5.pkeys == Seq("id"))
+    // Avro carries 1-based pkey ordinals on the key fields
+    val avro = graft.cdc.AvroEnvelope.avroSchemaJson("biz", ts3.struct, ts3.pkeys)
+    val parsed = new org.apache.avro.Schema.Parser().parse(avro)
+    assert(parsed.getField("id").getObjectProp("pkey") == 1)
+    assert(parsed.getField("name").getObjectProp("pkey") == 2)
+    assert(parsed.getField("id").schema().getType == org.apache.avro.Schema.Type.UNION)
+  }
+
+  test("ADD AFTER/FIRST ordering holds for comma-bearing types (DECIMAL/ENUM params)") {
+    val c = cat
+    c.applyDdl("cl", "db", "CREATE TABLE t (a INT, b INT, c INT)")
+    // the comma inside DECIMAL(10,2) must not hide the AFTER clause
+    val afterDec = c.applyDdl("cl", "db",
+      "ALTER TABLE t ADD price DECIMAL(10,2) DEFAULT NULL AFTER a").get
+    assert(afterDec.struct.fieldNames.toSeq == Seq("a", "price", "b", "c"))
+    val afterEnum = c.applyDdl("cl", "db",
+      "ALTER TABLE t ADD st ENUM('x','y') AFTER b").get
+    assert(afterEnum.struct.fieldNames.toSeq == Seq("a", "price", "b", "st", "c"))
+    // FIRST after a parameterized type
+    val first = c.applyDdl("cl", "db",
+      "ALTER TABLE t ADD lead VARCHAR(32) FIRST").get
+    assert(first.struct.fieldNames.toSeq == Seq("lead", "a", "price", "b", "st", "c"))
+    // an AFTER belonging to the NEXT operation must not leak backwards
+    val multi = c.applyDdl("cl", "db",
+      "ALTER TABLE t ADD tail INT, ADD mid DECIMAL(8,3) AFTER a").get
+    assert(multi.struct.fieldNames.toSeq ==
+      Seq("lead", "a", "mid", "price", "b", "st", "c", "tail"))
+  }
+
+  test("restored catalog keeps the full fingerprint history (stable ids across restarts)") {
+    val c = cat
+    val id = TableId("cl", "db", "t")
+    val v1 = StructType(Seq(StructField("a", IntegerType)))
+    val v2 = StructType(Seq(StructField("a", IntegerType), StructField("b", LongType)))
+    val id1 = c.register(id, v1).schemaId
+    val id2 = c.register(id, v2).schemaId
+    val c2 = new SchemaCatalog()
+    c2.restore(c.snapshotJson)
+    // re-registering the OLD (non-current) schema after recovery must
+    // return its original id, not mint a new one
+    assert(c2.register(id, v1).schemaId == id1)
+    assert(c2.register(id, v2).schemaId == id2)
+    assert(c2.all(id).pkeys == Nil)
+  }
+
   test("BEGIN/COMMIT and unsupported statements are no-ops") {
     val c = cat
     assert(c.applyDdl("cl", "db", "BEGIN").isEmpty)
