@@ -29,9 +29,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * }}}
   *
   * Exactly-once: Spark's checkpoint replays an uncommitted batch after a
-  * crash; the state mirror's batchId check makes the side effects
-  * idempotent, mirroring the reference's at-least-once + dedupe
-  * (components/recovery_handler.py:160-168).
+  * crash. Two mechanisms make the replayed side effects idempotent:
+  * committed batches are skipped by the state mirror's batchId check
+  * (reference offset-dedupe, components/recovery_handler.py:160-168), and
+  * an UNcommitted batch (crash after the sink write, before saveState)
+  * re-OVERWRITES its own `batch=<id>` output directory rather than
+  * appending — so the parquet sink never holds duplicate rows. Catalog
+  * replay is idempotent too: the in-memory catalog dies with the crash,
+  * the restart restores the pre-batch snapshot, and fingerprint-keyed
+  * registration re-mints the same schema ids (proved by the mid-DDL crash
+  * test, mirroring reference failure_recovery_test.py:493+).
   */
 object CdcPipeline {
 
@@ -108,25 +115,42 @@ object CdcPipeline {
     }
   }
 
-  /** T35 — single-instance lock with ZK-ephemeral-style stale takeover: the
-    * lock names the holder's streaming runId; it is live only while that
-    * query is active on this SparkSession (the reference holds a ZooKeeper
-    * lock for the process lifetime; base_parse_replication_stream.py:124-132). */
+  /** T35 — single-instance lock with ZK-ephemeral-style stale takeover
+    * (the reference holds a ZooKeeper lock for the process lifetime;
+    * base_parse_replication_stream.py:124-132). The lock carries a
+    * `pid:runId` liveness token: a lock from THIS process is live while
+    * its streaming query is active; a lock from another process is live
+    * while that pid exists. A dead holder's lock is stolen. */
   private def acquireLock(spark: SparkSession, stateDir: String, runId: String): Unit = {
     Files.createDirectories(Paths.get(stateDir))
     val f = lockFile(stateDir)
     if (Files.exists(f)) {
       val holder = Files.readString(f).trim
-      val live = spark.streams.active.exists(_.runId.toString == holder)
+      val (holderPid, holderRun) = holder.split(":", 2) match {
+        case Array(p, r) => (p.toLongOption, r)
+        case _ => (None, holder)
+      }
+      val selfPid = ProcessHandle.current().pid()
+      val live = holderPid match {
+        case Some(p) if p == selfPid =>
+          spark.streams.active.exists(_.runId.toString == holderRun)
+        case Some(p) =>
+          ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+        case None => // legacy runId-only token: liveness check within this JVM
+          spark.streams.active.exists(_.runId.toString == holderRun)
+      }
       if (live) throw new IllegalStateException(
-        s"another pipeline instance (runId=$holder) holds the lock on $stateDir")
+        s"another pipeline instance ($holder) holds the lock on $stateDir")
     }
-    Files.writeString(f, runId)
+    Files.writeString(f, lockToken(runId))
   }
+
+  private def lockToken(runId: String): String =
+    s"${ProcessHandle.current().pid()}:$runId"
 
   private def releaseLock(stateDir: String, runId: String): Unit = {
     val f = lockFile(stateDir)
-    if (Files.exists(f) && Files.readString(f).trim == runId) Files.delete(f)
+    if (Files.exists(f) && Files.readString(f).trim == lockToken(runId)) Files.delete(f)
   }
 
   /** Start the pipeline. `replayDir` holds parquet files in [[replaySchema]];
@@ -200,7 +224,7 @@ object CdcPipeline {
           // T31: replayed batch after restart — side effects already
           // committed; skip (offset-dedupe parity).
         } else {
-          processBatch(spark, batch, catalog, outDir)
+          processBatch(spark, batch, batchId, catalog, outDir)
           saveState(stateDir, batchId, catalog, clean = false)
           lastCommitted = batchId
         }
@@ -208,12 +232,18 @@ object CdcPipeline {
       }
       .start()
     runId = query.runId.toString
-    Files.writeString(lockFile(stateDir), runId)
+    Files.writeString(lockFile(stateDir), lockToken(runId))
     query
   }
 
-  private def processBatch(spark: SparkSession, batch: DataFrame, catalog: SchemaCatalog,
-      outDir: String): Unit = {
+  /** Test injection point: runs after the DDL branch of a batch has been
+    * applied to the catalog but BEFORE the data write and state save —
+    * throwing here simulates the reference's mid-DDL crash
+    * (failure_recovery_test.py:493+). */
+  private[streaming] var afterDdlHook: Long => Unit = _ => ()
+
+  private def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      catalog: SchemaCatalog, outDir: String): Unit = {
     val cached = batch.persist()
     try {
       // ---- DDL branch (T19 routing; T24 barrier = this runs before the
@@ -226,6 +256,7 @@ object CdcPipeline {
       ddls.foreach { r =>
         catalog.applyDdl(CdcSqlFragments.CLUSTER, r.getString(1), r.getString(2))
       }
+      afterDdlHook(batchId)
 
       // ---- heartbeat branch (T5): update lag beacon only.
       val hbMax = cached.filter(col("kind") === "heartbeat")
@@ -252,10 +283,31 @@ object CdcPipeline {
       val env = CdcOps.envelope(CdcOps.typeTransforms(CdcOps.images(
         CdcOps.enrich(CdcOps.explodeRows(data), reg))))
 
-      // strict per-topic order on publish (single partition per topic)
+      // strict per-topic order on publish (single partition per topic —
+      // the same constraint Kafka's per-topic-partition ordering imposes).
+      // Idempotent sink: the batch OVERWRITES its own batch=<id> directory,
+      // so a crash-replay of an uncommitted batch cannot duplicate rows.
       env.repartition(col("topic"))
         .sortWithinPartitions("pos_key")
-        .write.mode(SaveMode.Append).parquet(outDir)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
     } finally cached.unpersist()
   }
+
+  /** T26 Kafka wire shape: the envelope mapped to the kafka sink contract
+    * (topic/key/value/headers). The reference's real sink is an async Kafka
+    * producer flushed per batch (base_parse_replication_stream.py:207-221);
+    * here the frame is writable with `.write.format("kafka")` — wiring is
+    * plan-tested only, as no broker exists in this environment. `key` is
+    * the per-topic ordering key (pos_key), so a keyed partitioner preserves
+    * the per-row ordering contract; headers carry schema_id + transaction
+    * id, matching the reference's message metadata. */
+  def kafkaFrame(env: DataFrame): DataFrame =
+    env.select(
+      col("topic"),
+      col("pos_key").cast("binary").as("key"),
+      to_json(struct(env.columns.map(col): _*)).cast("binary").as("value"),
+      array(
+        struct(lit("schema_id").as("key"), col("schema_id").cast("string").cast("binary").as("value")),
+        struct(lit("transaction_id").as("key"), col("transaction_id").cast("binary").as("value"))
+      ).as("headers"))
 }

@@ -25,14 +25,17 @@ class CdcPipelineSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Write the events table as N replay segment files. */
+  /** Write the events table as N replay segment files — one parquet file
+    * per segment (a hash repartition can collapse segments into one file,
+    * which silently turns the multi-batch tests into single-batch ones). */
   private def writeSegments(dir: String, parts: Int): Unit = {
     val ev = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value", "props", "ts_us")
-    ev.withColumn("seg", pmod(col("event_id"), lit(parts)))
-      .repartition(col("seg"))
-      .drop("seg")
-      .write.mode("overwrite").parquet(dir)
+    (0 until parts).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(parts)) === i)
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
   }
 
   test("streaming pipeline matches the batch pipeline and survives restart without dupes") {
@@ -135,6 +138,71 @@ class CdcPipelineSpec extends AnyFunSuite {
     eventually() {
       assert(!Files.exists(java.nio.file.Paths.get(s"$root/st", "lock")))
     }
+  }
+
+  test("mid-DDL crash: replayed batch re-applies DDL idempotently, no output dupes") {
+    // reference failure_recovery_test.py:493+ kills the process between the
+    // schema-event apply and the state save, then asserts the restart
+    // restores and re-applies cleanly. Here: throw after the DDL branch of
+    // the FIRST unseen batch (catalog mutated in memory, nothing persisted),
+    // restart, and require identical results to a never-crashed run.
+    val root = Files.createTempDirectory("cdc-crash").toString
+    writeSegments(s"$root/replay", 3)
+    val cleanRoot = Files.createTempDirectory("cdc-crash-clean").toString
+    writeSegments(s"$cleanRoot/replay", 3)
+
+    // reference run without a crash
+    val qc = CdcPipeline.start(spark, s"$cleanRoot/replay", s"$cleanRoot/out",
+      s"$cleanRoot/ck", s"$cleanRoot/st")
+    qc.awaitTermination()
+
+    // crashing run: die mid-batch once, at the second batch
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    CdcPipeline.afterDdlHook = { batchId =>
+      if (batchId == 1 && crashed.compareAndSet(false, true))
+        throw new RuntimeException("injected mid-DDL crash")
+    }
+    try {
+      val q1 = CdcPipeline.start(spark, s"$root/replay", s"$root/out", s"$root/ck", s"$root/st")
+      intercept[Exception] { q1.awaitTermination() }
+    } finally CdcPipeline.afterDdlHook = _ => ()
+    assert(crashed.get, "the injected crash must have fired")
+    // the crashed batch must not have been committed
+    assert(CdcPipeline.loadState(s"$root/st").get.lastBatchId == 0L)
+
+    // restart: batch 1 replays (DDLs re-applied on the restored catalog)
+    val q2 = CdcPipeline.start(spark, s"$root/replay", s"$root/out", s"$root/ck", s"$root/st")
+    q2.awaitTermination()
+
+    // output identical to the never-crashed run — no dupes, no loss
+    val got = spark.read.parquet(s"$root/out").drop("batch")
+    val want = spark.read.parquet(s"$cleanRoot/out").drop("batch")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // catalog state identical too: schema ids minted during the replayed
+    // DDL apply equal the ones a crash-free run mints (idempotence)
+    assert(CdcPipeline.loadState(s"$root/st").get.catalogJson ==
+      CdcPipeline.loadState(s"$cleanRoot/st").get.catalogJson)
+  }
+
+  test("kafka sink frame carries topic/key/value/headers in the kafka contract shape") {
+    import org.apache.spark.sql.types._
+    val env = CdcOps.pipeline(Tables.events(spark, sfDir))
+    val kf = CdcPipeline.kafkaFrame(env)
+    val schema = kf.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(schema("topic") == StringType)
+    assert(schema("key") == BinaryType)
+    assert(schema("value") == BinaryType)
+    val hdrElem = schema("headers").asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(hdrElem.fieldNames.toSeq == Seq("key", "value"))
+    assert(hdrElem("key").dataType == StringType && hdrElem("value").dataType == BinaryType)
+    // key preserves the per-topic ordering key; headers carry the metadata
+    val row = kf.orderBy("topic", "key").limit(1).collect()(0)
+    val first = env.orderBy("topic", "pos_key").limit(1).collect()(0)
+    assert(new String(row.getAs[Array[Byte]]("key")) == first.getAs[String]("pos_key"))
+    val hdrs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("headers"))
+    assert(hdrs.map(_.getString(0)) == Seq("schema_id", "transaction_id"))
   }
 
   test("per-topic output preserves binlog order (SURVEY §7.4 risk 3)") {
