@@ -71,6 +71,20 @@ WITH wordsx AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), shdf AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shingles GROUP BY sh
+), rare AS (
+  SELECT s.doc_id, s.sh FROM shingles s JOIN shdf f ON s.sh = f.sh WHERE f.df <= 20
+), rsizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM rare GROUP BY 1
+), rprs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), rjacp AS (
+  SELECT p.doc_a, p.doc_b, p.common, sa.n_sh AS sa, sb.n_sh AS sb,
+         CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) AS jac
+  FROM rprs p JOIN rsizes sa ON p.doc_a = sa.doc_id JOIN rsizes sb ON p.doc_b = sb.doc_id
 ), tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ), sbits AS (
@@ -163,7 +177,7 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT md5(text) AS fp, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keeper""",
     "d2_dedup_ngram_jaccard" -> (docProlog + """
-      SELECT doc_a, doc_b, common, sa, sb, jac FROM jacp
+      SELECT doc_a, doc_b, common, sa, sb, jac FROM rjacp
       WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""),
     "d3_dedup_minhash_lsh" -> (docProlog + """
       SELECT c.doc_a, c.doc_b, j.jac
@@ -173,9 +187,13 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT doc_id, simhash, CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
       FROM simh ORDER BY doc_id"""),
     "d5_dedup_embedding" -> (vecProlog + s"""
-, dpairs AS (
+, dvb AS (
+  SELECT q.*, bk.bucket % 16 AS dbucket
+  FROM qn q JOIN buckets bk ON q.vec_id = bk.vec_id
+), dpairs AS (
   SELECT a.vec_id, b.vec_id AS nn_id, ${pairDot("a", "b")} AS dot, a.nn AS na, b.nn AS nb
-  FROM qn a JOIN qn b ON a.label = b.label AND b.vec_id <> a.vec_id
+  FROM dvb a JOIN dvb b
+    ON a.label = b.label AND a.dbucket = b.dbucket AND b.vec_id <> a.vec_id
 ), dscored AS (
   SELECT vec_id, nn_id,
          CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
@@ -183,7 +201,9 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
 ), dranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS r FROM dscored
 )
-SELECT vec_id, nn_id, cos, cos >= 0.95 AS is_dup FROM dranked WHERE r = 1 ORDER BY vec_id"""),
+SELECT q.vec_id, d.nn_id, d.cos, coalesce(d.cos >= 0.95, false) AS is_dup
+FROM qn q LEFT JOIN (SELECT * FROM dranked WHERE r = 1) d ON q.vec_id = d.vec_id
+ORDER BY q.vec_id"""),
     "s1_ann_brute" -> (vecProlog +
       topK("a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id", 5)),
     "s2_ann_ivf" -> (vecProlog +

@@ -80,17 +80,20 @@ object VectorOps {
     (hex.charAt(0).toInt % 2) * 2 - 1
   }
 
-  /** LSH bucket per vector: bit b set iff the signed projection is
+  /** LSH bucket expression: bit b set iff the signed projection is
     * positive (exact integer sum). The hyperplanes are literal arrays, the
     * projections are native codegen'd dot products — the whole bucketing
-    * is a narrow projection over the scan. */
-  def lshBuckets(spark: SparkSession, v: DataFrame, bits: Int = 8): DataFrame = {
-    val bucketExpr = (0 until bits).map { b =>
+    * is a narrow projection over the scan. Bit b of an n-bit bucket equals
+    * bit b of any wider bucket (same per-bit hyperplanes), so a k-bit
+    * bucket is the k low bits of the 8-bit one. */
+  def bucketExpr(bits: Int): String =
+    (0 until bits).map { b =>
       val sgns = (1 to 64).map(d => hyperplaneSign(b, d)).mkString(", ")
       s"CASE WHEN graft_dot_long(qv, CAST(array($sgns) AS ARRAY<BIGINT>)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
-    v.select(col("vec_id"), expr(bucketExpr).as("bucket"))
-  }
+
+  def lshBuckets(spark: SparkSession, v: DataFrame, bits: Int = 8): DataFrame =
+    v.select(col("vec_id"), expr(bucketExpr(bits)).as("bucket"))
 
   /** s3 — LSH-bucketed ANN: candidates share the bucket; top-k within. */
   def annLsh(spark: SparkSession, embeddings: DataFrame, everyNth: Int = 50, k: Int = 3): DataFrame = {
@@ -107,21 +110,34 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
-  /** d5 — embedding near-dup: exact nearest neighbor per vector within its
-    * label cell, flagged as dup over a cosine threshold. */
-  def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+  /** d5 — embedding near-dup: nearest candidate per vector, flagged as dup
+    * over a cosine threshold. Candidates must share the label cell AND the
+    * low-`bits` LSH bucket, so a dense label cell subdivides into 2^bits
+    * hash cells instead of going quadratic — the per-cell pair count is
+    * ~(n/2^bits)² per label rather than n². True near-dups (cos → 1) land
+    * in the same bucket with probability (1 - θ/π)^bits ≈ 1, so recall on
+    * actual duplicates is preserved; at larger corpus sizes raise `bits`
+    * to hold the cell size constant (bits ≈ log2(n_label / target_cell)).
+    * Vectors with no candidate in their (label, bucket) cell emit a null
+    * neighbor and is_dup=false. */
+  def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.95,
+      bits: Int = 4): DataFrame = {
     val v = quantized(embeddings)
-    val a = v.select(col("vec_id").as("query_id"), col("label").as("q_label"),
-      col("qv").as("q_qv"), col("nn").as("q_nn"))
-    val pairs = a.join(v, col("q_label") === col("label") && col("vec_id") =!= col("query_id"))
+    val vb = v.withColumn("bucket", expr(bucketExpr(bits))) // narrow, no join
+    val a = vb.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("qv").as("q_qv"), col("nn").as("q_nn"), col("bucket").as("q_bucket"))
+    val best = a.join(vb,
+        col("q_label") === col("label") && col("q_bucket") === col("bucket") &&
+          col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr(dotExpr))
       .withColumn("cos", expr(cosExpr))
-    pairs
       .withColumn("rnk", row_number()
         .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") === 1)
-      .select(col("query_id").as("vec_id"), col("vec_id").as("nn_id"),
-        col("cos"), (col("cos") >= threshold).as("is_dup"))
+      .select(col("query_id").as("vec_id"), col("vec_id").as("nn_id"), col("cos"))
+    v.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nn_id"), col("cos"),
+        coalesce(col("cos") >= threshold, lit(false)).as("is_dup"))
       .orderBy("vec_id")
   }
 }

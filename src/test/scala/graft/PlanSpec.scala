@@ -103,6 +103,25 @@ class PlanSpec extends AnyFunSuite {
       "d3 must only hash-join on band/pair keys:\n" + s.take(2000))
   }
 
+  test("embedding dedup joins on (label, bucket) — no per-label all-pairs remains") {
+    val (s, _) = planOf("d5_dedup_embedding")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "d5 must hash-join on candidate keys:\n" + s.take(2000))
+    // the candidate join must key on the LSH bucket, not label alone — a
+    // label-only join is quadratic in the label cell size
+    val joinKeyed = s.linesIterator.filter(l => l.contains("Join") && l.contains("label"))
+      .forall(_.contains("bucket"))
+    assert(joinKeyed, "d5 candidate join lost the bucket key:\n" + s.take(2000))
+  }
+
+  test("ngram-jaccard candidates come from df-capped shingles (hub join bounded)") {
+    val (s, _) = planOf("d2_dedup_ngram_jaccard")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "d2 must only hash-join:\n" + s.take(2000))
+    // the df filter must exist in the plan (df <= 20 pre-join)
+    assert(s.contains("20"), "d2 shingle-frequency cap missing from plan:\n" + s.take(2000))
+  }
+
   test("brute ANN uses the native codegen'd dot product, not HOF lambdas") {
     val (s, p) = planOf("s1_ann_brute")
     assert(s.contains("graft_dot_long"), "native expression missing:\n" + s.take(2000))
