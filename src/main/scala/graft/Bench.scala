@@ -23,7 +23,7 @@ object Bench {
     "q11_user_sessions", "q18_large_volume_customer",
     "q12_rollup_revenue", "q13_semi_anti_join", "q14_set_ops", "q15_asof_heartbeat",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
-    "d4_dedup_simhash", "d5_dedup_embedding",
+    "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
     "x5_top_terms", "x6_vocab_bigrams",

@@ -26,6 +26,7 @@ object DataQueries {
     "d3_dedup_minhash_lsh" -> docs(TextOps.dedupMinhashLsh(_)),
     "d4_dedup_simhash" -> docs(TextOps.simhash),
     "d5_dedup_embedding" -> embs(VectorOps.dedupEmbedding(_)),
+    "d6_dedup_clusters" -> docs(TextOps.dedupClusters(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -183,6 +184,30 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT c.doc_a, c.doc_b, j.jac
       FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
       WHERE j.jac >= 0.5 ORDER BY c.doc_a, c.doc_b"""),
+    // transitive closure of the dup-pair graph; WITH RECURSIVE is needed
+    // for the walk CTE, so the shared prologue's WITH is upgraded
+    "d6_dedup_clusters" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + """
+      , e0 AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jac >= 0.5
+      ), e AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+      ), walk(n, m) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a
+      ), comp AS (
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM walk GROUP BY n
+      ), lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      ), csizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1
+      )
+      SELECT l.doc_id, l.cluster_id, s.cluster_size
+      FROM lab l JOIN csizes s ON l.cluster_id = s.cluster_id
+      ORDER BY l.doc_id"""),
     "d4_dedup_simhash" -> (docProlog + """
       SELECT doc_id, simhash, CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
       FROM simh ORDER BY doc_id"""),
