@@ -27,6 +27,8 @@ object DataQueries {
     "d4_dedup_simhash" -> docs(TextOps.simhash),
     "d5_dedup_embedding" -> embs(VectorOps.dedupEmbedding(_)),
     "d6_dedup_clusters" -> docs(TextOps.dedupClusters(_)),
+    "x7_repetition" -> docs(TextOps.repetition),
+    "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -250,6 +252,59 @@ ORDER BY q.vec_id"""),
 )
 SELECT query_id, neighbor_id, rnk, dot, cos, bucket FROM ranked
 WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+    "x7_repetition" -> (docProlog + """
+      , wcnt AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+      ), wdoc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct_words,
+               CAST(max(c) AS BIGINT) AS top_word_n
+        FROM wcnt GROUP BY 1
+      ), tcnt AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t FROM sh0) q
+        GROUP BY 1, 2
+      ), tdoc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tris,
+               CAST(count(*) AS BIGINT) AS n_distinct_tris
+        FROM tcnt GROUP BY 1
+      )
+      SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_n,
+        CAST(w.n_words - w.n_distinct_words AS DOUBLE) / w.n_words AS dup_word_frac,
+        CAST(w.top_word_n AS DOUBLE) / w.n_words AS top_word_frac,
+        CAST(t.n_tris - t.n_distinct_tris AS DOUBLE) / t.n_tris AS dup_trigram_frac
+      FROM wdoc w LEFT JOIN tdoc t ON w.doc_id = t.doc_id
+      ORDER BY w.doc_id"""),
+    "x8_length_quantiles" -> s"""
+      WITH lens AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               ${TextOps.LangCase} AS lang_pred
+        FROM (SELECT doc_id, text,
+                CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS en_n,
+                CAST(${cntSum(TextOps.StopwordsDe)} AS BIGINT) AS de_n,
+                CAST(${cntSum(TextOps.StopwordsEs)} AS BIGINT) AS es_n
+              FROM documents) q
+      ), hist AS (
+        SELECT lang_pred, n_words, CAST(count(*) AS BIGINT) AS c
+        FROM lens GROUP BY 1, 2
+      ), cum AS (
+        SELECT lang_pred, n_words, c,
+          CAST(sum(c) OVER (PARTITION BY lang_pred ORDER BY n_words
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY lang_pred) AS BIGINT) AS n
+        FROM hist
+      ), p50 AS (
+        SELECT lang_pred, min(n_words) AS p50_words FROM cum
+        WHERE cum >= CAST(floor((n + 1) / 2.0) AS BIGINT) GROUP BY 1
+      ), p90 AS (
+        SELECT lang_pred, min(n_words) AS p90_words FROM cum
+        WHERE cum >= CAST(floor((9 * n + 9) / 10.0) AS BIGINT) GROUP BY 1
+      ), nd AS (
+        SELECT lang_pred, max(n) AS n_docs FROM cum GROUP BY 1
+      )
+      SELECT p50.lang_pred, nd.n_docs, p50.p50_words, p90.p90_words
+      FROM p50 JOIN p90 USING (lang_pred) JOIN nd USING (lang_pred)
+      ORDER BY lang_pred""",
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

@@ -80,6 +80,67 @@ object TextOps {
       .withColumn("fp", expr("md5(array_join(array_sort(split(text, ' ')), ' '))"))
       .select("doc_id", "fp")
 
+  /** x7 — repetition-ratio quality signals (the Gopher-report style
+    * repetition filters: duplicate-token fraction, most-frequent-token
+    * fraction, duplicate-trigram fraction). All counts are integers, the
+    * fractions one IEEE division each, so the oracle matches bitwise.
+    *
+    * Scale: explode → (doc, token) hash aggregation → per-doc rollup; the
+    * shuffles are keyed by (doc, token) with map-side partials, never
+    * wider than the tokenized corpus. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val words = documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val perDoc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word_n"))
+    val tris = documents
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 2)))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("t"))
+    val triDoc = tris.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tris"),
+        count(lit(1)).as("n_distinct_tris"))
+    perDoc.join(triDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"), col("top_word_n"),
+        expr("CAST(n_words - n_distinct_words AS DOUBLE) / n_words").as("dup_word_frac"),
+        expr("CAST(top_word_n AS DOUBLE) / n_words").as("top_word_frac"),
+        expr("CAST(n_tris - n_distinct_tris AS DOUBLE) / n_tris").as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x8 — exact per-language length quantiles WITHOUT a global sort: the
+    * corpus first shrinks to a (language, length) histogram (one keyed
+    * aggregation), then the quantile is selected as the smallest length
+    * whose cumulative count reaches ceil(q·n) — windows run over the tiny
+    * histogram, never over documents. Thresholds use the integer identity
+    * ceil(q·n) = floor((q·n + denom-1)/denom) computed in doubles below
+    * 2^53, so both engines agree exactly. */
+  def lengthQuantiles(documents: DataFrame): DataFrame = {
+    val lang = langId(documents).select("doc_id", "lang_pred")
+    val lengths = documents
+      .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"))
+      .join(lang, "doc_id")
+    val hist = lengths.groupBy("lang_pred", "n_words").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang_pred").orderBy("n_words")
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang_pred")))
+    def pick(thresholdExpr: String, name: String) =
+      cum.filter(expr(s"cum >= $thresholdExpr"))
+        .groupBy("lang_pred").agg(min("n_words").as(name))
+    pick("CAST(floor((n + 1) / 2.0) AS BIGINT)", "p50_words")
+      .join(pick("CAST(floor((9 * n + 9) / 10.0) AS BIGINT)", "p90_words"), "lang_pred")
+      .join(cum.groupBy("lang_pred").agg(max("n").as("n_docs")), "lang_pred")
+      .select("lang_pred", "n_docs", "p50_words", "p90_words")
+      .orderBy("lang_pred")
+  }
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
