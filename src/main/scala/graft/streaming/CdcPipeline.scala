@@ -60,7 +60,14 @@ object CdcPipeline {
     StructField("payload_value", DoubleType),
     StructField("payload_k", IntegerType)))
 
-  final case class State(lastBatchId: Long, catalogJson: String, cleanShutdown: Boolean)
+  final case class State(
+      lastBatchId: Long, catalogJson: String, cleanShutdown: Boolean,
+      /** Saved stream coordinate (reference GlobalEventState.position,
+        * models/global_event_state.py:37-92), reconstructible via
+        * [[graft.cdc.Position.construct]]. Spark's checkpoint owns the
+        * actual source resume; this mirror is the app-visible position the
+        * reference exposes for monitoring and catch-up bounds. */
+      position: Map[String, String] = Map.empty)
 
   /** Per-micro-batch stats surfaced by the `observe` node (T37 counters +
     * T5 lag beacon; reference parse_replication_stream_internal.py:47-88
@@ -86,18 +93,26 @@ object CdcPipeline {
       import org.json4s.jackson.JsonMethods
       implicit val fmt: Formats = DefaultFormats
       val root = JsonMethods.parse(Files.readString(f))
+      val pos = (root \ "position") match {
+        case JObject(fs) => fs.map { case (k, v) => k -> v.extract[String] }.toMap
+        case _ => Map.empty[String, String]
+      }
       Some(State((root \ "lastBatchId").extract[Long],
         JsonMethods.compact(root \ "catalog"),
-        (root \ "cleanShutdown").extractOrElse[Boolean](true)))
+        (root \ "cleanShutdown").extractOrElse[Boolean](true),
+        pos))
     }
   }
 
   private def saveState(stateDir: String, batchId: Long, cat: SchemaCatalog,
-      clean: Boolean): Unit = {
+      clean: Boolean, position: Map[String, String]): Unit = {
     Files.createDirectories(Paths.get(stateDir))
     val tmp = Paths.get(stateDir, s".state.json.tmp")
+    val posJson = position.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     Files.writeString(tmp,
-      s"""{"lastBatchId":$batchId,"cleanShutdown":$clean,"catalog":${cat.snapshotJson}}""")
+      s"""{"lastBatchId":$batchId,"cleanShutdown":$clean,""" +
+        s""""position":$posJson,"catalog":${cat.snapshotJson}}""")
     Files.move(tmp, stateFile(stateDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -167,6 +182,7 @@ object CdcPipeline {
     val catalog = new SchemaCatalog(piiTables = CdcSqlFragments.PII_TABLES.toSet)
     loadState(stateDir).foreach(s => catalog.restore(s.catalogJson)) // T30 recovery
     var lastCommitted = loadState(stateDir).map(_.lastBatchId).getOrElse(-1L)
+    var lastPosition = loadState(stateDir).map(_.position).getOrElse(Map.empty[String, String])
 
     // provisional lock token; swapped for the streaming runId once known
     val token = java.util.UUID.randomUUID().toString
@@ -224,8 +240,9 @@ object CdcPipeline {
           // T31: replayed batch after restart — side effects already
           // committed; skip (offset-dedupe parity).
         } else {
-          processBatch(spark, batch, batchId, catalog, outDir)
-          saveState(stateDir, batchId, catalog, clean = false)
+          val position = processBatch(spark, batch, batchId, catalog, outDir)
+          lastPosition = mergePosition(lastPosition, position)
+          saveState(stateDir, batchId, catalog, clean = false, lastPosition)
           lastCommitted = batchId
         }
         ()
@@ -242,8 +259,31 @@ object CdcPipeline {
     * (failure_recovery_test.py:493+). */
   private[streaming] var afterDdlHook: Long => Unit = _ => ()
 
+  /** Positions only ADVANCE (the reference updates GlobalEventState as it
+    * processes, never backwards): keep the larger (log_file, log_pos)
+    * coordinate and, independently, the larger heartbeat serial — a batch
+    * holding earlier binlog segments must not regress either. */
+  private[streaming] def mergePosition(
+      prev: Map[String, String], next: Map[String, String]): Map[String, String] =
+    if (prev.isEmpty) next
+    else {
+      def coord(m: Map[String, String]) =
+        (m.getOrElse("log_file", ""), m.get("log_pos").map(_.toLong).getOrElse(0L))
+      def hbSerial(m: Map[String, String]) =
+        m.get("hb_serial").map(_.toLong).getOrElse(-1L)
+      val coordKeys = Set("log_file", "log_pos", "offset")
+      val hbKeys = Set("hb_serial", "hb_timestamp")
+      val c = if (Ordering.Tuple2[String, Long].gteq(coord(next), coord(prev))) next else prev
+      val h = if (hbSerial(next) >= hbSerial(prev)) next else prev
+      c.filter(e => coordKeys(e._1)) ++ h.filter(e => hbKeys(e._1))
+    }
+
+  /** Returns the batch's position mirror (a [[graft.cdc.LogPosition]]
+    * dict): the last (log_file, log_pos) of the batch plus the latest
+    * heartbeat beacon — what the reference persists as
+    * GlobalEventState.position. */
   private def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      catalog: SchemaCatalog, outDir: String): Unit = {
+      catalog: SchemaCatalog, outDir: String): Map[String, String] = {
     val cached = batch.persist()
     try {
       // ---- DDL branch (T19 routing; T24 barrier = this runs before the
@@ -258,10 +298,22 @@ object CdcPipeline {
       }
       afterDdlHook(batchId)
 
-      // ---- heartbeat branch (T5): update lag beacon only.
-      val hbMax = cached.filter(col("kind") === "heartbeat")
-        .agg(max("ts_us")).collect()(0)
-      val _ = hbMax // lag gauge hook (T37); surfaced via query.lastProgress
+      // ---- heartbeat/position branch (T5/T27): one aggregate over the
+      // batch yields the position mirror — the max binlog coordinate and
+      // the latest heartbeat beacon (serial, timestamp).
+      val posRow = cached.agg(
+        max(struct(col("log_file"), col("log_pos"))).as("p"),
+        max(when(col("kind") === "heartbeat",
+          struct(col("event_id"), col("ts_us")))).as("hb"))
+        .collect()(0)
+      val position = {
+        val p = posRow.getStruct(0)
+        val hb = Option(posRow.getStruct(1))
+        graft.cdc.LogPosition(
+          logPos = Some(p.getLong(1)), logFile = Some(p.getString(0)),
+          offset = Some(0), // batch boundaries are whole files
+          hbSerial = hb.map(_.getLong(0)), hbTimestamp = hb.map(_.getLong(1))).toDict
+      }
 
       // ---- data branch
       val data = CdcOps.blacklistFilter(CdcOps.retarget(CdcOps.whitelist(
@@ -290,6 +342,7 @@ object CdcPipeline {
       env.repartition(col("topic"))
         .sortWithinPartitions("pos_key")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+      position
     } finally cached.unpersist()
   }
 

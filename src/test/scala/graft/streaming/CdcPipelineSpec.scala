@@ -60,6 +60,23 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "streaming envelope must equal batch envelope")
 
+    // T27/T28 — the state mirror carries the reference-shaped position:
+    // the max binlog coordinate of the stream plus the latest heartbeat
+    // beacon, reconstructible through the Position ADT
+    val savedPos = graft.cdc.Position.construct(CdcPipeline.loadState(stDir).get.position)
+    savedPos match {
+      case lp: graft.cdc.LogPosition =>
+        // position advances on ADMITTED events (the reference updates it
+        // as it processes; only_events-filtered kinds don't move it)
+        val expMax = CdcOps.admit(graft.cdc.CdcReplay.fromEvents(Tables.events(spark, sfDir)))
+          .agg(max(struct(col("log_file"), col("log_pos")))).collect()(0).getStruct(0)
+        assert(lp.logFile.contains(expMax.getString(0)) && lp.logPos.contains(expMax.getLong(1)))
+        assert(lp.hbSerial.nonEmpty && lp.hbTimestamp.nonEmpty,
+          "position must carry the latest heartbeat beacon")
+        assert(lp.toReplicationDict.keySet == Set("log_pos", "log_file"))
+      case other => fail(s"expected a LogPosition, got $other")
+    }
+
     // restart with no new input: no duplicates may appear, and the restored
     // catalog must be byte-identical (T25/T30 snapshot round-trip)
     val catBefore = CdcPipeline.loadState(stDir).get.catalogJson
