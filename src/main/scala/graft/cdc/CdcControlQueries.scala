@@ -84,28 +84,39 @@ object CdcControlQueries {
     * broadcast back. `rn` is identical to the global row_number because
     * pos_key is unique and ranges are ordered.
     */
-  private def numbered(ch: CdcChain): DataFrame = {
+  /** Two-phase global numbering by a unique `orderCol`: range-repartition
+    * (ranges land on ascending partition ids), number locally in parallel,
+    * then add per-partition offsets computed on a #partitions-row frame
+    * and broadcast back. Identical to a global row_number because the
+    * order column is unique and ranges are ordered — without moving the
+    * data to one partition. The offsets window is unpartitioned but runs
+    * over #partitions rows by construction. */
+  private def twoPhaseNumber(df: DataFrame, orderCol: String,
+      rnName: String, cntName: String): DataFrame = {
     // persist: `local` feeds both the offsets aggregate and the join; an
     // unmaterialized range shuffle can be recomputed with DIFFERENT
     // sampled range bounds per branch, which desynchronizes partition ids
-    // and corrupts rn (observed at sf0.1)
-    val local = ch.env
-      .repartitionByRange(col("pos_key"))
+    // and corrupts the numbering (observed at sf0.1)
+    val local = df
+      .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrn",
-        row_number().over(Window.partitionBy("__pid").orderBy("pos_key")).cast("long"))
+        row_number().over(Window.partitionBy("__pid").orderBy(orderCol)).cast("long"))
       .persist()
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__pn"))
       .withColumn("__off", coalesce(
         sum("__pn").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .withColumn("cnt", sum("__pn").over(wFull).cast("long"))
-      .select("__pid", "__off", "cnt")
+      .withColumn(cntName, sum("__pn").over(wFull).cast("long"))
+      .select("__pid", "__off", cntName)
     local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("rn", col("__lrn") + col("__off"))
-      .withColumn("seq", row_number().over(wTopic).cast("long"))
+      .withColumn(rnName, col("__lrn") + col("__off"))
       .drop("__pid", "__lrn", "__off")
   }
+
+  private def numbered(ch: CdcChain): DataFrame =
+    twoPhaseNumber(ch.env, "pos_key", "rn", "cnt")
+      .withColumn("seq", row_number().over(wTopic).cast("long"))
 
   private def cutoff(n: DataFrame): DataFrame =
     n.filter(col("rn") === floor(col("cnt") * 0.6).cast("long"))
@@ -129,11 +140,14 @@ object CdcControlQueries {
   private val resumeTxnUdf = udf((gtid: String, offset: Int) =>
     GtidPosition.resumeTxn(gtid, Some(offset)))
 
+  /** Heartbeat history grows with wall time, not data volume — but years
+    * of beacons still should not single-partition, so it gets the same
+    * two-phase numbering as the envelope. */
   private def hbs(ch: CdcChain): DataFrame =
-    ch.cdc.filter(col("kind") === "heartbeat")
-      .select(col("event_id").as("serial"), col("ts_us"), col("log_file"), col("log_pos"))
-      .withColumn("hb_rn", row_number().over(Window.orderBy("serial")).cast("long"))
-      .withColumn("hb_cnt", count(lit(1)).over(wFull).cast("long"))
+    twoPhaseNumber(
+      ch.cdc.filter(col("kind") === "heartbeat")
+        .select(col("event_id").as("serial"), col("ts_us"), col("log_file"), col("log_pos")),
+      "serial", "hb_rn", "hb_cnt")
 
   // ---- queries -------------------------------------------------------
 
