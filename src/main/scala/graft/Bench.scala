@@ -22,6 +22,8 @@ object Bench {
     "q04_order_priority", "q08_top_parts_per_brand", "q10_returned_items",
     "q11_user_sessions", "q18_large_volume_customer",
     "q12_rollup_revenue", "q13_semi_anti_join", "q14_set_ops", "q15_asof_heartbeat",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q21_waiting_suppliers", "q22_balance_opportunity",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh",

@@ -208,6 +208,82 @@ object RelationalQueries {
           expr("CAST(rev_u AS DOUBLE) / 10000").as("revenue"), col("n_items"))
         .orderBy("rf", "ls")
     },
+    "q17_small_qty_revenue" -> t { (spark, dir) =>
+      // correlated scalar subquery (qty < 0.2 * per-part avg) decorrelated
+      // into a per-part aggregate + join; the comparison is kept in exact
+      // integers by cross-multiplying (qtyC·5·n < sumQtyC) instead of
+      // dividing — no rounding anywhere until the terminal scaling.
+      val parts = Tables.part(spark, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey")
+      val li = Tables.lineitem(spark, dir)
+      val perPart = li.groupBy("l_partkey")
+        .agg(expr(s"sum($qtyC)").as("sum_qty_c"), count(lit(1)).as("n_li"))
+      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(perPart, "l_partkey")
+        .filter(expr(s"$qtyC * 5 * n_li < sum_qty_c"))
+        .agg(expr(s"CAST(sum($priceC) AS DOUBLE) / 100").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q19_disjunctive_revenue" -> t { (spark, dir) =>
+      // OR-of-conjunctions predicate spanning both join sides (TPC-H Q19
+      // shape): the join stays an equi hash join on partkey; the
+      // disjunction is a post-join filter while the shared conjunct
+      // (qty <= 30) pushes to the lineitem scan.
+      val li = Tables.lineitem(spark, dir).filter(col("l_quantity") <= 30)
+      val part = Tables.part(spark, dir)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 30)))
+        .agg(expr(s"CAST(sum($revU) AS DOUBLE) / 10000").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q21_waiting_suppliers" -> t { (spark, dir) =>
+      // TPC-H Q21 shape (exists + not-exists against the same fact table)
+      // decorrelated into ONE pass: per (order, supplier) return flags,
+      // then per-order stats — the double correlated subquery becomes two
+      // keyed aggregations and a broadcast dimension join.
+      val li = Tables.lineitem(spark, dir)
+      val flags = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+      val ordStats = flags.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("ret").as("n_ret"))
+        .filter(col("n_supp") >= 2 && col("n_ret") === 1)
+      flags.filter(col("ret") === 1)
+        .join(ordStats, "l_orderkey")
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    "q22_balance_opportunity" -> t { (spark, dir) =>
+      // TPC-H Q22 shape: scalar avg subquery + anti join. The avg
+      // comparison is exact integers cross-multiplied (balC·n > sumC over
+      // positive balances); the anti side is customers who never placed an
+      // urgent order (every customer in this corpus has SOME order, so the
+      // classic no-orders form would be vacuously empty).
+      val cust = Tables.customer(spark, dir)
+        .withColumn("bal_c", expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+      val avgPos = cust.filter(col("bal_c") > 0)
+        .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_pos"))
+      val noOrders = cust.join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      noOrders.crossJoin(broadcast(avgPos))
+        .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("n_cust"),
+          expr("CAST(sum(bal_c) AS DOUBLE) / 100").as("total_bal"))
+        .orderBy("cntry")
+    },
     "q13_semi_anti_join" -> t { (spark, dir) =>
       // existence tests as leftsemi/leftanti — no row multiplication, the
       // orders side reduces to a broadcast hash-set probe.
@@ -350,6 +426,59 @@ object RelationalQueries {
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls""",
+    "q17_small_qty_revenue" -> s"""
+      WITH per_part AS (
+        SELECT l_partkey, CAST(sum($qtyC) AS BIGINT) AS sum_qty_c,
+               CAST(count(*) AS BIGINT) AS n_li
+        FROM lineitem GROUP BY 1
+      )
+      SELECT CAST(sum($priceC) AS DOUBLE) / 100 AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN per_part USING (l_partkey)
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND $qtyC * 5 * n_li < sum_qty_c""",
+    "q19_disjunctive_revenue" -> s"""
+      SELECT CAST(sum($revU) AS DOUBLE) / 10000 AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity <= 30 AND (
+        (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11) OR
+        (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20) OR
+        (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30))""",
+    "q21_waiting_suppliers" -> """
+      WITH flags AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+        FROM lineitem GROUP BY 1, 2
+      ), ord_stats AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+               CAST(sum(ret) AS BIGINT) AS n_ret
+        FROM flags GROUP BY 1
+      )
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM flags f
+      JOIN ord_stats o ON f.l_orderkey = o.l_orderkey
+      JOIN supplier ON f.l_suppkey = s_suppkey
+      WHERE f.ret = 1 AND o.n_supp >= 2 AND o.n_ret = 1
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q22_balance_opportunity" -> """
+      WITH bal AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        FROM customer
+      ), avg_pos AS (
+        SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, CAST(count(*) AS BIGINT) AS n_pos
+        FROM bal WHERE bal_c > 0
+      )
+      SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(bal_c) AS DOUBLE) / 100 AS total_bal
+      FROM bal, avg_pos
+      WHERE bal_c * n_pos > sum_c
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY 1""",
     "q13_semi_anti_join" -> """
       WITH flags AS (
         SELECT c_mktsegment, c_custkey,
