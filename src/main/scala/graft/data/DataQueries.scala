@@ -27,6 +27,7 @@ object DataQueries {
     "d4_dedup_simhash" -> docs(TextOps.simhash),
     "d5_dedup_embedding" -> embs(VectorOps.dedupEmbedding(_)),
     "d6_dedup_clusters" -> docs(TextOps.dedupClusters(_)),
+    "d7_simhash_near" -> docs(TextOps.simhashNear),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
@@ -252,6 +253,17 @@ ORDER BY q.vec_id"""),
 )
 SELECT query_id, neighbor_id, rnk, dot, cos, bucket FROM ranked
 WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+    "d7_simhash_near" -> (docProlog + """
+      , sprobes AS (
+        SELECT doc_id AS doc_a, simhash AS sig_a,
+               CASE WHEN j = 16 THEN simhash
+                    ELSE xor(simhash, (CAST(1 AS BIGINT) << j)) END AS probe
+        FROM (SELECT doc_id, simhash, unnest(generate_series(0, 16)) AS j FROM simh) q
+      )
+      SELECT p.doc_a, s.doc_id AS doc_b, p.sig_a, s.simhash AS sig_b,
+             CAST(bit_count(xor(p.sig_a, s.simhash)) AS INT) AS hamming
+      FROM sprobes p JOIN simh s ON p.probe = s.simhash AND p.doc_a < s.doc_id
+      ORDER BY doc_a, doc_b"""),
     "x7_repetition" -> (docProlog + """
       , wcnt AS (
         SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2

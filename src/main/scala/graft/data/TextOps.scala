@@ -359,12 +359,13 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
 
-  def simhash(documents: DataFrame): DataFrame = {
-    // Explode/groupBy instead of nested aggregate(...) lambdas: the
-    // higher-order-function form runs interpreted (outside whole-stage
-    // codegen) and re-hashes every word per bit position; this form does
-    // one codegen'd md5 per word occurrence and 16 map-side-combinable
-    // sum aggregates, so the shuffle carries #docs × 16 ints.
+  /** 16-bit SimHash signature per document.
+    * Explode/groupBy instead of nested aggregate(...) lambdas: the
+    * higher-order-function form runs interpreted (outside whole-stage
+    * codegen) and re-hashes every word per bit position; this form does
+    * one codegen'd md5 per word occurrence and 16 map-side-combinable
+    * sum aggregates, so the shuffle carries #docs × 16 ints. */
+  def simhashSigs(documents: DataFrame): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("m", md5(col("w")))
@@ -375,9 +376,36 @@ object TextOps {
       .mkString(" + ")
     words.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
       .withColumn("simhash", expr(bitsExpr))
+      .select("doc_id", "simhash")
+  }
+
+  /** d4 — SimHash exact-signature buckets. */
+  def simhash(documents: DataFrame): DataFrame =
+    simhashSigs(documents)
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
       .select("doc_id", "simhash", "n_same")
       .orderBy("doc_id")
+
+  /** d7 — SimHash NEAR-dup: pairs at hamming distance ≤ 1, found by
+    * bit-flip probing instead of any pairwise comparison. Each signature
+    * emits 17 probes (itself + its 16 one-bit flips); a probe of doc A
+    * equal to the raw signature of doc B means ham(A,B) ∈ {0, 1}, and each
+    * qualifying pair matches on exactly one probe, so the join output IS
+    * the pair set — no dedup pass. Scale: the probe side is a constant
+    * 17× row multiplication feeding one hash join on the signature key;
+    * generalizing to distance k costs C(16,≤k) probes, never a cartesian. */
+  def simhashNear(documents: DataFrame): DataFrame = {
+    val sigs = simhashSigs(documents).persist()
+    val probes = sigs
+      .withColumn("j", explode(sequence(lit(0), lit(16))))
+      .withColumn("probe", expr(
+        "CASE WHEN j = 16 THEN simhash ELSE CAST(simhash ^ shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) END"))
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("probe"))
+    val raw = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    probes.join(raw, col("probe") === col("sig_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").as("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 }
