@@ -122,6 +122,31 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("20"), "d2 shingle-frequency cap missing from plan:\n" + s.take(2000))
   }
 
+  test("simhash near-dup is one probe hash join — no cartesian, no nested loop") {
+    val (s, _) = planOf("d7_simhash_near")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "d7 must hash-join probes to signatures:\n" + s.take(2000))
+  }
+
+  test("q19 pushes the shared conjunct to the lineitem scan") {
+    val (s, _) = planOf("q19_disjunctive_revenue")
+    // the qty <= 30 conjunct is shared by every disjunct and must reach
+    // PushedFilters; the brand/size disjunction stays a post-join filter
+    assert(s.contains("PushedFilters") && s.contains("LessThanOrEqual(l_quantity,30"),
+      "q19 shared conjunct not pushed:\n" + s.take(3000))
+  }
+
+  test("q17/q21/q22 decorrelated subqueries contain no cartesian products") {
+    Seq("q17_small_qty_revenue", "q21_waiting_suppliers").foreach { q =>
+      val (s, _) = planOf(q)
+      assert(!s.contains("CartesianProduct"), s"$q plan has a cartesian:\n" + s.take(2000))
+    }
+    // q22's one-row avg frame crossJoin is the accepted scalar-subquery
+    // broadcast; the customer-orders anti join must still be a hash join
+    val (s22, _) = planOf("q22_balance_opportunity")
+    assert(s22.contains("LeftAnti"), "q22 must anti-join:\n" + s22.take(2000))
+  }
+
   test("brute ANN uses the native codegen'd dot product, not HOF lambdas") {
     val (s, p) = planOf("s1_ann_brute")
     assert(s.contains("graft_dot_long"), "native expression missing:\n" + s.take(2000))
