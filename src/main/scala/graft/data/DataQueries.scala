@@ -30,6 +30,7 @@ object DataQueries {
     "d7_simhash_near" -> docs(TextOps.simhashNear),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
+    "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -317,6 +318,20 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
       SELECT p50.lang_pred, nd.n_docs, p50.p50_words, p90.p90_words
       FROM p50 JOIN p90 USING (lang_pred) JOIN nd USING (lang_pred)
       ORDER BY lang_pred""",
+    "x9_distinct_kmv" -> (docProlog + s"""
+      , xhashes AS (
+        SELECT DISTINCT md5(sh) AS h FROM shingles
+      ), xkmin AS (
+        SELECT h FROM xhashes ORDER BY h LIMIT 64
+      ), xkth AS (
+        SELECT max(h) AS kth_hex, CAST(count(*) AS BIGINT) AS k_actual FROM xkmin
+      ), xex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM xhashes
+      )
+      SELECT k_actual, kth_hex, ${TextOps.hex13NumFragment("kth_hex")} AS kth_num,
+             exact_distinct,
+             CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num AS est_distinct
+      FROM xkth, xex"""),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

@@ -141,6 +141,50 @@ object TextOps {
       .orderBy("lang_pred")
   }
 
+  /** Big-endian numeric value of the first 13 hex chars (52 bits) of the
+    * column `col`, as a portable SQL fragment (instr/substring arithmetic
+    * — no engine-specific hex-parse function). */
+  private def hex13Num(col: String): String = {
+    val terms = (1 to 13).map { i =>
+      val w = 1L << (4 * (13 - i))
+      s"(instr('0123456789abcdef', substring($col, $i, 1)) - 1) * CAST($w AS BIGINT)"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** x9 — distinct-token estimation by a KMV (k-minimum-values) sketch,
+    * the mergeable-sketch shape a 100 TB pipeline uses where exact
+    * distinct is too wide: keep the k smallest hash values; the kth
+    * smallest, read as a fraction of the hash space, estimates the
+    * distinct count as (k-1)/fraction.
+    *
+    * Scale: the k-smallest selection compiles to TakeOrderedAndProject —
+    * per-partition top-k then a driver merge of k·#partitions rows, no
+    * global sort shuffle (the exact count here exists only to report the
+    * sketch's error). Determinism: md5 hex order statistics are identical
+    * everywhere, and the estimator is (k-1)·2^52 / kth52 — an exact
+    * integer product below 2^58 in an IEEE division — so even the DOUBLE
+    * estimate hash-matches the oracle. */
+  def distinctEstimate(documents: DataFrame, k: Int = 64): DataFrame = {
+    // sketch the trigram vocabulary (the token vocabulary of the synthetic
+    // corpus is a few dozen words — below k, where KMV degenerates to the
+    // exact count and demonstrates nothing)
+    val hashes = shingles(documents)
+      .select(md5(col("sh")).as("h")).distinct()
+    val kth = hashes.orderBy("h").limit(k)
+      .agg(max("h").as("kth_hex"), count(lit(1)).as("k_actual"))
+    val exact = hashes.agg(count(lit(1)).as("exact_distinct"))
+    kth.crossJoin(exact)
+      .withColumn("kth_num", expr(hex13Num("kth_hex")))
+      .withColumn("est_distinct",
+        expr("CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num"))
+      .select("k_actual", "kth_hex", "kth_num", "exact_distinct", "est_distinct")
+  }
+
+  /** The same fragment, exposed for the oracle (identical text in both
+    * dialects — instr and substring behave the same in Spark and DuckDB). */
+  def hex13NumFragment(col: String): String = hex13Num(col)
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
