@@ -32,6 +32,10 @@ object Tables {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-scoped UDAFs (native expressions register via GraftExtensions;
+    // typed Aggregators go through udf.register)
+    spark.udf.register("graft_kmv",
+      org.apache.spark.sql.functions.udaf(new graft.functions.KmvAggregator(64)))
     spark
   }
 

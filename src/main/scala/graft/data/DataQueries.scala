@@ -31,6 +31,7 @@ object DataQueries {
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
+    "x10_distinct_by_lang" -> docs(TextOps.distinctByLang),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -332,6 +333,29 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
              exact_distinct,
              CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num AS est_distinct
       FROM xkth, xex"""),
+    "x10_distinct_by_lang" -> (docProlog + s"""
+      , xlang AS (
+        SELECT doc_id, ${TextOps.LangCase} AS lang_pred
+        FROM (SELECT doc_id,
+                CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS en_n,
+                CAST(${cntSum(TextOps.StopwordsDe)} AS BIGINT) AS de_n,
+                CAST(${cntSum(TextOps.StopwordsEs)} AS BIGINT) AS es_n
+              FROM documents) q
+      ), lhashes AS (
+        SELECT DISTINCT l.lang_pred, md5(s.sh) AS h
+        FROM shingles s JOIN xlang l USING (doc_id)
+      ), lranked AS (
+        SELECT lang_pred, h,
+               row_number() OVER (PARTITION BY lang_pred ORDER BY h) AS rn
+        FROM lhashes
+      ), lkth AS (
+        SELECT lang_pred, CAST(count(*) AS INT) AS k_actual, max(h) AS kth_hex
+        FROM lranked WHERE rn <= 64 GROUP BY 1
+      )
+      SELECT lang_pred, k_actual, kth_hex,
+             ${TextOps.hex13NumFragment("kth_hex")} AS kth_num,
+             CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num AS est_distinct
+      FROM lkth ORDER BY lang_pred"""),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

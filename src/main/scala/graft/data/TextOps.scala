@@ -185,6 +185,27 @@ object TextOps {
     * dialects — instr and substring behave the same in Spark and DuckDB). */
   def hex13NumFragment(col: String): String = hex13Num(col)
 
+  /** x10 — PER-GROUP distinct estimation via the mergeable KMV aggregator
+    * (`graft_kmv`, a typed Aggregator with map-side partial buffers): one
+    * hash shuffle carrying ≤k hashes per (group, partition) instead of
+    * every value — the shape that makes per-group cardinality viable at
+    * 100 TB. Same estimator arithmetic as [[distinctEstimate]], so the
+    * DOUBLE estimate is bit-stable against the oracle's sorted-selection
+    * recomputation. */
+  def distinctByLang(documents: DataFrame): DataFrame = {
+    val lang = langId(documents).select("doc_id", "lang_pred")
+    val hashes = shingles(documents).join(lang, "doc_id")
+      .select(col("lang_pred"), md5(col("sh")).as("h"))
+    hashes.groupBy("lang_pred").agg(expr("graft_kmv(h)").as("sk"))
+      .select(col("lang_pred"),
+        col("sk.k_actual").cast("int").as("k_actual"),
+        col("sk.kth_hex").as("kth_hex"))
+      .withColumn("kth_num", expr(hex13Num("kth_hex")))
+      .withColumn("est_distinct",
+        expr("CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num"))
+      .orderBy("lang_pred")
+  }
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
