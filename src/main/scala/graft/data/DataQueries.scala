@@ -36,6 +36,7 @@ object DataQueries {
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
       VectorOps.annLsh(spark, Tables.embeddings(spark, sfDir))),
+    "s4_kmeans_step" -> embs(VectorOps.kmeansStep(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_))
@@ -356,6 +357,24 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
              ${TextOps.hex13NumFragment("kth_hex")} AS kth_num,
              CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num AS est_distinct
       FROM lkth ORDER BY lang_pred"""),
+    "s4_kmeans_step" -> (vecProlog + s"""
+      , kcent AS (
+        SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4
+      ), kpairs AS (
+        SELECT v.vec_id, v.qv AS vqv, c.c_id,
+               v.nn - 2 * ${pairDot("v", "c")} + c.c_nn AS dist2
+        FROM qn v, kcent c
+      ), kassigned AS (
+        SELECT vec_id, vqv, c_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+          FROM kpairs) q WHERE rn = 1
+      ), kdims AS (
+        SELECT c_id, CAST(d - 1 AS INT) AS d, vqv[d] AS q
+        FROM (SELECT c_id, vqv, unnest(generate_series(1, len(vqv))) AS d FROM kassigned) q2
+      )
+      SELECT c_id, d, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) / 1048576.0 AS mean
+      FROM kdims GROUP BY 1, 2 ORDER BY 1, 2"""),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

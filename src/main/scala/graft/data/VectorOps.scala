@@ -110,6 +110,36 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s4 — one distributed k-means step (assign + update) over quantized
+    * embeddings: the distance argmin uses exact integer algebra
+    * (|x|² − 2x·c + |c|², native codegen'd dot products against a
+    * broadcast k-row centroid frame), and the new centroids are per-dim
+    * means of exact BIGINT sums — two IEEE divisions at the very end, so
+    * the DOUBLE means are bit-stable against the oracle.
+    *
+    * Scale: one broadcast of k centroids (never a shuffle of the vectors
+    * for assignment), then one hash aggregation keyed (cluster, dim) with
+    * map-side partials. An iterating driver loop over this step is the
+    * standard distributed Lloyd's algorithm (MLlib KMeans has the same
+    * per-iteration shape). Seed centroids are the first k vectors for
+    * determinism (k-means++ would sample). */
+  def kmeansStep(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "c_id", "qv")
+    assigned.select(col("c_id"), posexplode(col("qv")).as(Seq("d", "q")))
+      .groupBy("c_id", "d").agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("c_id"), col("d").cast("int").as("d"), col("n"),
+        expr("CAST(s AS DOUBLE) / n / 1048576.0").as("mean"))
+      .orderBy("c_id", "d")
+  }
+
   /** d5 — embedding near-dup: nearest candidate per vector, flagged as dup
     * over a cosine threshold. Candidates must share the label cell AND the
     * low-`bits` LSH bucket, so a dense label cell subdivides into 2^bits
