@@ -200,8 +200,8 @@ object RelationalQueries {
           sum("n_items").as("n_items"))
         .withColumn("l_returnflag", lit(null).cast("string"))
         .withColumn("l_linestatus", lit(null).cast("string"))
-      base.unionByName(byFlag.select(base.columns.map(col): _*))
-        .unionByName(total.select(base.columns.map(col): _*))
+      base.unionByName(byFlag.select(base.columns.toIndexedSeq.map(col): _*))
+        .unionByName(total.select(base.columns.toIndexedSeq.map(col): _*))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),

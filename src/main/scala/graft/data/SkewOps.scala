@@ -25,7 +25,7 @@ object SkewOps {
     // deterministic per-row salt: hash of the whole fact row spreads even
     // a single hot key uniformly (rand() would break retry determinism)
     val factSalted = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val dimSalted = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     factSalted.join(dimSalted, Seq(key, "__salt")).drop("__salt")

@@ -358,7 +358,7 @@ object CdcPipeline {
     env.select(
       col("topic"),
       col("pos_key").cast("binary").as("key"),
-      to_json(struct(env.columns.map(col): _*)).cast("binary").as("value"),
+      to_json(struct(env.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"),
       array(
         struct(lit("schema_id").as("key"), col("schema_id").cast("string").cast("binary").as("value")),
         struct(lit("transaction_id").as("key"), col("transaction_id").cast("binary").as("value"))
