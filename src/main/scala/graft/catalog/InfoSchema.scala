@@ -79,13 +79,30 @@ object InfoSchema {
     t.primaryKeys.sortBy(_.ordinalPosition).map(_.columnName)
 
   /** Register every table present in the snapshot frames — the bulk
-    * bootstrap path (the reference walks all tracked tables on startup). */
+    * bootstrap path (the reference walks all tracked tables on startup).
+    * Each snapshot frame is collected ONCE and grouped driver-side — a
+    * per-table filter+collect would launch 2 Spark jobs per tracked table
+    * at startup for no benefit. */
   def registerAll(catalog: SchemaCatalog, cluster: String,
       columns: DataFrame, keys: DataFrame): Seq[TableSchema] = {
-    val ids = columns.select("TABLE_SCHEMA", "TABLE_NAME").distinct()
-      .collect().map(r => (r.getString(0), r.getString(1))).sorted
-    ids.toSeq.map { case (db, tbl) =>
-      val t = deriveTable(columns, keys, db, tbl)
+    val cols = columns
+      .select("TABLE_SCHEMA", "TABLE_NAME", "COLUMN_NAME",
+        "ORDINAL_POSITION", "IS_NULLABLE", "COLUMN_TYPE")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    val pks = keys
+      .filter(col("CONSTRAINT_NAME") === "PRIMARY")
+      .select("TABLE_SCHEMA", "TABLE_NAME", "CONSTRAINT_NAME", "COLUMN_NAME",
+        "ORDINAL_POSITION")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    cols.keys.toSeq.sorted.map { case (db, tbl) =>
+      val t = MysqlTable(db, tbl,
+        cols((db, tbl)).sortBy(_.getInt(3)).map(r => MysqlColumn(
+          r.getString(2), r.getInt(3), r.getString(4).equalsIgnoreCase("YES"),
+          r.getString(5))).toSeq,
+        pks.getOrElse((db, tbl), Array.empty).sortBy(_.getInt(4)).map(r =>
+          MysqlKey(r.getString(2), r.getString(3), r.getInt(4))).toSeq)
       catalog.register(TableId(cluster, db, tbl), structOf(t), pkeyNames(t))
     }
   }

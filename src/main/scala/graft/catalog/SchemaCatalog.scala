@@ -374,6 +374,10 @@ object MysqlDdlToStruct {
         case "ADD" =>
           j += 1
           if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
+          // ADD [CONSTRAINT name] PRIMARY KEY (...) — skip the optional
+          // constraint name so the key clause is still recognized
+          if (j + 2 < ts.length && ts(j).toUpperCase == "CONSTRAINT" &&
+            ts(j + 2).toUpperCase == "PRIMARY") j += 2
           if (j < ts.length && ts(j).toUpperCase == "PRIMARY") {
             pkeys = keyColumns(ts, j).toVector
           } else if (j < ts.length && !Set("UNIQUE", "KEY", "INDEX", "CONSTRAINT",
@@ -398,6 +402,8 @@ object MysqlDdlToStruct {
                   if (ai >= 0) insertAt = ai + 1
                 case t if depth == 0 && t.toUpperCase == "FIRST" =>
                   insertAt = 0
+                case t if depth == 0 && t.toUpperCase == "PRIMARY" =>
+                  pkeys = Vector(name) // inline `ADD col <type> ... PRIMARY KEY`
                 case _ =>
               }
               m += 1

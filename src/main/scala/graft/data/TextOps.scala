@@ -97,6 +97,9 @@ object TextOps {
         max("c").as("top_word_n"))
     val tris = documents
       .withColumn("ws", split(col("text"), " "))
+      // docs under 3 words yield no trigrams: DuckDB's generate_series(1, n<=0)
+      // is empty but Spark's sequence(1, 0) DESCENDS and would index element 0
+      .filter(size(col("ws")) >= 3)
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 2)))
       .select(col("doc_id"),
         concat_ws(" ", element_at(col("ws"), col("i")),
@@ -227,6 +230,9 @@ object TextOps {
   def shingles(documents: DataFrame): DataFrame =
     documents
       .withColumn("ws", split(col("text"), " "))
+      // docs under 3 words yield no trigrams: DuckDB's generate_series(1, n<=0)
+      // is empty but Spark's sequence(1, 0) DESCENDS and would index element 0
+      .filter(size(col("ws")) >= 3)
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 2)))
       .select(col("doc_id"),
         concat_ws(" ", element_at(col("ws"), col("i")),
@@ -377,6 +383,11 @@ object TextOps {
       labels = next
       iter += 1
     }
+    // silent non-convergence would diverge from the oracle's full
+    // transitive closure and surface as an inexplicable hash mismatch
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds ($changed labels still moving); " +
+        "raise maxIters — the dup graph has a longer chain than expected")
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select("doc_id", "cluster_id", "cluster_size")
@@ -417,6 +428,7 @@ object TextOps {
   def vocabBigrams(documents: DataFrame, topN: Int = 100): DataFrame =
     documents
       .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2) // same guard as shingles, for bigrams
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
       .select(concat_ws(" ", element_at(col("ws"), col("i")),
         element_at(col("ws"), col("i") + 1)).as("bigram"))

@@ -139,25 +139,37 @@ object CdcPipeline {
   private def acquireLock(spark: SparkSession, stateDir: String, runId: String): Unit = {
     Files.createDirectories(Paths.get(stateDir))
     val f = lockFile(stateDir)
-    if (Files.exists(f)) {
-      val holder = Files.readString(f).trim
-      val (holderPid, holderRun) = holder.split(":", 2) match {
-        case Array(p, r) => (p.toLongOption, r)
-        case _ => (None, holder)
-      }
-      val selfPid = ProcessHandle.current().pid()
-      val live = holderPid match {
-        case Some(p) if p == selfPid =>
-          spark.streams.active.exists(_.runId.toString == holderRun)
-        case Some(p) =>
-          ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
-        case None => // legacy runId-only token: liveness check within this JVM
-          spark.streams.active.exists(_.runId.toString == holderRun)
-      }
-      if (live) throw new IllegalStateException(
-        s"another pipeline instance ($holder) holds the lock on $stateDir")
+    // atomic CREATE_NEW, not check-then-write: two starters racing for a
+    // dead holder's lock must not both win. The loser of the create race
+    // re-reads and sees a LIVE holder.
+    def tryCreate(): Boolean =
+      try {
+        Files.write(f, lockToken(runId).getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return
+    val holder = Files.readString(f).trim
+    val (holderPid, holderRun) = holder.split(":", 2) match {
+      case Array(p, r) => (p.toLongOption, r)
+      case _ => (None, holder)
     }
-    Files.writeString(f, lockToken(runId))
+    val selfPid = ProcessHandle.current().pid()
+    val live = holderPid match {
+      case Some(p) if p == selfPid =>
+        spark.streams.active.exists(_.runId.toString == holderRun)
+      case Some(p) =>
+        ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+      case None => // legacy runId-only token: liveness check within this JVM
+        spark.streams.active.exists(_.runId.toString == holderRun)
+    }
+    if (live) throw new IllegalStateException(
+      s"another pipeline instance ($holder) holds the lock on $stateDir")
+    // stale: steal by delete + atomic re-create; losing the re-create race
+    // means another stealer got there first — treat the lock as held
+    Files.deleteIfExists(f)
+    if (!tryCreate()) throw new IllegalStateException(
+      s"lost the lock takeover race on $stateDir")
   }
 
   private def lockToken(runId: String): String =
@@ -180,9 +192,10 @@ object CdcPipeline {
       statsSink: BatchStats => Unit = _ => ()): StreamingQuery = {
 
     val catalog = new SchemaCatalog(piiTables = CdcSqlFragments.PII_TABLES.toSet)
-    loadState(stateDir).foreach(s => catalog.restore(s.catalogJson)) // T30 recovery
-    var lastCommitted = loadState(stateDir).map(_.lastBatchId).getOrElse(-1L)
-    var lastPosition = loadState(stateDir).map(_.position).getOrElse(Map.empty[String, String])
+    val saved = loadState(stateDir)
+    saved.foreach(s => catalog.restore(s.catalogJson)) // T30 recovery
+    var lastCommitted = saved.map(_.lastBatchId).getOrElse(-1L)
+    var lastPosition = saved.map(_.position).getOrElse(Map.empty[String, String])
 
     // provisional lock token; swapped for the streaming runId once known
     val token = java.util.UUID.randomUUID().toString
@@ -249,7 +262,11 @@ object CdcPipeline {
       }
       .start()
     runId = query.runId.toString
-    Files.writeString(lockFile(stateDir), lockToken(runId))
+    // swap the provisional token for the real runId — but ONLY if we still
+    // hold the lock (never clobber a token another process placed)
+    val f = lockFile(stateDir)
+    if (Files.exists(f) && Files.readString(f).trim == lockToken(token))
+      Files.writeString(f, lockToken(runId))
     query
   }
 
@@ -306,14 +323,19 @@ object CdcPipeline {
         max(when(col("kind") === "heartbeat",
           struct(col("event_id"), col("ts_us")))).as("hb"))
         .collect()(0)
-      val position = {
-        val p = posRow.getStruct(0)
-        val hb = Option(posRow.getStruct(1))
-        graft.cdc.LogPosition(
-          logPos = Some(p.getLong(1)), logFile = Some(p.getString(0)),
-          offset = Some(0), // batch boundaries are whole files
-          hbSerial = hb.map(_.getLong(0)), hbTimestamp = hb.map(_.getLong(1))).toDict
-      }
+      // an all-filtered batch (every event dropped by admit) moves no
+      // position: max() over zero rows is null → empty dict, which
+      // mergePosition keeps as the previous coordinate
+      val position =
+        if (posRow.isNullAt(0)) Map.empty[String, String]
+        else {
+          val p = posRow.getStruct(0)
+          val hb = Option(posRow.getStruct(1))
+          graft.cdc.LogPosition(
+            logPos = Some(p.getLong(1)), logFile = Some(p.getString(0)),
+            offset = Some(0), // batch boundaries are whole files
+            hbSerial = hb.map(_.getLong(0)), hbTimestamp = hb.map(_.getLong(1))).toDict
+        }
 
       // ---- data branch
       val data = CdcOps.blacklistFilter(CdcOps.retarget(CdcOps.whitelist(

@@ -172,6 +172,14 @@ class SchemaCatalogSpec extends AnyFunSuite {
     assert(ts2.pkeys.isEmpty && ts2.schemaId != ts1.schemaId)
     val ts3 = c.applyDdl("cl", "db", "ALTER TABLE biz ADD PRIMARY KEY (id, name)").get
     assert(ts3.pkeys == Seq("id", "name"))
+    // constraint-form and inline-form ADDs are tracked too
+    val ts3b = c.applyDdl("cl", "db",
+      "ALTER TABLE biz DROP PRIMARY KEY, ADD CONSTRAINT pk PRIMARY KEY (name)").get
+    assert(ts3b.pkeys == Seq("name"))
+    val ts3c = c.applyDdl("cl", "db",
+      "ALTER TABLE biz ADD flag TINYINT(1) NOT NULL PRIMARY KEY").get
+    assert(ts3c.pkeys == Seq("flag"))
+    c.applyDdl("cl", "db", "ALTER TABLE biz DROP COLUMN flag, ADD PRIMARY KEY (id, name)")
     // CHANGE renames the key member; DROP COLUMN removes it
     val ts4 = c.applyDdl("cl", "db", "ALTER TABLE biz CHANGE name title VARCHAR(64)").get
     assert(ts4.pkeys == Seq("id", "title"))

@@ -222,6 +222,22 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(hdrs.map(_.getString(0)) == Seq("schema_id", "transaction_id"))
   }
 
+  test("a fully-filtered batch neither crashes nor moves the position") {
+    // a segment whose every event is dropped by admit (kind='other':
+    // event_type='error' with k%5=4) reaches foreachBatch as ZERO rows —
+    // the position aggregate must tolerate that and keep the prior state
+    val root = Files.createTempDirectory("cdc-empty").toString
+    import spark.implicits._
+    Seq((5000000L, 1L, "error", 0.5, """{"k": 4}""", 1700000000000000L))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")
+      .coalesce(1).write.mode("append").parquet(s"$root/replay")
+    val q = CdcPipeline.start(spark, s"$root/replay", s"$root/out", s"$root/ck", s"$root/st")
+    q.awaitTermination()
+    val st = CdcPipeline.loadState(s"$root/st").get
+    assert(st.lastBatchId == 0L)
+    assert(st.position.isEmpty, s"position must not move on a filtered batch: ${st.position}")
+  }
+
   test("per-topic output preserves binlog order (SURVEY §7.4 risk 3)") {
     val root = Files.createTempDirectory("cdc-order").toString
     writeSegments(s"$root/replay", 2)
