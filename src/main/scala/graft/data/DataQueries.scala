@@ -32,6 +32,8 @@ object DataQueries {
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
     "x10_distinct_by_lang" -> docs(TextOps.distinctByLang),
+    "x11_sample_stratified" -> docs(TextOps.sampleStratified),
+    "x12_decontaminate" -> docs(TextOps.decontaminate(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -357,6 +359,38 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
              ${TextOps.hex13NumFragment("kth_hex")} AS kth_num,
              CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num AS est_distinct
       FROM lkth ORDER BY lang_pred"""),
+    "x11_sample_stratified" -> s"""
+      WITH slang AS (
+        SELECT doc_id, ${TextOps.LangCase} AS lang_pred,
+               md5(CAST(doc_id AS STRING)) AS h
+        FROM (SELECT doc_id,
+                CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS en_n,
+                CAST(${cntSum(TextOps.StopwordsDe)} AS BIGINT) AS de_n,
+                CAST(${cntSum(TextOps.StopwordsEs)} AS BIGINT) AS es_n
+              FROM documents) q
+      ), shv AS (
+        SELECT doc_id, lang_pred, ${TextOps.hex13NumFragment("h")} AS hv FROM slang
+      )
+      SELECT doc_id, lang_pred FROM shv
+      WHERE (lang_pred = 'en' AND hv * 10 < CAST(4503599627370496 AS BIGINT))
+         OR (lang_pred <> 'en' AND hv * 2 < CAST(4503599627370496 AS BIGINT))
+      ORDER BY doc_id""",
+    "x12_decontaminate" -> (docProlog + """
+      , dbench AS (
+        SELECT DISTINCT sh FROM shingles WHERE doc_id < 10
+      ), drest AS (
+        SELECT doc_id, sh FROM shingles WHERE doc_id >= 10
+      ), dover AS (
+        SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM drest r JOIN dbench b ON r.sh = b.sh GROUP BY 1
+      ), dsz AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM drest GROUP BY 1
+      )
+      SELECT s.doc_id, s.n_sh, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / s.n_sh AS overlap_frac,
+             coalesce(o.n_overlap, 0) > 0 AS is_contaminated
+      FROM dsz s LEFT JOIN dover o ON s.doc_id = o.doc_id
+      ORDER BY s.doc_id"""),
     "s4_kmeans_step" -> (vecProlog + s"""
       , kcent AS (
         SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4

@@ -209,6 +209,49 @@ object TextOps {
       .orderBy("lang_pred")
   }
 
+  /** x11 — deterministic stratified sampling: keep a per-language rate by
+    * comparing the doc's md5 hash (as a 52-bit integer) against the rate
+    * in EXACT integer arithmetic (hv·denominator < 2^52·numerator — no
+    * float thresholds, no RNG). A hash-threshold sample is reproducible
+    * across runs/engines and composes with itself (a 1/10 sample of a
+    * 1/2 sample is a 1/20 sample), which per-partition `sample()` RNG
+    * does not guarantee under re-partitioning. Narrow filter — pipelines
+    * over the scan. Strata: en keeps 1/10, everything else 1/2. */
+  def sampleStratified(documents: DataFrame): DataFrame = {
+    val lang = langId(documents).select("doc_id", "lang_pred")
+    lang
+      .withColumn("h", md5(expr("CAST(doc_id AS STRING)")))
+      .withColumn("hv", expr(hex13Num("h")))
+      .filter(expr(
+        """(lang_pred = 'en' AND hv * 10 < CAST(4503599627370496 AS BIGINT))
+           OR (lang_pred <> 'en' AND hv * 2 < CAST(4503599627370496 AS BIGINT))"""))
+      .select("doc_id", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  /** x12 — decontamination: flag training documents whose shingles overlap
+    * an evaluation-benchmark shingle set (here: the shingles of docs 0-9
+    * as the stand-in benchmark). The benchmark side is tiny and broadcast;
+    * each training doc gets its exact overlap count and fraction — the
+    * n-gram-overlap decontamination check every LLM data pipeline runs
+    * before training. One broadcast hash join + one keyed aggregation. */
+  def decontaminate(documents: DataFrame, benchMaxId: Long = 10): DataFrame = {
+    val sh = shingles(documents)
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val bench = hashed.filter(col("doc_id") < benchMaxId)
+      .select(col("h").as("bh")).distinct()
+    val rest = hashed.filter(col("doc_id") >= benchMaxId)
+    val overlap = rest.join(broadcast(bench), col("h") === col("bh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    rest.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr("CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_sh").as("overlap_frac"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
