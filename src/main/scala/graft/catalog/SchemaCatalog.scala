@@ -374,10 +374,12 @@ object MysqlDdlToStruct {
         case "ADD" =>
           j += 1
           if (j < ts.length && ts(j).toUpperCase == "COLUMN") j += 1
-          // ADD [CONSTRAINT name] PRIMARY KEY (...) — skip the optional
-          // constraint name so the key clause is still recognized
-          if (j + 2 < ts.length && ts(j).toUpperCase == "CONSTRAINT" &&
-            ts(j + 2).toUpperCase == "PRIMARY") j += 2
+          // ADD [CONSTRAINT [name]] PRIMARY KEY (...) — skip CONSTRAINT
+          // and its optional symbol so the key clause is still recognized
+          if (j < ts.length && ts(j).toUpperCase == "CONSTRAINT") {
+            if (j + 1 < ts.length && ts(j + 1).toUpperCase == "PRIMARY") j += 1
+            else if (j + 2 < ts.length && ts(j + 2).toUpperCase == "PRIMARY") j += 2
+          }
           if (j < ts.length && ts(j).toUpperCase == "PRIMARY") {
             pkeys = keyColumns(ts, j).toVector
           } else if (j < ts.length && !Set("UNIQUE", "KEY", "INDEX", "CONSTRAINT",

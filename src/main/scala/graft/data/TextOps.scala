@@ -213,9 +213,10 @@ object TextOps {
     * comparing the doc's md5 hash (as a 52-bit integer) against the rate
     * in EXACT integer arithmetic (hv·denominator < 2^52·numerator — no
     * float thresholds, no RNG). A hash-threshold sample is reproducible
-    * across runs/engines and composes with itself (a 1/10 sample of a
-    * 1/2 sample is a 1/20 sample), which per-partition `sample()` RNG
-    * does not guarantee under re-partitioning. Narrow filter — pipelines
+    * across runs, engines, and repartitionings — unlike per-partition
+    * `sample()` RNG — and a finer threshold on the SAME hash always
+    * selects a subset of a coarser one (nested samples; independent
+    * stages would need a salted hash each). Narrow filter — pipelines
     * over the scan. Strata: en keeps 1/10, everything else 1/2. */
   def sampleStratified(documents: DataFrame): DataFrame = {
     val lang = langId(documents).select("doc_id", "lang_pred")
@@ -237,7 +238,10 @@ object TextOps {
     * before training. One broadcast hash join + one keyed aggregation. */
   def decontaminate(documents: DataFrame, benchMaxId: Long = 10): DataFrame = {
     val sh = shingles(documents)
-    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // persist: feeds the benchmark side, the overlap join, and the sizes
+    // aggregation — without it the explode+distinct shingle pipeline (the
+    // dominant scan cost) runs three times
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h")).persist()
     val bench = hashed.filter(col("doc_id") < benchMaxId)
       .select(col("h").as("bh")).distinct()
     val rest = hashed.filter(col("doc_id") >= benchMaxId)

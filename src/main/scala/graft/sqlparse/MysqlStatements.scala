@@ -127,7 +127,11 @@ object MysqlStatementClassifier {
           while (i < s.length && !stop) {
             val ch = s.charAt(i)
             if (ch.isWhitespace || ch == '(' || ch == ')' || ch == ',' || ch == ';') stop = true
-            else if (ch == '`' || ch == '"') {
+            // single-quoted string literals must be consumed whole too:
+            // a COMMENT 'the primary key' would otherwise tokenize into
+            // bare words that keyword scans (e.g. inline PRIMARY KEY
+            // detection) could falsely match
+            else if (ch == '`' || ch == '"' || ch == '\'') {
               i += 1
               var closed = false
               while (i < s.length && !closed) {

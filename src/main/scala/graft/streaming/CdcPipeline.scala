@@ -136,40 +136,67 @@ object CdcPipeline {
     * `pid:runId` liveness token: a lock from THIS process is live while
     * its streaming query is active; a lock from another process is live
     * while that pid exists. A dead holder's lock is stolen. */
+  /** Tokens this JVM currently holds (provisional or runId form): a
+    * concurrent starter in the SAME process must see an in-flight
+    * provisional token as LIVE — it has no runId yet, so the
+    * active-query check alone would misjudge it stale. */
+  private val heldTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def acquireLock(spark: SparkSession, stateDir: String, runId: String): Unit = {
     Files.createDirectories(Paths.get(stateDir))
     val f = lockFile(stateDir)
     // atomic CREATE_NEW, not check-then-write: two starters racing for a
-    // dead holder's lock must not both win. The loser of the create race
-    // re-reads and sees a LIVE holder.
+    // dead holder's lock must not both win.
     def tryCreate(): Boolean =
       try {
         Files.write(f, lockToken(runId).getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
+        heldTokens.add(runId)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (tryCreate()) return
-    val holder = Files.readString(f).trim
-    val (holderPid, holderRun) = holder.split(":", 2) match {
-      case Array(p, r) => (p.toLongOption, r)
-      case _ => (None, holder)
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      if (tryCreate()) return
+      // the holder may release between our failed create and this read
+      val holderOpt =
+        try Some(Files.readString(f).trim)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      holderOpt match {
+        case None => () // freed meanwhile — loop back to tryCreate
+        case Some(holder) =>
+          val (holderPid, holderRun) = holder.split(":", 2) match {
+            case Array(p, r) => (p.toLongOption, r)
+            case _ => (None, holder)
+          }
+          val selfPid = ProcessHandle.current().pid()
+          val live = holderPid match {
+            case Some(p) if p == selfPid =>
+              heldTokens.contains(holderRun) ||
+                spark.streams.active.exists(_.runId.toString == holderRun)
+            case Some(p) =>
+              ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+            case None => // legacy runId-only token
+              heldTokens.contains(holderRun) ||
+                spark.streams.active.exists(_.runId.toString == holderRun)
+          }
+          if (live) throw new IllegalStateException(
+            s"another pipeline instance ($holder) holds the lock on $stateDir")
+          // stale: steal by atomically MOVING the observed lock aside —
+          // only one stealer's move can succeed, so a second stealer can
+          // never delete the winner's fresh lock (a plain delete could)
+          val aside = f.resolveSibling(
+            s".lock.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+          try {
+            Files.move(f, aside, StandardCopyOption.ATOMIC_MOVE)
+            Files.deleteIfExists(aside)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => () // other stealer won
+          }
+          // loop: re-attempt the create; a losing racer sees the winner live
+      }
     }
-    val selfPid = ProcessHandle.current().pid()
-    val live = holderPid match {
-      case Some(p) if p == selfPid =>
-        spark.streams.active.exists(_.runId.toString == holderRun)
-      case Some(p) =>
-        ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
-      case None => // legacy runId-only token: liveness check within this JVM
-        spark.streams.active.exists(_.runId.toString == holderRun)
-    }
-    if (live) throw new IllegalStateException(
-      s"another pipeline instance ($holder) holds the lock on $stateDir")
-    // stale: steal by delete + atomic re-create; losing the re-create race
-    // means another stealer got there first — treat the lock as held
-    Files.deleteIfExists(f)
-    if (!tryCreate()) throw new IllegalStateException(
-      s"lost the lock takeover race on $stateDir")
+    throw new IllegalStateException(s"could not acquire the lock on $stateDir")
   }
 
   private def lockToken(runId: String): String =
@@ -177,7 +204,10 @@ object CdcPipeline {
 
   private def releaseLock(stateDir: String, runId: String): Unit = {
     val f = lockFile(stateDir)
-    if (Files.exists(f) && Files.readString(f).trim == lockToken(runId)) Files.delete(f)
+    try {
+      if (Files.exists(f) && Files.readString(f).trim == lockToken(runId)) Files.delete(f)
+    } catch { case _: java.nio.file.NoSuchFileException => () }
+    heldTokens.remove(runId)
   }
 
   /** Start the pipeline. `replayDir` holds parquet files in [[replaySchema]];
@@ -263,10 +293,15 @@ object CdcPipeline {
       .start()
     runId = query.runId.toString
     // swap the provisional token for the real runId — but ONLY if we still
-    // hold the lock (never clobber a token another process placed)
+    // hold the lock (never clobber a token another process placed). Safe
+    // as check-then-write because the provisional token is registered in
+    // heldTokens (same-JVM checkers see it live) and a cross-process steal
+    // requires this pid to be dead.
+    heldTokens.add(runId)
     val f = lockFile(stateDir)
     if (Files.exists(f) && Files.readString(f).trim == lockToken(token))
       Files.writeString(f, lockToken(runId))
+    heldTokens.remove(token)
     query
   }
 

@@ -172,10 +172,18 @@ class SchemaCatalogSpec extends AnyFunSuite {
     assert(ts2.pkeys.isEmpty && ts2.schemaId != ts1.schemaId)
     val ts3 = c.applyDdl("cl", "db", "ALTER TABLE biz ADD PRIMARY KEY (id, name)").get
     assert(ts3.pkeys == Seq("id", "name"))
-    // constraint-form and inline-form ADDs are tracked too
+    // constraint-form (named and unnamed) and inline-form ADDs are tracked
     val ts3b = c.applyDdl("cl", "db",
       "ALTER TABLE biz DROP PRIMARY KEY, ADD CONSTRAINT pk PRIMARY KEY (name)").get
     assert(ts3b.pkeys == Seq("name"))
+    val ts3u = c.applyDdl("cl", "db",
+      "ALTER TABLE biz DROP PRIMARY KEY, ADD CONSTRAINT PRIMARY KEY (id)").get
+    assert(ts3u.pkeys == Seq("id"))
+    // the word PRIMARY inside a string literal must NOT be matched
+    val tsc = c.applyDdl("cl", "db",
+      "ALTER TABLE biz ADD note VARCHAR(64) COMMENT 'the primary key notes'").get
+    assert(tsc.pkeys == Seq("id") && tsc.struct.fieldNames.contains("note"))
+    c.applyDdl("cl", "db", "ALTER TABLE biz DROP COLUMN note, DROP PRIMARY KEY, ADD PRIMARY KEY (id)")
     val ts3c = c.applyDdl("cl", "db",
       "ALTER TABLE biz ADD flag TINYINT(1) NOT NULL PRIMARY KEY").get
     assert(ts3c.pkeys == Seq("flag"))

@@ -28,14 +28,26 @@ class BucketingSpec extends AnyFunSuite {
       .withColumn("day", expr("CAST(ts_us DIV 86400000000 AS INT)"))
     ev.write.partitionBy("day").mode("overwrite").parquet(dir)
     val firstDay = spark.read.parquet(dir).selectExpr("min(day)").collect()(0).getInt(0)
+    // scan-node file counts, from the executed plan's metrics (AQE-aware)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
     val one = spark.read.parquet(dir).filter(col("day") === firstDay)
-    one.collect()
+    val all = spark.read.parquet(dir)
     val s = one.queryExecution.executedPlan.toString
-    assert(s.contains("PartitionFilters") && s.contains("day"),
+    // a NON-empty partition-filter list naming the day predicate…
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(s).isDefined,
       "no partition filter at the scan:\n" + s.take(1500))
-    // the pruned scan reads strictly fewer partition dirs than exist
+    // …and strictly fewer files actually read than the full scan
     val allDays = spark.read.parquet(dir).select("day").distinct().count()
     assert(allDays > 1, "testdata spans one day; partition test is vacuous")
+    assert(filesRead(one) < filesRead(all),
+      s"pruned scan read ${filesRead(one)} of ${filesRead(all)} files — no pruning")
   }
 
   test("equi-join of two tables bucketed on the key runs with zero shuffles") {
