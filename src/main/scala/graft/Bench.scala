@@ -32,6 +32,7 @@ object Bench {
     "x5_top_terms", "x6_vocab_bigrams", "x7_repetition", "x8_length_quantiles",
     "x9_distinct_kmv", "x10_distinct_by_lang",
     "x11_sample_stratified", "x12_decontaminate",
+    "x13_langid_confusion", "x14_source_mix",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize")
 
   def main(args: Array[String]): Unit = {

@@ -34,6 +34,8 @@ object DataQueries {
     "x10_distinct_by_lang" -> docs(TextOps.distinctByLang),
     "x11_sample_stratified" -> docs(TextOps.sampleStratified),
     "x12_decontaminate" -> docs(TextOps.decontaminate(_)),
+    "x13_langid_confusion" -> docs(TextOps.langIdConfusion),
+    "x14_source_mix" -> docs(TextOps.sourceMix),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -391,6 +393,21 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
              coalesce(o.n_overlap, 0) > 0 AS is_contaminated
       FROM dsz s LEFT JOIN dover o ON s.doc_id = o.doc_id
       ORDER BY s.doc_id"""),
+    "x13_langid_confusion" -> s"""
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+             lang = lang_pred AS is_correct
+      FROM (SELECT lang, ${TextOps.LangCase} AS lang_pred
+            FROM (SELECT lang,
+                    CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS en_n,
+                    CAST(${cntSum(TextOps.StopwordsDe)} AS BIGINT) AS de_n,
+                    CAST(${cntSum(TextOps.StopwordsEs)} AS BIGINT) AS es_n
+                  FROM documents) q) p
+      GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "x14_source_mix" -> """
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
+      FROM documents GROUP BY source, lang ORDER BY source, lang""",
     "s4_kmeans_step" -> (vecProlog + s"""
       , kcent AS (
         SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4

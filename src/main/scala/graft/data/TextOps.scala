@@ -256,6 +256,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x13 — language-ID evaluation: confusion counts of the predictor
+    * against the corpus's ground-truth `lang` column — the eval harness a
+    * pipeline runs before trusting a classifier for filtering. One keyed
+    * aggregation over the prediction projection. */
+  def langIdConfusion(documents: DataFrame): DataFrame =
+    langId(documents)
+      .join(documents.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_correct", col("lang") === col("lang_pred"))
+      .orderBy("lang", "lang_pred")
+
+  /** x14 — dataset mixture report: per (source, lang) document counts and
+    * exact size totals — the data-card / mixture-weights table every
+    * training run publishes. Pure integer aggregates (no double means, so
+    * no ordering sensitivity); one hash aggregation with map-side
+    * partials. */
+  def sourceMix(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_words").as("total_words"))
+      .orderBy("source", "lang")
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
