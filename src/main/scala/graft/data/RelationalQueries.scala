@@ -284,6 +284,105 @@ object RelationalQueries {
           expr("CAST(sum(bal_c) AS DOUBLE) / 100").as("total_bal"))
         .orderBy("cntry")
     },
+    "q02_min_cost_supplier" -> t { (spark, dir) =>
+      // TPC-H Q2 shape (correlated MIN subquery). The part-supplier cost
+      // relation is derived from lineitem (no partsupp table in this
+      // corpus): cost = min extendedprice ever charged by that supplier
+      // for that part, in exact cents. The correlation decorrelates into
+      // a window MIN keyed by part (high-cardinality, never global) and
+      // an equality filter — no self-join, one extra shuffle at most.
+      val ps = Tables.lineitem(spark, dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(expr(s"min($priceC)").as("cost_c"))
+      val winners = ps
+        .withColumn("min_c", min("cost_c").over(Window.partitionBy("l_partkey")))
+        .filter(col("cost_c") === col("min_c"))
+      val parts = Tables.part(spark, dir)
+        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+        .select("p_partkey", "p_name")
+      winners
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          expr("CAST(cost_c AS DOUBLE) / 100").as("min_cost"))
+        .orderBy("p_partkey", "s_name")
+    },
+    "q09_product_type_profit" -> t { (spark, dir) =>
+      // TPC-H Q9 shape: profit per (supplier nation, order year) over a
+      // name-filtered part set. Supply cost is proxied by the part's
+      // retail price (no partsupp). amount stays in exact 1e-4 currency
+      // units: revU (cents × percent) minus retailC·qtyC (cents × cents
+      // of quantity). Dimension joins broadcast; the orders join is the
+      // one honest fact-fact shuffle (orderkey-keyed, AQE-planned).
+      val parts = Tables.part(spark, dir)
+        .filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+        .withColumn("retail_c", expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          expr("CAST(year(CAST(o_orderdate AS DATE)) AS INT)").as("o_year"))
+        .agg(expr(s"CAST(sum($revU - retail_c * $qtyC) AS DOUBLE) / 10000").as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    "q16_supplier_parts_count" -> t { (spark, dir) =>
+      // TPC-H Q16 shape: distinct-supplier counts per part attribute
+      // group, excluding a supplier denylist (NOT IN → broadcast anti
+      // join). The part-supplier relation reduces to DISTINCT pairs
+      // before any join — no row multiplication downstream.
+      val pairs = Tables.lineitem(spark, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+      val excl = Tables.supplier(spark, dir)
+        .filter(col("s_name").like("%7")).select("s_suppkey")
+      val parts = Tables.part(spark, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      pairs
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    "q20_part_promotion" -> t { (spark, dir) =>
+      // TPC-H Q20 shape (nested IN with aggregate threshold): suppliers
+      // who dominated (>50% of volume) a contested (≥3 suppliers) red
+      // part in 1996. The correlated availqty comparison decorrelates
+      // into per-(part,supplier) sums, a per-part re-aggregation of that
+      // SAME small frame (sum-of-sums is exact in integers), and a
+      // cross-multiplied threshold — then two broadcast semi/equi joins
+      // out to the dimensions.
+      val shipped = Tables.lineitem(spark, dir)
+        .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(expr(s"sum($qtyC)").as("pair_qty_c"))
+      val totals = shipped.groupBy("l_partkey")
+        .agg(sum("pair_qty_c").as("total_qty_c"), count(lit(1)).as("n_supp"))
+      val redParts = Tables.part(spark, dir)
+        .filter(col("p_name").like("red%")).select("p_partkey")
+      val promo = shipped.join(totals, "l_partkey")
+        .filter(col("pair_qty_c") * 2 > col("total_qty_c") && col("n_supp") >= 3)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_suppkey").distinct()
+      promo
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    },
     "q13_semi_anti_join" -> t { (spark, dir) =>
       // existence tests as leftsemi/leftanti — no row multiplication, the
       // orders side reduces to a broadcast hash-set probe.
@@ -479,6 +578,66 @@ object RelationalQueries {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       GROUP BY 1 ORDER BY 1""",
+    "q02_min_cost_supplier" -> s"""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey, CAST(min($priceC) AS BIGINT) AS cost_c
+        FROM lineitem GROUP BY 1, 2
+      ), winners AS (
+        SELECT * FROM (
+          SELECT ps.*, min(cost_c) OVER (PARTITION BY l_partkey) AS min_c FROM ps) q
+        WHERE cost_c = min_c
+      )
+      SELECT p_partkey, p_name, s_name, n_name,
+             CAST(cost_c AS DOUBLE) / 100 AS min_cost
+      FROM winners
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'ECONOMY' AND p_size <= 15
+      ORDER BY p_partkey, s_name""",
+    "q09_product_type_profit" -> s"""
+      SELECT n_name,
+        CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+        CAST(sum($revU - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * $qtyC) AS DOUBLE) / 10000 AS profit,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2 ORDER BY n_name, o_year DESC""",
+    "q16_supplier_parts_count" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_part_promotion" -> s"""
+      WITH shipped AS (
+        SELECT l_partkey, l_suppkey, CAST(sum($qtyC) AS BIGINT) AS pair_qty_c
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY 1, 2
+      ), totals AS (
+        SELECT l_partkey, CAST(sum(pair_qty_c) AS BIGINT) AS total_qty_c,
+               CAST(count(*) AS BIGINT) AS n_supp
+        FROM shipped GROUP BY 1
+      ), promo AS (
+        SELECT DISTINCT l_suppkey
+        FROM shipped JOIN totals USING (l_partkey)
+        WHERE pair_qty_c * 2 > total_qty_c AND n_supp >= 3
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      )
+      SELECT s_suppkey, s_name, n_name
+      FROM promo
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY s_suppkey""",
     "q13_semi_anti_join" -> """
       WITH flags AS (
         SELECT c_mktsegment, c_custkey,
