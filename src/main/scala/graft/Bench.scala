@@ -17,22 +17,25 @@ object Bench {
     * relational joins/windows, the dedup family, ANN, text analysis. */
   val headline: Seq[String] = Seq(
     "t12_envelope", "t12b_avro_roundtrip", "t31_replay_dedupe",
-    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
+    "q05_local_supplier_volume",
     "q06_revenue_forecast", "q07_supplier_running_revenue",
     "q04_order_priority", "q08_top_parts_per_brand", "q10_returned_items",
     "q11_user_sessions", "q18_large_volume_customer",
-    "q12_rollup_revenue", "q13_semi_anti_join", "q14_set_ops", "q15_asof_heartbeat",
-    "q17_small_qty_revenue", "q19_disjunctive_revenue",
-    "q21_waiting_suppliers", "q22_balance_opportunity",
+    "q09_product_type_profit", "q12_rollup_revenue", "q13_semi_anti_join",
+    "q14_set_ops", "q15_asof_heartbeat",
+    "q16_supplier_parts_count", "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q20_part_promotion", "q21_waiting_suppliers", "q22_balance_opportunity",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "d7_simhash_near",
-    "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step",
+    "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step", "s5_ann_int8",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
     "x5_top_terms", "x6_vocab_bigrams", "x7_repetition", "x8_length_quantiles",
     "x9_distinct_kmv", "x10_distinct_by_lang",
     "x11_sample_stratified", "x12_decontaminate",
     "x13_langid_confusion", "x14_source_mix",
+    "x15_pack_sequences", "x16_filter_audit", "x17_mixture_temperature",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize")
 
   def main(args: Array[String]): Unit = {

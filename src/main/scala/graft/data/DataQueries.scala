@@ -36,6 +36,10 @@ object DataQueries {
     "x12_decontaminate" -> docs(TextOps.decontaminate(_)),
     "x13_langid_confusion" -> docs(TextOps.langIdConfusion),
     "x14_source_mix" -> docs(TextOps.sourceMix),
+    "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
+    "x16_filter_audit" -> docs(TextOps.filterAudit),
+    "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
+    "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -239,6 +243,85 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
 SELECT q.vec_id, d.nn_id, d.cos, coalesce(d.cos >= 0.95, false) AS is_dup
 FROM qn q LEFT JOIN (SELECT * FROM dranked WHERE r = 1) d ON q.vec_id = d.vec_id
 ORDER BY q.vec_id"""),
+    "x15_pack_sequences" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        FROM documents
+      ), cums AS (
+        SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM toks
+      )
+      SELECT doc_id, n_tokens,
+        cum_before // 512 AS seq_id,
+        cum_before % 512 AS seq_offset,
+        (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1 AS n_seqs_spanned
+      FROM cums ORDER BY doc_id""",
+    "x16_filter_audit" -> s"""
+      SELECT doc_id, n_words, n_distinct, n_stop,
+        n_words < 20 AS r_too_short,
+        n_words > 88 AS r_too_long,
+        n_stop = 0 AS r_no_stopwords,
+        n_distinct * 100 < n_words * 35 AS r_repetitive,
+        NOT (n_words < 20 OR n_words > 88 OR n_stop = 0
+             OR n_distinct * 100 < n_words * 35) AS keep
+      FROM (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+              CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop
+            FROM documents) q
+      ORDER BY doc_id""",
+    "x17_mixture_temperature" -> """
+      WITH toks AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(list_sum(list_transform(string_split(text, ' '),
+            w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT)))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+      ), wts AS (
+        SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w
+        FROM toks
+      ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM wts)
+      SELECT source, n_docs, tokens, w,
+        CAST(w AS DOUBLE) / w_total AS p,
+        CAST(w AS DOUBLE) / w_total * 10000000 / tokens AS epochs
+      FROM wts, tot ORDER BY source""",
+    "s5_ann_int8" -> (vecProlog + s"""
+, e8 AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+), v8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127e0 + 0.5e0) AS BIGINT)) AS q8
+  FROM e8
+), n8 AS (
+  SELECT vec_id, q8,
+         CAST(list_sum(list_transform(generate_series(1, len(q8)), d -> q8[d] * q8[d])) AS BIGINT) AS nn8
+  FROM v8
+), p8 AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.q8)), d -> a.q8[d] * b.q8[d])) AS BIGINT) AS dot8,
+         a.nn8 AS na, b.nn8 AS nb
+  FROM n8 a JOIN n8 b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+), s8 AS (
+  SELECT query_id, neighbor_id, dot8,
+         CAST(dot8 AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos8
+  FROM p8
+), r8 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos8 DESC, neighbor_id) AS INT) AS rnk
+  FROM s8
+)
+SELECT t.query_id, t.neighbor_id, t.rnk, t.dot8, t.cos8,
+       CAST(${pairDot("qa", "qb")} AS DOUBLE)
+         / sqrt(CAST(qa.nn AS DOUBLE) * CAST(qb.nn AS DOUBLE)) AS cos_exact
+FROM r8 t
+JOIN qn qa ON t.query_id = qa.vec_id
+JOIN qn qb ON t.neighbor_id = qb.vec_id
+WHERE t.rnk <= 5 ORDER BY t.query_id, t.rnk"""),
     "s1_ann_brute" -> (vecProlog +
       topK("a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id", 5)),
     "s2_ann_ivf" -> (vecProlog +

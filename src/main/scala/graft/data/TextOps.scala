@@ -282,6 +282,92 @@ object TextOps {
         sum("n_words").as("total_words"))
       .orderBy("source", "lang")
 
+  /** x15 — training-sequence packing: concatenate the corpus in doc_id
+    * order and chunk it into fixed token-budget sequences (the
+    * concat-then-chunk packing every LLM pretraining pipeline runs).
+    * Each document reports the sequence it starts in, its offset there,
+    * and how many sequences it spans.
+    *
+    * The global exclusive prefix sum of token counts is computed in two
+    * phases — range-repartition by doc_id, cumsum locally in parallel,
+    * then add per-partition totals' offsets from a #partitions-row frame
+    * broadcast back — never a single-partition window over the corpus.
+    * All arithmetic is integer (BIGINT cumsum, DIV/% binning), so the
+    * oracle's window-cumsum formulation matches exactly. */
+  def packSequences(documents: DataFrame, budget: Long = 512): DataFrame = {
+    val toks = tokenCount(documents).select(col("doc_id"), col("bpe_tokens"))
+    val local = toks
+      .repartitionByRange(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum("bpe_tokens")
+        .over(Window.partitionBy("__pid").orderBy("doc_id")))
+      .persist() // un-materialized range shuffles can resample bounds per branch
+    val offsets = local.groupBy("__pid").agg(sum("bpe_tokens").as("__pt"))
+      .withColumn("__off", coalesce(
+        sum("__pt").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_before", col("__lcum") + col("__off") - col("bpe_tokens"))
+      .select(col("doc_id"), col("bpe_tokens").as("n_tokens"),
+        expr(s"cum_before DIV $budget").as("seq_id"),
+        expr(s"cum_before % $budget").as("seq_offset"),
+        expr(s"(cum_before + n_tokens - 1) DIV $budget - cum_before DIV $budget + 1")
+          .as("n_seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
+  /** x16 — composite quality filter with an audit trail: every heuristic
+    * is a named boolean column, so rejected documents are attributable to
+    * specific rules (the filter-transparency requirement of a curated
+    * training set — aggregate rule counts are the data-card "% removed
+    * by rule X" table). Thresholds sit at the corpus's observed tails.
+    *
+    * Entirely per-row narrow expressions — the type-token ratio test is
+    * cross-multiplied integers (n_distinct·100 < n_words·35), no doubles
+    * anywhere — so the filter pipelines over the scan with no shuffle at
+    * all. */
+  def filterAudit(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("n_distinct", expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"))
+      .withColumn("n_stop", expr(cntSum(StopwordsEn)).cast("long"))
+      .withColumn("r_too_short", col("n_words") < 20)
+      .withColumn("r_too_long", col("n_words") > 88)
+      .withColumn("r_no_stopwords", col("n_stop") === 0)
+      .withColumn("r_repetitive", expr("n_distinct * 100 < n_words * 35"))
+      .withColumn("keep",
+        !(col("r_too_short") || col("r_too_long") ||
+          col("r_no_stopwords") || col("r_repetitive")))
+      .select("doc_id", "n_words", "n_distinct", "n_stop",
+        "r_too_short", "r_too_long", "r_no_stopwords", "r_repetitive", "keep")
+      .orderBy("doc_id")
+
+  /** x17 — temperature-reweighted mixture: per-source sampling
+    * probabilities p_i ∝ tokens_i^(1/2) (temperature α = 0.5, the
+    * multilingual-rebalancing exponent) and the implied epochs over each
+    * source for a fixed training-token target. Upweights small sources,
+    * downweights dominant ones.
+    *
+    * Order-independence: summing the irrational sqrt weights in floats
+    * would make the total depend on aggregation order (different between
+    * engines AND between runs at different parallelism). The weights are
+    * therefore quantized to integer milli-units first — the sum is exact
+    * BIGINT, and p/epochs are division chains over identical integers. */
+  def mixtureTemperature(documents: DataFrame, targetTokens: Long = 10000000L): DataFrame = {
+    val perSource = tokenCount(documents)
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("tokens"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+    val total = perSource.agg(sum("w").as("w_total"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("p", expr("CAST(w AS DOUBLE) / w_total"))
+      .withColumn("epochs", expr(s"CAST(w AS DOUBLE) / w_total * $targetTokens / tokens"))
+      .select("source", "n_docs", "tokens", "w", "p", "epochs")
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------

@@ -110,6 +110,54 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s5 — int8-quantized ANN with exact rerank: the
+    * memory-bandwidth-bound shape of large-scale vector search. Each
+    * vector is symmetrically scalar-quantized to int8 against its own
+    * max-abs (8× smaller than float64 / 4× smaller than float32 — at
+    * 100 TB of embeddings the scan cost IS the search cost, so byte
+    * width is throughput), the candidate scan ranks by the int8 cosine
+    * (per-vector scales cancel in cosine up to quantization error), and
+    * only the k winners are re-scored exactly — the standard
+    * coarse-scan + rerank pattern (IVF-SQ8 in FAISS terms).
+    *
+    * Exactness: the quantization chain is floor(x / mx · 127 + 0.5) in
+    * IEEE doubles over identical inputs, int8 dots/norms are exact
+    * BIGINT sums via the native codegen'd dot, and the rerank reuses the
+    * 2^20 quantization — every output column hash-matches the oracle. */
+  def annInt8(embeddings: DataFrame, everyNth: Int = 50, k: Int = 5): DataFrame = {
+    val v8 = embeddings
+      .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("q8", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127e0 + 0.5e0) AS BIGINT))"))
+      .withColumn("nn8", expr("graft_dot_long(q8, q8)"))
+      .select("vec_id", "q8", "nn8")
+    val q = v8.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("q8").as("q_q8"), col("nn8").as("q_nn8"))
+    val top = q.join(v8, col("vec_id") =!= col("query_id"))
+      .withColumn("dot8", expr("graft_dot_long(q_q8, q8)"))
+      .withColumn("cos8",
+        expr("CAST(dot8 AS DOUBLE) / sqrt(CAST(q_nn8 AS DOUBLE) * CAST(nn8 AS DOUBLE))"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos8").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("dot8"), col("cos8"))
+    // exact rerank of the Q·k winners only — the WINNERS frame is the
+    // broadcast side (Q·k rows); the full-precision vectors stream past it
+    val exact = quantized(embeddings)
+    val withQ = broadcast(top)
+      .join(exact.select(col("vec_id").as("query_id"),
+        col("qv").as("q_qv"), col("nn").as("q_nn")), "query_id")
+    broadcast(withQ)
+      .join(exact.select(col("vec_id").as("neighbor_id"), col("qv"), col("nn")),
+        "neighbor_id")
+      .withColumn("cos_exact", expr(
+        "CAST(graft_dot_long(q_qv, qv) AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
+      .select("query_id", "neighbor_id", "rnk", "dot8", "cos8", "cos_exact")
+      .orderBy("query_id", "rnk")
+  }
+
   /** s4 — one distributed k-means step (assign + update) over quantized
     * embeddings: the distance argmin uses exact integer algebra
     * (|x|² − 2x·c + |c|², native codegen'd dot products against a
