@@ -154,6 +154,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("*("), "ANN scoring fell out of codegen")
   }
 
+  test("x16 filter audit is a pure narrow projection — no shuffle but the output sort") {
+    val (_, p) = planOf("x16_filter_audit")
+    assert(countShuffles(p) <= 1,
+      s"x16 must not shuffle (narrow per-row rules), got ${countShuffles(p)}")
+  }
+
+  test("x15 packing uses the two-phase prefix sum — offsets come back via broadcast") {
+    val (s, _) = planOf("x15_pack_sequences")
+    assert(s.contains("BroadcastHashJoin"),
+      "x15 per-partition offsets must join back via broadcast:\n" + s.take(2000))
+    // the corpus-wide cumsum must be windowed by __pid, never unpartitioned
+    assert(!s.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("bpe_tokens") && !l.contains("__pid")),
+      "x15 corpus cumsum lost its partition key:\n" + s.take(3000))
+  }
+
+  test("s5 int8 rerank broadcasts the winners frame — full vectors never shuffle for it") {
+    val (s, _) = planOf("s5_ann_int8")
+    assert(s.contains("graft_dot_long"), "int8 scan must use the native dot:\n" + s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "s5 rerank degraded to a sort-merge join of the vector table:\n" + s.take(2000))
+  }
+
+  test("q02 correlated-MIN stays keyed: partkey window, broadcast dims, no cartesian") {
+    val (s, _) = planOf("q02_min_cost_supplier")
+    assert(!s.contains("CartesianProduct"), "q02 has a cartesian:\n" + s.take(2000))
+    assert(s.contains("BroadcastHashJoin"), "q02 dims must broadcast:\n" + s.take(2000))
+  }
+
+  test("q16 supplier denylist is a broadcast anti join over pre-distinct pairs") {
+    val (s, _) = planOf("q16_supplier_parts_count")
+    assert(s.contains("LeftAnti"), "q16 must anti-join the denylist:\n" + s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "q16 joins must stay broadcast at dimension scale:\n" + s.take(2000))
+  }
+
+  test("q20 share test joins stay hash/broadcast — no cartesian") {
+    val (s, _) = planOf("q20_part_promotion")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "q20 must hash-join the decorrelated aggregates:\n" + s.take(2000))
+  }
+
   test("whole-stage codegen covers the envelope projection chain") {
     // formatted mode omits codegen markers; the executed plan tree shows
     // them as *(n) stage ids
