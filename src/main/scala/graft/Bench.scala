@@ -16,7 +16,7 @@ object Bench {
   /** Scale-relevant subset: full CDC envelope, recovery dedupe, the
     * relational joins/windows, the dedup family, ANN, text analysis. */
   val headline: Seq[String] = Seq(
-    "t12_envelope", "t12b_avro_roundtrip", "t31_replay_dedupe",
+    "t12_envelope", "t12b_avro_roundtrip", "t13b_materialize", "t31_replay_dedupe",
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_revenue_forecast", "q07_supplier_running_revenue",
@@ -26,6 +26,7 @@ object Bench {
     "q14_set_ops", "q15_asof_heartbeat",
     "q16_supplier_parts_count", "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "q20_part_promotion", "q21_waiting_suppliers", "q22_balance_opportunity",
+    "q24_window_suite",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "d7_simhash_near",

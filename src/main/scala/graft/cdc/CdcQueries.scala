@@ -84,6 +84,22 @@ object CdcQueries {
     "t13_changelog" -> c(_.env
       .select("database_name", "table_name", "payload_id")
       .orderBy("database_name", "table_name", "payload_id")),
+    // The canonical downstream consumer of the reference's output stream:
+    // materialize current table state from the changelog. One hash
+    // aggregation keyed by row identity; max_by picks the latest image by
+    // the total per-row order (pos_key is unique), deletes drop the row.
+    // At 100 TB this is the exact shape of a Debezium-consumer snapshot
+    // build: no window, no sort, map-side partial max_by aggregation.
+    "t13b_materialize" -> c(_.env
+      .groupBy("database_name", "table_name", "payload_id")
+      .agg(
+        max("pos_key").as("last_pos"),
+        expr("max_by(message_type, pos_key)").as("last_type"),
+        expr("max_by(payload_value, pos_key)").as("payload_value"),
+        expr("max_by(payload_k, pos_key)").as("payload_k"),
+        count(lit(1)).as("n_versions"))
+      .filter(col("last_type") =!= "delete")
+      .orderBy("database_name", "table_name", "payload_id")),
     "t14_transaction_id" -> c(_.env
       .select("event_id", "row_idx", "transaction_id", "cluster_name", "log_file", "log_pos")
       .orderBy("event_id", "row_idx")),
@@ -135,6 +151,17 @@ object CdcQueries {
          FROM envelope ORDER BY event_id, row_idx"""),
     "t13_changelog" -> q(
       "SELECT database_name, table_name, payload_id FROM envelope ORDER BY database_name, table_name, payload_id"),
+    "t13b_materialize" -> q(
+      """SELECT * FROM (
+           SELECT database_name, table_name, payload_id,
+                  max(pos_key) AS last_pos,
+                  max_by(message_type, pos_key) AS last_type,
+                  max_by(payload_value, pos_key) AS payload_value,
+                  max_by(payload_k, pos_key) AS payload_k,
+                  CAST(count(*) AS BIGINT) AS n_versions
+           FROM envelope GROUP BY 1, 2, 3) m
+         WHERE last_type <> 'delete'
+         ORDER BY database_name, table_name, payload_id"""),
     "t14_transaction_id" -> q(
       "SELECT event_id, row_idx, transaction_id, cluster_name, log_file, log_pos FROM envelope ORDER BY event_id, row_idx"),
     "t15_dry_run" -> q(

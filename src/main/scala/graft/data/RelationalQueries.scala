@@ -383,6 +383,30 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
     },
+    "q24_window_suite" -> t { (spark, dir) =>
+      // the full window-function surface in one keyed pass: ranking
+      // (row_number/rank/dense_rank/ntile), navigation (lag/lead),
+      // frame aggregates (first_value, running avg as exact integers).
+      // All windows share ONE partition key (supplier) and ONE order —
+      // Spark plans a single sort+window stage, no repeated shuffles.
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("ship_date", "l_orderkey", "l_linenumber", "rev_u")
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_date", expr("CAST(CAST(l_shipdate AS DATE) AS STRING)"))
+        .withColumn("rev_u", expr(revU))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("prev_rev", lag("rev_u", 1).over(w))
+        .withColumn("next_rev", lead("rev_u", 1).over(w))
+        .withColumn("first_rev", first("rev_u").over(w))
+        .withColumn("run_cnt", count(lit(1)).over(w))
+        .select("l_suppkey", "ship_date", "l_orderkey", "l_linenumber", "rev_u",
+          "rn", "rnk", "drnk", "quartile", "prev_rev", "next_rev",
+          "first_rev", "run_cnt")
+        .orderBy("l_suppkey", "rn")
+    },
     "q13_semi_anti_join" -> t { (spark, dir) =>
       // existence tests as leftsemi/leftanti — no row multiplication, the
       // orders side reduces to a broadcast hash-set probe.
@@ -638,6 +662,25 @@ object RelationalQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY s_suppkey""",
+    "q24_window_suite" -> s"""
+      WITH base AS (
+        SELECT l_suppkey, CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date,
+               l_orderkey, l_linenumber, $revU AS rev_u
+        FROM lineitem
+      )
+      SELECT l_suppkey, ship_date, l_orderkey, l_linenumber, rev_u,
+        CAST(row_number() OVER w AS BIGINT) AS rn,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        lag(rev_u, 1) OVER w AS prev_rev,
+        lead(rev_u, 1) OVER w AS next_rev,
+        first_value(rev_u) OVER w AS first_rev,
+        CAST(count(*) OVER w AS BIGINT) AS run_cnt
+      FROM base
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY ship_date, l_orderkey, l_linenumber, rev_u)
+      ORDER BY l_suppkey, rn""",
     "q13_semi_anti_join" -> """
       WITH flags AS (
         SELECT c_mktsegment, c_custkey,
