@@ -69,11 +69,17 @@ object InfoSchema {
   }
 
   /** Lower to the engine StructType with the same type mapping the DDL
-    * path uses, so both derivations fingerprint identically. */
-  def structOf(t: MysqlTable): StructType =
+    * path uses, so both derivations fingerprint identically. Nullability
+    * follows IS_NULLABLE, with primary-key members forced NOT NULL (the
+    * server reports 'NO' for them; forcing makes a stale snapshot frame
+    * still fingerprint-match the DDL path). */
+  def structOf(t: MysqlTable): StructType = {
+    val pk = pkeyNames(t).toSet
     StructType(t.columns.sortBy(_.ordinalPosition).map(c =>
       org.apache.spark.sql.types.StructField(
-        c.columnName, MysqlDdlToStruct.mysqlType(c.columnType), nullable = true)))
+        c.columnName, MysqlDdlToStruct.mysqlType(c.columnType),
+        nullable = c.isNullable && !pk(c.columnName))))
+  }
 
   def pkeyNames(t: MysqlTable): Seq[String] =
     t.primaryKeys.sortBy(_.ordinalPosition).map(_.columnName)

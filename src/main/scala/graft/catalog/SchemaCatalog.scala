@@ -41,8 +41,13 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
     * wholesale on renames (T17). */
   private var cache = Map.empty[TableId, TableSchema]
   private var versionCounter = 0
+  /** Compatibility verdict of every schema EVOLUTION (ALTER on a known
+    * table), in order — what the reference's registry would have ruled at
+    * registration time (schema_event_handler.py:154-175). */
+  private var compatReports = Vector.empty[(TableId, SchemaCompat.Report)]
 
   def version: Int = versionCounter
+  def compatLog: Seq[(TableId, SchemaCompat.Report)] = synchronized(compatReports)
   def cachedTables: Set[TableId] = cache.keySet
   def all: Map[TableId, TableSchema] = entries
 
@@ -98,6 +103,10 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
           Some(register(newId, newStruct, curPkeys))
         } else {
           val (newStruct, newPkeys) = MysqlDdlToStruct.applyAlterWithKeys(sql, cur, curPkeys)
+          entries.get(id).foreach { old =>
+            compatReports :+= (id ->
+              SchemaCompat.check(old, TableSchema(0, newStruct, old.containsPii, newPkeys)))
+          }
           Some(register(id, newStruct, newPkeys))
         }
       case DropTableStatement(db, tbl) =>
@@ -265,10 +274,33 @@ object MysqlDdlToStruct {
         val te = typeEnd(ts, 1)
         if (ts.drop(te).exists(_.toUpperCase == "PRIMARY") && pkeys.isEmpty)
           pkeys = Vector(name)
-        Some(StructField(name, mysqlType(tpe), nullable = true))
+        Some(StructField(name, mysqlType(tpe),
+          nullable = !notNullFrom(ts, te, ts.length)))
       }
     }
-    (StructType(fields), pkeys)
+    // MySQL: PRIMARY KEY columns are implicitly NOT NULL (information_schema
+    // reports IS_NULLABLE='NO' for them — reference mysql_parser.py:38-190)
+    val withKeyNullability = fields.map(f =>
+      if (pkeys.contains(f.name)) f.copy(nullable = false) else f)
+    (StructType(withKeyNullability), pkeys)
+  }
+
+  /** NOT NULL present at paren depth 0 in ts[from, stop)? (A `NOT` inside
+    * type params — e.g. an ENUM value — must not match.) */
+  private def notNullFrom(ts: Vector[String], from: Int, stop: Int): Boolean = {
+    var depth = 0
+    var i = from
+    while (i < stop - 1) {
+      ts(i) match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case t if depth == 0 && t.toUpperCase == "NOT" &&
+          ts(i + 1).toUpperCase == "NULL" => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   /** Column names of a key clause: identifiers at paren depth 1, skipping
@@ -410,7 +442,8 @@ object MysqlDdlToStruct {
               }
               m += 1
             }
-            val f = StructField(name, mysqlType(tpe), nullable = true)
+            val f = StructField(name, mysqlType(tpe),
+              nullable = !notNullFrom(ts, typeEnd(ts, j + 1), stop))
             fields = (fields.take(insertAt) :+ f) ++ fields.drop(insertAt)
           }
         case "DROP" =>
@@ -429,7 +462,13 @@ object MysqlDdlToStruct {
           if (j < ts.length) {
             val name = ident(ts(j))
             val tpe = typeWithParams(ts, j + 1)
-            fields = fields.map(f => if (f.name == name) f.copy(dataType = mysqlType(tpe)) else f)
+            // MODIFY restates the whole column definition — nullability
+            // resets to the restated form (absent NOT NULL → nullable)
+            val stop0 = nextTopComma(ts, j)
+            val stop = if (stop0 < 0) ts.length else stop0
+            val nn = notNullFrom(ts, typeEnd(ts, j + 1), stop)
+            fields = fields.map(f =>
+              if (f.name == name) f.copy(dataType = mysqlType(tpe), nullable = !nn) else f)
           }
         case "CHANGE" =>
           j += 1
@@ -437,8 +476,11 @@ object MysqlDdlToStruct {
           if (j + 1 < ts.length) {
             val oldName = ident(ts(j)); val newName = ident(ts(j + 1))
             val tpe = typeWithParams(ts, j + 2)
+            val stop0 = nextTopComma(ts, j)
+            val stop = if (stop0 < 0) ts.length else stop0
+            val nn = notNullFrom(ts, typeEnd(ts, j + 2), stop)
             fields = fields.map(f =>
-              if (f.name == oldName) StructField(newName, mysqlType(tpe), nullable = true) else f)
+              if (f.name == oldName) StructField(newName, mysqlType(tpe), nullable = !nn) else f)
             pkeys = pkeys.map(k => if (k == oldName) newName else k)
           }
         case _ =>
@@ -447,7 +489,11 @@ object MysqlDdlToStruct {
       val nc = nextTopComma(ts, j)
       j = if (nc < 0) ts.length else nc + 1
     }
-    (StructType(fields), pkeys)
+    // ADD PRIMARY KEY forces members NOT NULL (MySQL semantics); DROP
+    // PRIMARY KEY does NOT restore nullability, matching the server
+    val keyed = fields.map(f =>
+      if (pkeys.contains(f.name)) f.copy(nullable = false) else f)
+    (StructType(keyed), pkeys)
   }
 
   /** ALTER TABLE x RENAME [TO|AS] y → (unchanged struct, new name). */

@@ -15,7 +15,8 @@ class SchemaCatalogSpec extends AnyFunSuite {
     val ts1 = c.applyDdl("cluster", "yelp",
       "CREATE TABLE `biz` (`id` int(11) NOT NULL PRIMARY KEY, `name` varchar(64) DEFAULT NULL)").get
     assert(ts1.struct == StructType(Seq(
-      StructField("id", IntegerType), StructField("name", StringType))))
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType))))
     val ts2 = c.applyDdl("cluster", "yelp",
       "ALTER TABLE biz ADD location varchar(128) DEFAULT NULL").get
     assert(ts2.struct.fieldNames.toSeq == Seq("id", "name", "location"))
@@ -198,7 +199,8 @@ class SchemaCatalogSpec extends AnyFunSuite {
     val parsed = new org.apache.avro.Schema.Parser().parse(avro)
     assert(parsed.getField("id").getObjectProp("pkey") == 1)
     assert(parsed.getField("name").getObjectProp("pkey") == 2)
-    assert(parsed.getField("id").schema().getType == org.apache.avro.Schema.Type.UNION)
+    // pkey members are NOT NULL → required (non-union) Avro fields
+    assert(parsed.getField("id").schema().getType != org.apache.avro.Schema.Type.UNION)
   }
 
   test("ADD AFTER/FIRST ordering holds for comma-bearing types (DECIMAL/ENUM params)") {
