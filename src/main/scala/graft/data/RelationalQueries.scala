@@ -383,6 +383,23 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
     },
+    "q25_skew_salted" -> t { (spark, dir) =>
+      // skew-mitigated fact⋈dim shuffle join (SkewOps.saltedJoin): the
+      // hot supplier keys spread across 16 salt sub-keys, the dim side
+      // replicates once per salt. Row-identical to the plain join — the
+      // oracle IS the unsalted formulation, proving the rewrite lossless.
+      val fact = Tables.lineitem(spark, dir)
+        .withColumn("rev_u", expr(revU))
+        .select("l_suppkey", "rev_u")
+      val dim = Tables.supplier(spark, dir)
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+        .select("l_suppkey", "s_name")
+      SkewOps.saltedJoin(fact, dim, "l_suppkey")
+        .groupBy("s_name")
+        .agg(expr("CAST(sum(rev_u) AS DOUBLE) / 10000").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    },
     "q24_window_suite" -> t { (spark, dir) =>
       // the full window-function surface in one keyed pass: ranking
       // (row_number/rank/dense_rank/ntile), navigation (lag/lead),
@@ -662,6 +679,11 @@ object RelationalQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY s_suppkey""",
+    "q25_skew_salted" -> s"""
+      SELECT s_name, CAST(sum($revU) AS DOUBLE) / 10000 AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name""",
     "q24_window_suite" -> s"""
       WITH base AS (
         SELECT l_suppkey, CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date,

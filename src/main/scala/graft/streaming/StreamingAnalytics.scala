@@ -47,6 +47,39 @@ object StreamingAnalytics {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  final case class Chg(row_key: String, pos_key: String, message_type: String,
+      payload_value: Double)
+  final case class RowState(pos: String, tpe: String, value: Double)
+  final case class Materialized(row_key: String, last_pos: String,
+      deleted: Boolean, payload_value: Double)
+
+  /** Streaming table materialization — the continuous form of
+    * t13b_materialize: per row key, keep the image with the highest
+    * position and re-emit it whenever it changes (Update mode). Deletes
+    * are retained as tombstones (`deleted = true`) rather than dropped:
+    * a late out-of-order change below the tombstone's position must still
+    * lose, so the position must stay in state — exactly why Kafka
+    * compacted topics keep tombstones around.
+    *
+    * State per key is O(1) (position + last image); the shuffle is one
+    * hash partition by key per micro-batch. Position comparison is the
+    * same total per-row order the batch query uses, so replaying any
+    * prefix of the changelog through this operator converges to the t13b
+    * batch answer. */
+  def materialize(changes: Dataset[Chg]): Dataset[Materialized] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    def fn(key: String, rows: Iterator[Chg], state: GroupState[RowState]): Materialized = {
+      val candidates = state.getOption.iterator ++
+        rows.map(r => RowState(r.pos_key, r.message_type, r.payload_value))
+      val best = candidates.maxBy(_.pos)
+      state.update(best)
+      Materialized(key, best.pos, best.tpe == "delete", best.value)
+    }
+    changes.groupByKey(_.row_key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

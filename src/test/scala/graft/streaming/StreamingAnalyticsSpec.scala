@@ -128,4 +128,40 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(streaming == batch)
     q.stop()
   }
+
+  test("streaming materialization upserts by position and keeps delete tombstones") {
+    import spark.implicits._
+    import StreamingAnalytics.{Chg, Materialized}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Chg]
+    val q = StreamingAnalytics.materialize(input.toDS())
+      .writeStream.format("memory").queryName("mat")
+      .outputMode("update").start()
+
+    def current(): Map[String, Materialized] =
+      spark.table("mat").as[Materialized].collect()
+        .groupBy(_.row_key).map { case (k, vs) => k -> vs.maxBy(_.last_pos) }
+
+    input.addData(
+      Chg("a", "f1:001:0", "create", 1.0),
+      Chg("b", "f1:002:0", "create", 2.0))
+    q.processAllAvailable()
+    assert(current() == Map(
+      "a" -> Materialized("a", "f1:001:0", deleted = false, 1.0),
+      "b" -> Materialized("b", "f1:002:0", deleted = false, 2.0)))
+
+    // update a, delete b; then an OUT-OF-ORDER stale update of b arrives
+    // below the tombstone's position — the tombstone must win
+    input.addData(
+      Chg("a", "f1:003:0", "update", 1.5),
+      Chg("b", "f1:004:0", "delete", 2.0))
+    q.processAllAvailable()
+    input.addData(Chg("b", "f1:003:5", "update", 9.9))
+    q.processAllAvailable()
+
+    val fin = current()
+    assert(fin("a") == Materialized("a", "f1:003:0", deleted = false, 1.5))
+    assert(fin("b") == Materialized("b", "f1:004:0", deleted = true, 2.0))
+    q.stop()
+  }
 }
