@@ -28,6 +28,8 @@ object DataQueries {
     "d5_dedup_embedding" -> embs(VectorOps.dedupEmbedding(_)),
     "d6_dedup_clusters" -> docs(TextOps.dedupClusters(_)),
     "d7_simhash_near" -> docs(TextOps.simhashNear),
+    "d8_dedup_agreement" -> ((spark, sfDir) => TextOps.dedupAgreement(
+      Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
@@ -354,6 +356,34 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
              CAST(bit_count(xor(p.sig_a, s.simhash)) AS INT) AS hamming
       FROM sprobes p JOIN simh s ON p.probe = s.simhash AND p.doc_a < s.doc_id
       ORDER BY doc_a, doc_b"""),
+    // lexical + semantic near-dup signals full-outer joined by pair; the
+    // shared WITH chain carries both prologues (doc CTEs, then vec CTEs)
+    "d8_dedup_agreement" -> (docProlog + vecProlog.replaceFirst("WITH", ",") + s"""
+, d8e AS (
+  SELECT q.*, bk.bucket % 16 AS dbucket
+  FROM qn q JOIN buckets bk ON q.vec_id = bk.vec_id
+), d8p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         ${pairDot("a", "b")} AS dot, a.nn AS na, b.nn AS nb
+  FROM d8e a JOIN d8e b
+    ON a.label = b.label AND a.dbucket = b.dbucket AND a.vec_id < b.vec_id
+), d8s AS (
+  SELECT doc_a, doc_b,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM d8p
+), d8emb AS (
+  SELECT * FROM d8s WHERE cos >= 0.35
+), d8text AS (
+  SELECT c.doc_a, c.doc_b, j.jac
+  FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+  WHERE j.jac >= 0.5
+)
+SELECT coalesce(t.doc_a, e.doc_a) AS doc_a, coalesce(t.doc_b, e.doc_b) AS doc_b,
+       t.jac, e.cos,
+       t.jac IS NOT NULL AS in_text, e.cos IS NOT NULL AS in_embedding
+FROM d8text t FULL OUTER JOIN d8emb e
+  ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+ORDER BY doc_a, doc_b"""),
     "x7_repetition" -> (docProlog + """
       , wcnt AS (
         SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2

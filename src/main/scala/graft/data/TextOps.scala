@@ -595,6 +595,31 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
 
+  /** d8 — dedup-signal agreement: the lexical (MinHash-LSH jaccard) and
+    * semantic (embedding cosine) near-dup detectors over the same corpus,
+    * full-outer joined by pair — the audit a curation pipeline runs
+    * before trusting either signal alone (lexical misses paraphrases,
+    * semantic misses template boilerplate; disagreement rows are exactly
+    * the cases to sample and inspect). Both inputs are already
+    * candidate-bounded (band collisions / (label, LSH-bucket) cells), so
+    * the agreement join is tiny-by-tiny. */
+  def dedupAgreement(documents: DataFrame, embeddings: DataFrame,
+      jacThreshold: Double = 0.5,
+      // the synthetic embeddings carry no true semantic dups (max NN
+      // cosine ≈ 0.41), so the demo threshold sits at the top tail; a
+      // real corpus would use ~0.95 as d5 does
+      cosThreshold: Double = 0.35): DataFrame = {
+    val textPairs = dedupMinhashLsh(documents, jacThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    val embPairs = VectorOps.nearPairs(embeddings, cosThreshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cos"))
+    textPairs.join(embPairs, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"), col("jac"), col("cos"),
+        col("jac").isNotNull.as("in_text"),
+        col("cos").isNotNull.as("in_embedding"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 16-bit SimHash signature per document.
     * Explode/groupBy instead of nested aggregate(...) lambdas: the
     * higher-order-function form runs interpreted (outside whole-stage

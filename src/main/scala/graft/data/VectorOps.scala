@@ -188,6 +188,24 @@ object VectorOps {
       .orderBy("c_id", "d")
   }
 
+  /** All vector pairs over the cosine threshold, candidates bounded by
+    * the (label, LSH-bucket) cell exactly as [[dedupEmbedding]] — the
+    * thresholded (not rank-1) form, for signal-fusion consumers. */
+  def nearPairs(embeddings: DataFrame, threshold: Double = 0.95,
+      bits: Int = 4): DataFrame = {
+    val v = quantized(embeddings)
+    val vb = v.withColumn("bucket", expr(bucketExpr(bits)))
+    val a = vb.select(col("vec_id").as("vec_a"), col("label").as("q_label"),
+      col("qv").as("q_qv"), col("nn").as("q_nn"), col("bucket").as("q_bucket"))
+    a.join(vb,
+        col("q_label") === col("label") && col("q_bucket") === col("bucket") &&
+          col("vec_a") < col("vec_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_id").as("vec_b"), col("dot"), col("cos"))
+  }
+
   /** d5 — embedding near-dup: nearest candidate per vector, flagged as dup
     * over a cosine threshold. Candidates must share the label cell AND the
     * low-`bits` LSH bucket, so a dense label cell subdivides into 2^bits
