@@ -39,6 +39,7 @@ object DataQueries {
     "x13_langid_confusion" -> docs(TextOps.langIdConfusion),
     "x14_source_mix" -> docs(TextOps.sourceMix),
     "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
+    "x18_curation_funnel" -> docs(TextOps.curationFunnel),
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
@@ -245,6 +246,61 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
 SELECT q.vec_id, d.nn_id, d.cos, coalesce(d.cos >= 0.95, false) AS is_dup
 FROM qn q LEFT JOIN (SELECT * FROM dranked WHERE r = 1) d ON q.vec_id = d.vec_id
 ORDER BY q.vec_id"""),
+    "x18_curation_funnel" -> (docProlog + s"""
+, f16 AS (
+  SELECT doc_id,
+    NOT (n_words < 20 OR n_words > 88 OR n_stop = 0
+         OR n_distinct * 100 < n_words * 35) AS p1
+  FROM (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop
+        FROM documents) q
+), fkeep AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN f16 f ON d.doc_id = f.doc_id
+  WHERE f.p1 GROUP BY md5(d.text)
+), flose AS (
+  SELECT DISTINCT j.doc_b AS doc_id
+  FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+  WHERE j.jac >= 0.5
+), fl AS (
+  SELECT doc_id, ${TextOps.LangCase} AS lang_pred,
+         md5(CAST(doc_id AS STRING)) AS h
+  FROM (SELECT doc_id,
+          CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS en_n,
+          CAST(${cntSum(TextOps.StopwordsDe)} AS BIGINT) AS de_n,
+          CAST(${cntSum(TextOps.StopwordsEs)} AS BIGINT) AS es_n
+        FROM documents) q
+), fs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, lang_pred, ${TextOps.hex13NumFragment("h")} AS hv FROM fl) q
+  WHERE (lang_pred = 'en' AND hv * 10 < CAST(4503599627370496 AS BIGINT))
+     OR (lang_pred <> 'en' AND hv * 2 < CAST(4503599627370496 AS BIGINT))
+), fagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM (
+    SELECT f.doc_id, f.p1,
+      f.p1 AND (k.doc_id IS NOT NULL) AS p2,
+      f.p1 AND (k.doc_id IS NOT NULL) AND (l.doc_id IS NULL) AS p3,
+      f.p1 AND (k.doc_id IS NOT NULL) AND (l.doc_id IS NULL)
+           AND (s.doc_id IS NOT NULL) AS p4
+    FROM f16 f
+    LEFT JOIN fkeep k ON f.doc_id = k.doc_id
+    LEFT JOIN flose l ON f.doc_id = l.doc_id
+    LEFT JOIN fs s ON f.doc_id = s.doc_id) q
+)
+SELECT * FROM (
+  SELECT '0_corpus' AS stage, n0 AS n_docs, CAST(0 AS BIGINT) AS n_removed FROM fagg
+  UNION ALL SELECT '1_quality', n1, n0 - n1 FROM fagg
+  UNION ALL SELECT '2_exact_dedup', n2, n1 - n2 FROM fagg
+  UNION ALL SELECT '3_near_dedup', n3, n2 - n3 FROM fagg
+  UNION ALL SELECT '4_sampled', n4, n3 - n4 FROM fagg) u
+ORDER BY stage"""),
     "x15_pack_sequences" -> """
       WITH toks AS (
         SELECT doc_id,

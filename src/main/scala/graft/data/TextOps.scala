@@ -368,6 +368,58 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** x18 — the end-to-end curation funnel: quality filter → exact dedup →
+    * near-dup removal → stratified sample, reported as per-stage
+    * in/out/removed counts (the "data funnel" table of a training-set
+    * data card). Composes the pipeline's own operators:
+    *
+    *  1. keep = the x16 audit rules;
+    *  2. exact dedup keeps min doc_id per md5(text) (d1 keepers);
+    *  3. near-dup removal drops every surviving doc that appears as the
+    *     LARGER id of a d3 dup pair — the deterministic keep-first form
+    *     (pair-greedy, not transitive closure: a doc survives unless some
+    *     smaller doc directly duplicates it; d6 computes full clusters);
+    *  4. the x11 per-language hash-threshold sample.
+    *
+    * Shape: every milestone is a per-doc boolean built from hash joins
+    * against (tiny) keeper/loser/sample sets, then ONE aggregation emits
+    * the whole funnel — not a driver loop of five counts re-running the
+    * dedup chain per stage. */
+  def curationFunnel(documents: DataFrame): DataFrame = {
+    val audit = filterAudit(documents).select(col("doc_id"), col("keep").as("p1"))
+    // exact-dedup keepers among the quality survivors
+    val keepers = documents
+      .join(audit.filter(col("p1")).select("doc_id"), "doc_id")
+      .withColumn("fp", md5(col("text")))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_keeper"))
+    val dupLosers = dedupMinhashLsh(documents)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_loser", lit(true))
+    val sampled = sampleStratified(documents)
+      .select(col("doc_id"), lit(true).as("is_sampled"))
+    val flags = audit
+      .join(keepers, Seq("doc_id"), "left")
+      .join(dupLosers, Seq("doc_id"), "left")
+      .join(sampled, Seq("doc_id"), "left")
+      .withColumn("p2", col("p1") && coalesce(col("is_keeper"), lit(false)))
+      .withColumn("p3", col("p2") && !coalesce(col("is_loser"), lit(false)))
+      .withColumn("p4", col("p3") && coalesce(col("is_sampled"), lit(false)))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(col("p1").cast("long")).as("n1"),
+        sum(col("p2").cast("long")).as("n2"),
+        sum(col("p3").cast("long")).as("n3"),
+        sum(col("p4").cast("long")).as("n4"))
+      .selectExpr("""stack(5,
+        '0_corpus',      n0, CAST(0 AS BIGINT),
+        '1_quality',     n1, n0 - n1,
+        '2_exact_dedup', n2, n1 - n2,
+        '3_near_dedup',  n3, n2 - n3,
+        '4_sampled',     n4, n3 - n4) AS (stage, n_docs, n_removed)""")
+      .orderBy("stage")
+  }
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
