@@ -187,6 +187,10 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
         entries.map { case (id, ts) => (id, fingerprint(ts.struct, ts.pkeys)) -> ts.schemaId }
     }
     cache = Map.empty
+    // the compat audit log is per-incarnation (it records THIS process's
+    // ALTER rulings, not snapshot state); restoring must not leave a
+    // previous incarnation's entries mixed into the new one
+    compatReports = Vector.empty
   }
 }
 

@@ -43,7 +43,11 @@ object SchemaCompat {
     case _ => false
   }
 
-  /** Violations that break a NEW-schema reader on OLD data (backward). */
+  /** Violations that break a NEW-schema reader on OLD data (backward).
+    * A shared field that becomes NOT NULL is a break: the new reader's
+    * required (non-union) field crashes on old records carrying null —
+    * dropping the null branch of a union is not a permitted Avro
+    * resolution. */
   def backwardViolations(old: StructType, nu: StructType): Seq[String] = {
     val oldByName = old.fields.map(f => f.name -> f).toMap
     nu.fields.toSeq.flatMap { f =>
@@ -52,12 +56,16 @@ object SchemaCompat {
           Some(s"added field '${f.name}' has no default (NOT NULL)")
         case Some(o) if !promotable(o.dataType, f.dataType) =>
           Some(s"field '${f.name}': ${o.dataType.simpleString} cannot promote to ${f.dataType.simpleString}")
+        case Some(o) if o.nullable && !f.nullable =>
+          Some(s"field '${f.name}' became NOT NULL; old data may hold nulls")
         case _ => None
       }
     }
   }
 
-  /** Violations that break an OLD-schema reader on NEW data (forward). */
+  /** Violations that break an OLD-schema reader on NEW data (forward).
+    * Symmetrically, a shared field that becomes nullable breaks the old
+    * reader, whose required field cannot hold the new data's nulls. */
   def forwardViolations(old: StructType, nu: StructType): Seq[String] = {
     val nuByName = nu.fields.map(f => f.name -> f).toMap
     old.fields.toSeq.flatMap { f =>
@@ -66,6 +74,8 @@ object SchemaCompat {
           Some(s"removed field '${f.name}' had no default (NOT NULL)")
         case Some(n) if !promotable(n.dataType, f.dataType) =>
           Some(s"field '${f.name}': ${n.dataType.simpleString} cannot promote back to ${f.dataType.simpleString}")
+        case Some(n) if n.nullable && !f.nullable =>
+          Some(s"field '${f.name}' became nullable; the old reader's required field cannot hold new nulls")
         case _ => None
       }
     }

@@ -111,9 +111,15 @@ object CdcOps {
     col("prev_id"), col("prev_value"), col("prev_k"),
     concat_ws(":", lit(CLUSTER), col("log_file"), col("log_pos")).as("transaction_id"),
     concat(col("database_name"), lit("."), col("target_table")).as("topic"),
+    // pos_key's LEXICOGRAPHIC order must equal event order — it keys
+    // max_by materialization, per-topic sink ordering, and resume
+    // comparisons. log_pos pads to 10 digits (MySQL positions are
+    // uint32, max 4294967295 — and Spark's lpad TRUNCATES overlong
+    // input, so an insufficient width would silently corrupt the
+    // order); row_idx pads to 4 (binlog rows-events batch far fewer).
     concat_ws(":", col("log_file"),
-      lpad(col("log_pos").cast("string"), 5, "0"),
-      col("row_idx").cast("string")).as("pos_key"),
+      lpad(col("log_pos").cast("string"), 10, "0"),
+      lpad(col("row_idx").cast("string"), 4, "0")).as("pos_key"),
     col("event_id"), col("row_idx"), col("k"))
 
   // ---- composed chain ------------------------------------------------

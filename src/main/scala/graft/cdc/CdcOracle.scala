@@ -71,7 +71,7 @@ WITH base AS (
     prev_id, prev_value, prev_k,
     'refcluster' || ':' || log_file || ':' || CAST(log_pos AS STRING) AS transaction_id,
     database_name || '.' || target_table AS topic,
-    log_file || ':' || lpad(CAST(log_pos AS STRING), 5, '0') || ':' || CAST(row_idx AS STRING) AS pos_key,
+    log_file || ':' || lpad(CAST(log_pos AS STRING), 10, '0') || ':' || lpad(CAST(row_idx AS STRING), 4, '0') AS pos_key,
     event_id, row_idx, k
   FROM transformed
 ), ddls AS (

@@ -316,7 +316,7 @@ ORDER BY stage"""),
       SELECT doc_id, n_tokens,
         cum_before // 512 AS seq_id,
         cum_before % 512 AS seq_offset,
-        (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1 AS n_seqs_spanned
+        (cum_before + greatest(n_tokens, 1) - 1) // 512 - cum_before // 512 + 1 AS n_seqs_spanned
       FROM cums ORDER BY doc_id""",
     "x16_filter_audit" -> s"""
       SELECT doc_id, n_words, n_distinct, n_stop,

@@ -312,7 +312,11 @@ object TextOps {
       .select(col("doc_id"), col("bpe_tokens").as("n_tokens"),
         expr(s"cum_before DIV $budget").as("seq_id"),
         expr(s"cum_before % $budget").as("seq_offset"),
-        expr(s"(cum_before + n_tokens - 1) DIV $budget - cum_before DIV $budget + 1")
+        // greatest(n_tokens, 1): a zero-token doc spans its start sequence.
+        // Also keeps the dividend non-negative — Spark's DIV truncates
+        // toward zero while DuckDB's // floors, so a negative dividend
+        // (cum_before=0, n_tokens=0 → -1) would diverge between engines
+        expr(s"(cum_before + greatest(n_tokens, 1) - 1) DIV $budget - cum_before DIV $budget + 1")
           .as("n_seqs_spanned"))
       .orderBy("doc_id")
   }
@@ -355,8 +359,15 @@ object TextOps {
     * therefore quantized to integer milli-units first — the sum is exact
     * BIGINT, and p/epochs are division chains over identical integers. */
   def mixtureTemperature(documents: DataFrame, targetTokens: Long = 10000000L): DataFrame = {
-    val perSource = tokenCount(documents)
-      .join(documents.select("doc_id", "source"), "doc_id")
+    // token counts computed inline on the source projection — one narrow
+    // scan into the per-source aggregation (routing through tokenCount
+    // would project `source` away and force a second scan plus a
+    // full-cardinality join just to re-attach it)
+    val perSource = documents
+      .withColumn("bpe_tokens", expr(
+        """aggregate(transform(split(text, ' '),
+             w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT)),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("tokens"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))

@@ -188,23 +188,36 @@ object VectorOps {
       .orderBy("c_id", "d")
   }
 
+  /** Scored candidate pairs within a (label, LSH-bucket) cell — the ONE
+    * definition of the near-dup candidate set, shared by [[dedupEmbedding]]
+    * (rank-1 per vector, `ordered = false`) and [[nearPairs]] (each pair
+    * once, `ordered = true`), so a change to the cell geometry (bits,
+    * bucket function) cannot desynchronize the two consumers. Output
+    * carries (query_id, vec_id, dot, cos). */
+  private def cellScoredPairs(embeddings: DataFrame, bits: Int,
+      ordered: Boolean): DataFrame = {
+    val vb = quantized(embeddings)
+      .withColumn("bucket", expr(bucketExpr(bits))) // narrow, no join
+    val a = vb.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("qv").as("q_qv"), col("nn").as("q_nn"), col("bucket").as("q_bucket"))
+    val pairPred =
+      if (ordered) col("query_id") < col("vec_id")
+      else col("vec_id") =!= col("query_id")
+    a.join(vb,
+        col("q_label") === col("label") && col("q_bucket") === col("bucket") && pairPred)
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+  }
+
   /** All vector pairs over the cosine threshold, candidates bounded by
     * the (label, LSH-bucket) cell exactly as [[dedupEmbedding]] — the
     * thresholded (not rank-1) form, for signal-fusion consumers. */
   def nearPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      bits: Int = 4): DataFrame = {
-    val v = quantized(embeddings)
-    val vb = v.withColumn("bucket", expr(bucketExpr(bits)))
-    val a = vb.select(col("vec_id").as("vec_a"), col("label").as("q_label"),
-      col("qv").as("q_qv"), col("nn").as("q_nn"), col("bucket").as("q_bucket"))
-    a.join(vb,
-        col("q_label") === col("label") && col("q_bucket") === col("bucket") &&
-          col("vec_a") < col("vec_id"))
-      .withColumn("dot", expr(dotExpr))
-      .withColumn("cos", expr(cosExpr))
+      bits: Int = 4): DataFrame =
+    cellScoredPairs(embeddings, bits, ordered = true)
       .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_id").as("vec_b"), col("dot"), col("cos"))
-  }
+      .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
+        col("dot"), col("cos"))
 
   /** d5 — embedding near-dup: nearest candidate per vector, flagged as dup
     * over a cosine threshold. Candidates must share the label cell AND the
@@ -218,20 +231,12 @@ object VectorOps {
     * neighbor and is_dup=false. */
   def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.95,
       bits: Int = 4): DataFrame = {
-    val v = quantized(embeddings)
-    val vb = v.withColumn("bucket", expr(bucketExpr(bits))) // narrow, no join
-    val a = vb.select(col("vec_id").as("query_id"), col("label").as("q_label"),
-      col("qv").as("q_qv"), col("nn").as("q_nn"), col("bucket").as("q_bucket"))
-    val best = a.join(vb,
-        col("q_label") === col("label") && col("q_bucket") === col("bucket") &&
-          col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotExpr))
-      .withColumn("cos", expr(cosExpr))
+    val best = cellScoredPairs(embeddings, bits, ordered = false)
       .withColumn("rnk", row_number()
         .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") === 1)
       .select(col("query_id").as("vec_id"), col("vec_id").as("nn_id"), col("cos"))
-    v.select("vec_id").join(best, Seq("vec_id"), "left")
+    quantized(embeddings).select("vec_id").join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("nn_id"), col("cos"),
         coalesce(col("cos") >= threshold, lit(false)).as("is_dup"))
       .orderBy("vec_id")

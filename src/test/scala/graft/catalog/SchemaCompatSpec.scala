@@ -74,6 +74,22 @@ class SchemaCompatSpec extends AnyFunSuite {
     assert(check(old, nu).level == Full)
   }
 
+  test("nullable -> NOT NULL on a shared field breaks backward (old nulls crash new reader)") {
+    val old = s(("id", LongType, false), ("name", StringType, true))
+    val nu = s(("id", LongType, false), ("name", StringType, false))
+    val r = check(old, nu)
+    assert(r.level == Forward, r)
+    assert(r.violations.exists(_.contains("became NOT NULL")), r)
+  }
+
+  test("NOT NULL -> nullable on a shared field breaks forward (old reader can't hold new nulls)") {
+    val old = s(("id", LongType, false))
+    val nu = s(("id", LongType, true))
+    val r = check(old, nu)
+    assert(r.level == Backward, r)
+    assert(r.violations.exists(_.contains("became nullable")), r)
+  }
+
   test("primary-key change poisons both directions") {
     val a = TableSchema(1, base, containsPii = false, pkeys = Seq("id"))
     val b = TableSchema(2, base, containsPii = false, pkeys = Seq("name"))
