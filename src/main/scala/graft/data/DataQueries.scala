@@ -40,6 +40,7 @@ object DataQueries {
     "x14_source_mix" -> docs(TextOps.sourceMix),
     "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
     "x18_curation_funnel" -> docs(TextOps.curationFunnel),
+    "x19_novelty" -> docs(TextOps.noveltyScore),
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
@@ -246,6 +247,15 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
 SELECT q.vec_id, d.nn_id, d.cos, coalesce(d.cos >= 0.95, false) AS is_dup
 FROM qn q LEFT JOIN (SELECT * FROM dranked WHERE r = 1) d ON q.vec_id = d.vec_id
 ORDER BY q.vec_id"""),
+    "x19_novelty" -> (docProlog + """
+      , xfirst AS (
+        SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh
+      )
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+             CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty_frac
+      FROM shingles s JOIN xfirst f USING (sh)
+      GROUP BY s.doc_id ORDER BY s.doc_id"""),
     "x18_curation_funnel" -> (docProlog + s"""
 , f16 AS (
   SELECT doc_id,

@@ -431,6 +431,28 @@ object TextOps {
       .orderBy("stage")
   }
 
+  /** x19 — n-gram novelty: the fraction of a document's shingles whose
+    * FIRST corpus occurrence (smallest doc_id) is this document — the
+    * redundancy/novelty signal curriculum-ordering and dedup-priority
+    * passes rank by. Low novelty ⇒ mostly re-treads earlier documents.
+    *
+    * Shape: the first-occurrence table is one hash aggregation keyed by
+    * shingle (min doc_id, map-side combinable), joined back to the
+    * per-doc shingle sets by shingle hash — no pairwise comparison of
+    * documents anywhere, so it scales like d1, not like d2. */
+  def noveltyScore(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .persist() // feeds first-occurrence agg AND the join side
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac", expr("CAST(n_novel AS DOUBLE) / n_sh"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
