@@ -41,6 +41,7 @@ object DataQueries {
     "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
     "x18_curation_funnel" -> docs(TextOps.curationFunnel),
     "x19_novelty" -> docs(TextOps.noveltyScore),
+    "x20_chunk_sliding" -> docs(TextOps.chunkSliding(_)),
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
@@ -247,6 +248,18 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
 SELECT q.vec_id, d.nn_id, d.cos, coalesce(d.cos >= 0.95, false) AS is_dup
 FROM qn q LEFT JOIN (SELECT * FROM dranked WHERE r = 1) d ON q.vec_id = d.vec_id
 ORDER BY q.vec_id"""),
+    "x20_chunk_sliding" -> """
+      WITH ws0 AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), ch AS (
+        SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 48)) AS i
+        FROM ws0
+      )
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        CAST(i * 48 AS BIGINT) AS start_tok,
+        CAST(len(list_slice(ws, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_tok,
+        md5(array_to_string(list_slice(ws, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_fp
+      FROM ch ORDER BY doc_id, chunk_idx""",
     "x19_novelty" -> (docProlog + """
       , xfirst AS (
         SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh

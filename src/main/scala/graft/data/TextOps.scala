@@ -453,6 +453,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x20 — sliding-window chunking: split each document into overlapping
+    * token windows (`size` tokens every `stride`) — the chunker feeding
+    * RAG indexes and fixed-context pretraining. Emits per chunk its
+    * 0-based start, actual length (tail chunks are short), and an MD5
+    * identity for downstream chunk-level dedup.
+    *
+    * Pure per-row explode + array slicing — narrow, codegen'd, no
+    * shuffle; output size is a fixed ~size/stride multiple of the
+    * corpus. */
+  def chunkSliding(documents: DataFrame, size: Int = 64, stride: Int = 48): DataFrame =
+    documents
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("i", explode(expr(s"sequence(0, (size(ws) - 1) DIV $stride)")))
+      .select(col("doc_id"), col("i").cast("int").as("chunk_idx"),
+        (col("i") * stride).cast("long").as("start_tok"),
+        expr(s"CAST(size(slice(ws, i * $stride + 1, $size)) AS BIGINT)").as("n_tok"),
+        expr(s"md5(array_join(slice(ws, i * $stride + 1, $size), ' '))").as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
