@@ -383,6 +383,34 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
     },
+    "q26_cube_mix" -> t { (spark, dir) =>
+      // CUBE over (source, lang) token totals by re-aggregating the
+      // finest level — same rationale as q12's ROLLUP: Spark's Expand
+      // would push 4× the scan rows through partial aggregation, while
+      // the three coarser levels here re-aggregate the TINY (source,
+      // lang) frame. Lossless: integer sums of sums.
+      val base = Tables.documents(spark, dir)
+        .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_words"))
+      val bySource = base.groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("total_words").as("total_words"))
+        .withColumn("lang", lit(null).cast("string"))
+      val byLang = base.groupBy("lang")
+        .agg(sum("n_docs").as("n_docs"), sum("total_words").as("total_words"))
+        .withColumn("source", lit(null).cast("string"))
+      val total = base.agg(sum("n_docs").as("n_docs"), sum("total_words").as("total_words"))
+        .withColumn("source", lit(null).cast("string"))
+        .withColumn("lang", lit(null).cast("string"))
+      val cols = base.columns.toIndexedSeq.map(col)
+      base.unionByName(bySource.select(cols: _*))
+        .unionByName(byLang.select(cols: _*))
+        .unionByName(total.select(cols: _*))
+        .select(coalesce(col("source"), lit("ALL")).as("src"),
+          coalesce(col("lang"), lit("ALL")).as("lng"),
+          col("n_docs"), col("total_words"))
+        .orderBy("src", "lng")
+    },
     "q25_skew_salted" -> t { (spark, dir) =>
       // skew-mitigated fact⋈dim shuffle join (SkewOps.saltedJoin): the
       // hot supplier keys spread across 16 salt sub-keys, the dim side
@@ -679,6 +707,12 @@ object RelationalQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY s_suppkey""",
+    "q26_cube_mix" -> """
+      SELECT coalesce(source, 'ALL') AS src, coalesce(lang, 'ALL') AS lng,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
+      FROM documents GROUP BY CUBE (source, lang)
+      ORDER BY src, lng""",
     "q25_skew_salted" -> s"""
       SELECT s_name, CAST(sum($revU) AS DOUBLE) / 10000 AS revenue,
              CAST(count(*) AS BIGINT) AS n_items

@@ -125,12 +125,16 @@ object VectorOps {
     * BIGINT sums via the native codegen'd dot, and the rerank reuses the
     * 2^20 quantization — every output column hash-matches the oracle. */
   def annInt8(embeddings: DataFrame, everyNth: Int = 50, k: Int = 5): DataFrame = {
+    // persist: the quantization chain is interpreted HOF lambdas (the one
+    // place codegen can't follow); without it the q8 frame is recomputed
+    // for the query side, the candidate side, and under the broadcast
     val v8 = embeddings
       .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
       .withColumn("q8", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127e0 + 0.5e0) AS BIGINT))"))
       .withColumn("nn8", expr("graft_dot_long(q8, q8)"))
       .select("vec_id", "q8", "nn8")
+      .persist()
     val q = v8.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("q8").as("q_q8"), col("nn8").as("q_nn8"))
     val top = q.join(v8, col("vec_id") =!= col("query_id"))
@@ -145,7 +149,7 @@ object VectorOps {
         col("dot8"), col("cos8"))
     // exact rerank of the Q·k winners only — the WINNERS frame is the
     // broadcast side (Q·k rows); the full-precision vectors stream past it
-    val exact = quantized(embeddings)
+    val exact = quantized(embeddings).persist()
     val withQ = broadcast(top)
       .join(exact.select(col("vec_id").as("query_id"),
         col("qv").as("q_qv"), col("nn").as("q_nn")), "query_id")
