@@ -219,7 +219,12 @@ object CdcPipeline {
       checkpointDir: String,
       stateDir: String,
       maxFilesPerTrigger: Int = 1,
-      statsSink: BatchStats => Unit = _ => ()): StreamingQuery = {
+      statsSink: BatchStats => Unit = _ => (),
+      /** When set, the pipeline also maintains a current-table-state
+        * snapshot (the continuous t13b): per batch, the previous snapshot
+        * merged with the batch's changes by max_by(pos_key), written
+        * idempotently to `snap=<batchId>`. */
+      materializeDir: Option[String] = None): StreamingQuery = {
 
     val catalog = new SchemaCatalog(piiTables = CdcSqlFragments.PII_TABLES.toSet)
     val saved = loadState(stateDir)
@@ -283,7 +288,8 @@ object CdcPipeline {
           // T31: replayed batch after restart — side effects already
           // committed; skip (offset-dedupe parity).
         } else {
-          val position = processBatch(spark, batch, batchId, catalog, outDir)
+          val position = processBatch(spark, batch, batchId, catalog, outDir,
+            materializeDir)
           lastPosition = mergePosition(lastPosition, position)
           saveState(stateDir, batchId, catalog, clean = false, lastPosition)
           lastCommitted = batchId
@@ -335,7 +341,8 @@ object CdcPipeline {
     * heartbeat beacon — what the reference persists as
     * GlobalEventState.position. */
   private def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      catalog: SchemaCatalog, outDir: String): Map[String, String] = {
+      catalog: SchemaCatalog, outDir: String,
+      materializeDir: Option[String] = None): Map[String, String] = {
     val cached = batch.persist()
     try {
       // ---- DDL branch (T19 routing; T24 barrier = this runs before the
@@ -399,8 +406,64 @@ object CdcPipeline {
       env.repartition(col("topic"))
         .sortWithinPartitions("pos_key")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+      materializeDir.foreach(dir => materializeBatch(spark, env, batchId, dir))
       position
     } finally cached.unpersist()
+  }
+
+  /** Continuous t13b: merge the previous snapshot with this batch's
+    * changes, latest image per row identity by pos_key. Delete tombstones
+    * STAY in the snapshot (a replayed/out-of-order change below a
+    * tombstone's position must still lose — Kafka compaction keeps
+    * tombstones for the same reason); readers filter
+    * `message_type <> 'delete'`.
+    *
+    * Crash-safety without a merge-capable format: the new snapshot
+    * overwrites its own `snap=<batchId>` dir (idempotent under T31
+    * replay, like the batch=<id> sink), reading the newest snap strictly
+    * below batchId; older snaps are pruned AFTER the write so a replay
+    * always still finds its predecessor. At 100 TB the same pattern
+    * applies per key-bucket (only dirty buckets rewrite) or hands off to
+    * a merge-capable table format; the full-state rewrite here matches
+    * the control-plane scale of the reference's state mirror. */
+  private def materializeBatch(spark: SparkSession, env: DataFrame,
+      batchId: Long, matDir: String): Unit = {
+    val cols = Seq("database_name", "table_name", "payload_id", "pos_key",
+      "message_type", "payload_value", "payload_k").map(col)
+    val changes = env.select(cols: _*)
+    val merged = snapIds(matDir).filter(_ < batchId).maxOption match {
+      case Some(prev) =>
+        spark.read.parquet(s"$matDir/snap=$prev").unionByName(changes)
+      case None => changes
+    }
+    merged
+      .groupBy("database_name", "table_name", "payload_id")
+      .agg(expr(
+        "max_by(struct(pos_key, message_type, payload_value, payload_k), pos_key)").as("s"))
+      .select(col("database_name"), col("table_name"), col("payload_id"),
+        col("s.pos_key").as("pos_key"), col("s.message_type").as("message_type"),
+        col("s.payload_value").as("payload_value"), col("s.payload_k").as("payload_k"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$matDir/snap=$batchId")
+    // prune everything below the direct predecessor (kept for replay)
+    val keep = snapIds(matDir).filter(_ < batchId).maxOption
+    snapIds(matDir).filter(id => id < batchId && !keep.contains(id)).foreach { id =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(s"$matDir/snap=$id"))
+    }
+  }
+
+  private def snapIds(matDir: String): Seq[Long] =
+    Option(new java.io.File(matDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap="))
+      .map(_.getName.stripPrefix("snap=").toLong).toSeq
+
+  /** Read the current materialized table state (live rows only). */
+  def readMaterialized(spark: SparkSession, matDir: String): DataFrame = {
+    val latest = snapIds(matDir).max
+    spark.read.parquet(s"$matDir/snap=$latest")
+      .filter(col("message_type") =!= "delete")
   }
 
   /** T26 Kafka wire shape: the envelope mapped to the kafka sink contract

@@ -258,4 +258,34 @@ class CdcPipelineSpec extends AnyFunSuite {
       assert(keys == keys.sorted, s"pos_key order violated in $f topic $t")
     }
   }
+
+  test("materialized snapshot equals the batch t13b over the same changelog") {
+    val root = Files.createTempDirectory("cdc-mat").toString
+    writeSegments(s"$root/replay", 3)
+    val q = CdcPipeline.start(spark, s"$root/replay", s"$root/out",
+      s"$root/ck", s"$root/state", materializeDir = Some(s"$root/mat"))
+    q.awaitTermination()
+
+    // batch truth: latest image per row identity, deletes dropped — the
+    // t13b formulation over the full envelope
+    val env = CdcOps.pipeline(Tables.events(spark, sfDir))
+    val expected = env.groupBy("database_name", "table_name", "payload_id")
+      .agg(expr("max_by(message_type, pos_key)").as("message_type"),
+        expr("max_by(payload_value, pos_key)").as("payload_value"))
+      .filter(col("message_type") =!= "delete")
+      .select("database_name", "table_name", "payload_id", "message_type",
+        "payload_value")
+    val got = CdcPipeline.readMaterialized(spark, s"$root/mat")
+      .select("database_name", "table_name", "payload_id", "message_type",
+        "payload_value")
+    assert(got.count() == expected.count(),
+      s"snapshot rows ${got.count()} != batch ${expected.count()}")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "materialized snapshot diverges from batch t13b")
+    // incremental maintenance actually happened: only the latest snapshot
+    // and its predecessor survive pruning
+    val snaps = new java.io.File(s"$root/mat").listFiles()
+      .filter(_.getName.startsWith("snap=")).map(_.getName).sorted
+    assert(snaps.length <= 2, s"snapshot pruning failed: ${snaps.mkString(",")}")
+  }
 }
