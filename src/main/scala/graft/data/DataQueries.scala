@@ -252,7 +252,8 @@ ORDER BY q.vec_id"""),
       WITH ws0 AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ), ch AS (
-        SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 48)) AS i
+        SELECT doc_id, ws, unnest(generate_series(0,
+          CASE WHEN len(ws) <= 64 THEN 0 ELSE (len(ws) - 64 + 47) // 48 END)) AS i
         FROM ws0
       )
       SELECT doc_id, CAST(i AS INT) AS chunk_idx,

@@ -465,7 +465,13 @@ object TextOps {
   def chunkSliding(documents: DataFrame, size: Int = 64, stride: Int = 48): DataFrame =
     documents
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("i", explode(expr(s"sequence(0, (size(ws) - 1) DIV $stride)")))
+      // chunk count = 1 + ceil((n - size) / stride) for n > size, else 1:
+      // a chunk starts only while it still contributes unseen tokens — the
+      // naive (n-1) DIV stride bound emits a final chunk that is a strict
+      // suffix of its predecessor whenever n % stride <= size - stride
+      // (distinct fp, pure duplicate content downstream)
+      .withColumn("i", explode(expr(
+        s"sequence(0, CASE WHEN size(ws) <= $size THEN 0 ELSE (size(ws) - $size + $stride - 1) DIV $stride END)")))
       .select(col("doc_id"), col("i").cast("int").as("chunk_idx"),
         (col("i") * stride).cast("long").as("start_tok"),
         expr(s"CAST(size(slice(ws, i * $stride + 1, $size)) AS BIGINT)").as("n_tok"),

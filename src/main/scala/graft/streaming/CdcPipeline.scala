@@ -403,10 +403,16 @@ object CdcPipeline {
       // the same constraint Kafka's per-topic-partition ordering imposes).
       // Idempotent sink: the batch OVERWRITES its own batch=<id> directory,
       // so a crash-replay of an uncommitted batch cannot duplicate rows.
-      env.repartition(col("topic"))
-        .sortWithinPartitions("pos_key")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
-      materializeDir.foreach(dir => materializeBatch(spark, env, batchId, dir))
+      // persist when the envelope feeds both sinks — without it the whole
+      // T3-T15 transform chain runs twice per batch
+      if (materializeDir.nonEmpty) env.persist()
+      try {
+        env.repartition(col("topic"))
+          .sortWithinPartitions("pos_key")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+        materializeDir.foreach(dir =>
+          materializeBatch(spark, env, batchId, dir, outDir))
+      } finally if (materializeDir.nonEmpty) env.unpersist()
       position
     } finally cached.unpersist()
   }
@@ -427,14 +433,36 @@ object CdcPipeline {
     * a merge-capable table format; the full-state rewrite here matches
     * the control-plane scale of the reference's state mirror. */
   private def materializeBatch(spark: SparkSession, env: DataFrame,
-      batchId: Long, matDir: String): Unit = {
+      batchId: Long, matDir: String, outDir: String): Unit = {
+    val ids = snapIds(matDir)
+    // snap ids above batchId can only come from a DIFFERENT incarnation
+    // (fresh checkpoint over an old matDir) — pruning never removes them
+    // and readMaterialized would serve the stale foreign state forever
+    require(ids.forall(_ <= batchId),
+      s"materializeDir $matDir holds snapshots from another run " +
+        s"(ids ${ids.filter(_ > batchId).sorted.mkString(",")} > $batchId); " +
+        "point the pipeline at a fresh directory")
     val cols = Seq("database_name", "table_name", "payload_id", "pos_key",
       "message_type", "payload_value", "payload_k").map(col)
     val changes = env.select(cols: _*)
-    val merged = snapIds(matDir).filter(_ < batchId).maxOption match {
+    val merged = ids.filter(_ < batchId).maxOption match {
       case Some(prev) =>
         spark.read.parquet(s"$matDir/snap=$prev").unionByName(changes)
-      case None => changes
+      case None =>
+        // no snapshot yet, but earlier batches may already be committed
+        // (materialization enabled mid-stream): their envelope rows live
+        // in the batch=<id> dirs — fold them in so the first snapshot is
+        // complete, not a silent suffix of the changelog
+        val prior = Option(new java.io.File(outDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+          .map(_.getName.stripPrefix("batch=").toLong)
+          .filter(_ < batchId)
+        if (prior.isEmpty) changes
+        else spark.read
+          .parquet(prior.map(id => s"$outDir/batch=$id").toIndexedSeq: _*)
+          .select(cols: _*)
+          .unionByName(changes)
     }
     merged
       .groupBy("database_name", "table_name", "payload_id")
@@ -461,7 +489,8 @@ object CdcPipeline {
 
   /** Read the current materialized table state (live rows only). */
   def readMaterialized(spark: SparkSession, matDir: String): DataFrame = {
-    val latest = snapIds(matDir).max
+    val latest = snapIds(matDir).maxOption.getOrElse(throw new IllegalStateException(
+      s"no materialized snapshot in $matDir yet — has a batch committed with materializeDir set?"))
     spark.read.parquet(s"$matDir/snap=$latest")
       .filter(col("message_type") =!= "delete")
   }

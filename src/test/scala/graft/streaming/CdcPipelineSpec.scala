@@ -288,4 +288,30 @@ class CdcPipelineSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("snap=")).map(_.getName).sorted
     assert(snaps.length <= 2, s"snapshot pruning failed: ${snaps.mkString(",")}")
   }
+
+  test("materialization enabled mid-stream backfills from committed batch dirs") {
+    val root = Files.createTempDirectory("cdc-mat2").toString
+    writeSegments(s"$root/replay", 2)
+    // first run WITHOUT materialization — batches commit to batch=<id> only
+    CdcPipeline.start(spark, s"$root/replay", s"$root/out",
+      s"$root/ck", s"$root/state").awaitTermination()
+    // new segment arrives; restart WITH materialization: the first
+    // snapshot must fold in the already-committed batches, not just the
+    // new one
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts_us")
+    ev.filter(pmod(col("event_id"), lit(7)) === 3).coalesce(1)
+      .write.mode("append").parquet(s"$root/replay")
+    CdcPipeline.start(spark, s"$root/replay", s"$root/out",
+      s"$root/ck", s"$root/state", materializeDir = Some(s"$root/mat"))
+      .awaitTermination()
+
+    val allOut = spark.read.parquet(s"$root/out")
+    val expected = allOut.groupBy("database_name", "table_name", "payload_id")
+      .agg(expr("max_by(message_type, pos_key)").as("message_type"))
+      .filter(col("message_type") =!= "delete")
+    val got = CdcPipeline.readMaterialized(spark, s"$root/mat")
+    assert(got.count() == expected.count(),
+      s"mid-stream snapshot ${got.count()} != full-changelog state ${expected.count()}")
+  }
 }
