@@ -38,6 +38,7 @@ object Bench {
     "x13_langid_confusion", "x14_source_mix",
     "x15_pack_sequences", "x16_filter_audit", "x17_mixture_temperature",
     "x18_curation_funnel", "x19_novelty", "x20_chunk_sliding",
+    "x21_split_leakage",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize")
 
   def main(args: Array[String]): Unit = {

@@ -42,6 +42,7 @@ object DataQueries {
     "x18_curation_funnel" -> docs(TextOps.curationFunnel),
     "x19_novelty" -> docs(TextOps.noveltyScore),
     "x20_chunk_sliding" -> docs(TextOps.chunkSliding(_)),
+    "x21_split_leakage" -> docs(TextOps.splitLeakage),
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
@@ -261,6 +262,24 @@ ORDER BY q.vec_id"""),
         CAST(len(list_slice(ws, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_tok,
         md5(array_to_string(list_slice(ws, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_fp
       FROM ch ORDER BY doc_id, chunk_idx""",
+    "x21_split_leakage" -> (docProlog + s"""
+      , xsplit AS (
+        SELECT doc_id,
+          CASE WHEN hv * 20 < CAST(4503599627370496 AS BIGINT) THEN 'val'
+               WHEN hv * 10 < CAST(4503599627370496 AS BIGINT) THEN 'test'
+               ELSE 'train' END AS split
+        FROM (SELECT doc_id,
+                ${TextOps.hex13NumFragment("md5('split:' || CAST(doc_id AS STRING))")} AS hv
+              FROM documents) q
+      )
+      SELECT c.doc_a, c.doc_b, j.jac, sa.split AS split_a, sb.split AS split_b,
+             sa.split <> sb.split AS is_leak
+      FROM lsh_cands c
+      JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+      JOIN xsplit sa ON c.doc_a = sa.doc_id
+      JOIN xsplit sb ON c.doc_b = sb.doc_id
+      WHERE j.jac >= 0.5
+      ORDER BY c.doc_a, c.doc_b"""),
     "x19_novelty" -> (docProlog + """
       , xfirst AS (
         SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh

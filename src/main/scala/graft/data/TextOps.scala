@@ -478,6 +478,33 @@ object TextOps {
         expr(s"md5(array_join(slice(ws, i * $stride + 1, $size), ' '))").as("chunk_fp"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** x21 — split assignment + leakage audit: deterministic
+    * train/val/test assignment by salted hash (5% val, 5% test — the
+    * salt makes it independent of x11's sampling hash; unsalted reuse
+    * would correlate the two selections), then every near-dup pair
+    * labeled with both sides' splits and a leak flag. A near-dup pair
+    * straddling train and an eval split is exactly how eval contamination
+    * enters a training run — this is the audit that catches it before
+    * the split ships. Same candidate-bounded pair set as d3; the split
+    * columns are two broadcast-sized hash joins. */
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    val splits = documents.select(col("doc_id"))
+      .withColumn("h", md5(concat(lit("split:"), col("doc_id").cast("string"))))
+      .withColumn("hv", expr(hex13Num("h")))
+      .withColumn("split",
+        when(expr("hv * 20 < CAST(4503599627370496 AS BIGINT)"), "val")
+          .when(expr("hv * 10 < CAST(4503599627370496 AS BIGINT)"), "test")
+          .otherwise("train"))
+      .select("doc_id", "split")
+    dedupMinhashLsh(documents).select("doc_a", "doc_b", "jac")
+      .join(splits.toDF("doc_a", "split_a"), "doc_a")
+      .join(splits.toDF("doc_b", "split_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jac"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("is_leak"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------------------------------
   // Deduplication family
   // -------------------------------------------------------------------
