@@ -383,6 +383,29 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
     },
+    "q27_stats_moments" -> t { (spark, dir) =>
+      // statistical aggregates without float-sum order sensitivity: mean
+      // and population variance from exact integer moments (Σx, Σx² in
+      // BIGINT cents), one IEEE expression at the end over identical
+      // integers. Float stddev/variance built-ins accumulate in doubles
+      // whose value depends on aggregation order — never hash-stable
+      // across engines or even across runs at different parallelism.
+      // Range: bal_c ≤ 10^6 cents, so n·Σx² ≈ n²·10^12 ≈ 3·10^18 at
+      // sf0.1 (n≈3k/segment) — inside BIGINT; beyond n ≈ 30k/group the
+      // moments need a DECIMAL(38,0) accumulator (same upgrade note as
+      // the revenue sums).
+      val cust = Tables.customer(spark, dir)
+        .withColumn("bal_c", expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+      cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("bal_c").as("s1"),
+          sum(expr("bal_c * bal_c")).as("s2"))
+        .select(col("c_mktsegment"), col("n"),
+          expr("CAST(s1 AS DOUBLE) / n / 100").as("mean_bal"),
+          expr("CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 10000")
+            .as("var_bal"))
+        .orderBy("c_mktsegment")
+    },
     "q26_cube_mix" -> t { (spark, dir) =>
       // CUBE over (source, lang) token totals by re-aggregating the
       // finest level — same rationale as q12's ROLLUP: Spark's Expand
@@ -707,6 +730,15 @@ object RelationalQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY s_suppkey""",
+    "q27_stats_moments" -> """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(bal_c) AS DOUBLE) / count(*) / 100 AS mean_bal,
+        CAST(count(*) * sum(bal_c * bal_c) - sum(bal_c) * sum(bal_c) AS DOUBLE)
+          / (CAST(count(*) AS DOUBLE) * count(*)) / 10000 AS var_bal
+      FROM (SELECT c_mktsegment,
+              CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+            FROM customer) q
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q26_cube_mix" -> """
       SELECT coalesce(source, 'ALL') AS src, coalesce(lang, 'ALL') AS lng,
         CAST(count(*) AS BIGINT) AS n_docs,
