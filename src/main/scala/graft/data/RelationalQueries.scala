@@ -383,6 +383,27 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
     },
+    "q28_promo_window" -> t { (spark, dir) =>
+      // per-supplier launch-window analysis via the bucketed RANGE join:
+      // each supplier's window is [first ship day, +14 days); lineitems
+      // are matched point-in-interval per supplier key. Bucket width 16
+      // days ⇒ ≤ 2 replicas per interval; the join itself is a hash join
+      // on (suppkey, bucket) — no theta nested loop (PlanSpec-asserted).
+      val li = Tables.lineitem(spark, dir)
+        .withColumn("d",
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"))
+        .withColumn("rev_u", expr(revU))
+        .select("l_suppkey", "d", "rev_u")
+      val windows = li.groupBy("l_suppkey")
+        .agg(min("d").as("w_start"))
+        .withColumn("w_end", col("w_start") + 14)
+      RangeJoin.pointInInterval(li, "d", windows, "w_start", "w_end",
+          bucketWidth = 16, keys = Seq("l_suppkey"))
+        .groupBy("l_suppkey", "w_start")
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(rev_u) AS DOUBLE) / 10000").as("window_revenue"))
+        .orderBy("l_suppkey")
+    },
     "q27_stats_moments" -> t { (spark, dir) =>
       // statistical aggregates without float-sum order sensitivity: mean
       // and population variance from exact integer moments (Σx, Σx² in
@@ -730,6 +751,22 @@ object RelationalQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY s_suppkey""",
+    "q28_promo_window" -> s"""
+      WITH pts AS (
+        SELECT l_suppkey,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+          $revU AS rev_u
+        FROM lineitem
+      ), win AS (
+        SELECT l_suppkey, min(d) AS w_start, min(d) + 14 AS w_end
+        FROM pts GROUP BY 1
+      )
+      SELECT p.l_suppkey, w.w_start,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(p.rev_u) AS DOUBLE) / 10000 AS window_revenue
+      FROM pts p JOIN win w
+        ON p.l_suppkey = w.l_suppkey AND w.w_start <= p.d AND p.d < w.w_end
+      GROUP BY 1, 2 ORDER BY p.l_suppkey""",
     "q27_stats_moments" -> """
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         CAST(sum(bal_c) AS DOUBLE) / count(*) / 100 AS mean_bal,

@@ -196,6 +196,12 @@ class PlanSpec extends AnyFunSuite {
       "q20 must hash-join the decorrelated aggregates:\n" + s.take(2000))
   }
 
+  test("q28 range join is a bucket hash join — the theta predicate never nested-loops") {
+    val (s, _) = planOf("q28_promo_window")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "range join degraded to a nested loop:\n" + s.take(2000))
+  }
+
   test("whole-stage codegen covers the envelope projection chain") {
     // formatted mode omits codegen markers; the executed plan tree shows
     // them as *(n) stage ids
