@@ -46,6 +46,7 @@ object DataQueries {
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
+    "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
     "s2_ann_ivf" -> embs(VectorOps.annIvf(_)),
     "s3_ann_lsh" -> ((spark, sfDir) =>
@@ -389,6 +390,32 @@ ORDER BY stage"""),
         CAST(w AS DOUBLE) / w_total AS p,
         CAST(w AS DOUBLE) / w_total * 10000000 / tokens AS epochs
       FROM wts, tot ORDER BY source""",
+    "s6_ann_ivf_trained" -> (vecProlog + s"""
+, c6 AS (
+  SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4
+), a6p AS (
+  SELECT v.vec_id, v.qv, v.nn, c.c_id,
+         v.nn - 2 * ${pairDot("v", "c")} + c.c_nn AS dist2
+  FROM qn v, c6 c
+), a6 AS (
+  SELECT vec_id, qv, nn, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+    FROM a6p) q WHERE rn = 1
+), p6 AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell,
+         ${pairDot("a", "b")} AS dot, a.nn AS na, b.nn AS nb
+  FROM a6 a JOIN a6 b
+    ON a.vec_id % 50 = 0 AND a.cell = b.cell AND b.vec_id <> a.vec_id
+), s6 AS (
+  SELECT query_id, neighbor_id, cell, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM p6
+), r6 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM s6
+)
+SELECT query_id, neighbor_id, rnk, dot, cos, cell FROM r6
+WHERE rnk <= 3 ORDER BY query_id, rnk"""),
     "s5_ann_int8" -> (vecProlog + s"""
 , e8 AS (
   SELECT vec_id, embedding,

@@ -162,6 +162,37 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s6 — IVF over a TRAINED coarse index: cluster assignment comes from
+    * k-means centroids (s4's assignment step — exact integer argmin
+    * against broadcast centroids), not a given label column; the query
+    * then probes only its own cell (nProbe = 1). This is the full IVF
+    * lifecycle — train → assign → prune — where s2 starts from
+    * pre-existing cells; at 100 TB the assignment is a write-time column
+    * so search-time pruning is partition pruning at the scan. */
+  def annIvfTrained(embeddings: DataFrame, k: Int = 4, everyNth: Int = 50,
+      topK: Int = 3): DataFrame = {
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("qv"), col("nn"),
+        col("c_id").as("cell"))
+      .persist() // both sides of the cell-pruned search read it
+    val q = assigned.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("cell").as("q_cell"))
+    rankTopK(
+        q.join(assigned, col("q_cell") === col("cell") && col("vec_id") =!= col("query_id")),
+        topK)
+      .join(broadcast(q.select(col("query_id"), col("q_cell").as("cell"))), "query_id")
+      .select("query_id", "neighbor_id", "rnk", "dot", "cos", "cell")
+      .orderBy("query_id", "rnk")
+  }
+
   /** s4 — one distributed k-means step (assign + update) over quantized
     * embeddings: the distance argmin uses exact integer algebra
     * (|x|² − 2x·c + |c|², native codegen'd dot products against a
