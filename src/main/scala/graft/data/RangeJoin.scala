@@ -32,6 +32,10 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    // withColumn would silently OVERWRITE a caller's __b and drop() would
+    // then delete it from the output — refuse instead of losing data
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "inputs must not carry a __b column (internal bucket key)")
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__b", explode(expr(

@@ -389,11 +389,14 @@ object RelationalQueries {
       // are matched point-in-interval per supplier key. Bucket width 16
       // days ⇒ ≤ 2 replicas per interval; the join itself is a hash join
       // on (suppkey, bucket) — no theta nested loop (PlanSpec-asserted).
+      // persist: the projected fact frame feeds both the window
+      // derivation and the range join's point side
       val li = Tables.lineitem(spark, dir)
         .withColumn("d",
           expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"))
         .withColumn("rev_u", expr(revU))
         .select("l_suppkey", "d", "rev_u")
+        .persist()
       val windows = li.groupBy("l_suppkey")
         .agg(min("d").as("w_start"))
         .withColumn("w_end", col("w_start") + 14)
@@ -411,10 +414,12 @@ object RelationalQueries {
       // integers. Float stddev/variance built-ins accumulate in doubles
       // whose value depends on aggregation order — never hash-stable
       // across engines or even across runs at different parallelism.
-      // Range: bal_c ≤ 10^6 cents, so n·Σx² ≈ n²·10^12 ≈ 3·10^18 at
-      // sf0.1 (n≈3k/segment) — inside BIGINT; beyond n ≈ 30k/group the
-      // moments need a DECIMAL(38,0) accumulator (same upgrade note as
-      // the revenue sums).
+      // Range: bal_c ≤ 10^6 cents and E[bal_c²] ≈ 3·10^11, so n·Σx² ≈
+      // n²·3·10^11 — at sf0.1 (n ≈ 3k/segment) that is ~2.7·10^18, inside
+      // BIGINT with <2× headroom in n. The safe bound is n ≲ 5.5k/group
+      // (≈3k if balances cluster at the 10^6-cent cap): beyond that the
+      // moments MUST move to a DECIMAL(38,0) accumulator — Spark's
+      // non-ANSI Long arithmetic wraps silently.
       val cust = Tables.customer(spark, dir)
         .withColumn("bal_c", expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
       cust.groupBy("c_mktsegment")

@@ -496,6 +496,7 @@ object TextOps {
           .when(expr("hv * 10 < CAST(4503599627370496 AS BIGINT)"), "test")
           .otherwise("train"))
       .select("doc_id", "split")
+      .persist() // joined twice (doc_a and doc_b sides)
     dedupMinhashLsh(documents).select("doc_a", "doc_b", "jac")
       .join(splits.toDF("doc_a", "split_a"), "doc_a")
       .join(splits.toDF("doc_b", "split_b"), "doc_b")
