@@ -30,6 +30,7 @@ object DataQueries {
     "d7_simhash_near" -> docs(TextOps.simhashNear),
     "d8_dedup_agreement" -> ((spark, sfDir) => TextOps.dedupAgreement(
       Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))),
+    "d9_dedup_savings" -> docs(TextOps.dedupSavings),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
@@ -229,6 +230,39 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT l.doc_id, l.cluster_id, s.cluster_size
       FROM lab l JOIN csizes s ON l.cluster_id = s.cluster_id
       ORDER BY l.doc_id"""),
+    // same recursive transitive-closure chain as d6, rolled up to the
+    // per-cluster savings report
+    "d9_dedup_savings" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + """
+      , e0 AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jac >= 0.5
+      ), e AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+      ), walk(n, m) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a
+      ), comp AS (
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM walk GROUP BY n
+      ), lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      ), csizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1
+      ), sized AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+      )
+      SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN l.doc_id <> l.cluster_id THEN s.n_chars ELSE 0 END) AS BIGINT) AS chars_saved,
+        CAST(sum(CASE WHEN l.doc_id <> l.cluster_id THEN s.n_words ELSE 0 END) AS BIGINT) AS words_saved
+      FROM lab l
+      JOIN csizes cs ON l.cluster_id = cs.cluster_id
+      JOIN sized s ON l.doc_id = s.doc_id
+      WHERE cs.cluster_size > 1
+      GROUP BY l.cluster_id ORDER BY l.cluster_id"""),
     "d4_dedup_simhash" -> (docProlog + """
       SELECT doc_id, simhash, CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
       FROM simh ORDER BY doc_id"""),

@@ -758,6 +758,27 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d9 — dedup savings report: per near-dup cluster (d6's connected
+    * components), the kept representative, how many documents drop, and
+    * the bytes and tokens reclaimed — the "dedup saved X%" line of a
+    * data card, computed from the engine's own cluster assignment.
+    * Single-doc clusters are excluded (nothing saved). One hash join of
+    * the labels to per-doc sizes + one keyed aggregation. */
+  def dedupSavings(documents: DataFrame): DataFrame = {
+    val sized = documents.select(col("doc_id"), col("n_chars"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"))
+    dedupClusters(documents)
+      .filter(col("cluster_size") > 1)
+      .join(sized, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_chars"))
+          .otherwise(0L)).as("chars_saved"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_words"))
+          .otherwise(0L)).as("words_saved"))
+      .orderBy("cluster_id")
+  }
+
   /** 16-bit SimHash signature per document.
     * Explode/groupBy instead of nested aggregate(...) lambdas: the
     * higher-order-function form runs interpreted (outside whole-stage
