@@ -289,6 +289,42 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(snaps.length <= 2, s"snapshot pruning failed: ${snaps.mkString(",")}")
   }
 
+  test("crash between snapshot writes: replay converges the materialized state") {
+    // crash mid-batch with materialization on (after the batch's DDL, so
+    // both the batch=<id> dir and the snap=<id> dir may or may not exist),
+    // restart, and require the final snapshot to equal the batch truth —
+    // the snap=<id> overwrite + read-strictly-below protocol must make
+    // the replay idempotent
+    val root = Files.createTempDirectory("cdc-mat-crash").toString
+    writeSegments(s"$root/replay", 3)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    CdcPipeline.afterDdlHook = { batchId =>
+      if (batchId == 1 && crashed.compareAndSet(false, true))
+        throw new RuntimeException("injected crash with materialization on")
+    }
+    try {
+      val q1 = CdcPipeline.start(spark, s"$root/replay", s"$root/out",
+        s"$root/ck", s"$root/st", materializeDir = Some(s"$root/mat"))
+      intercept[Exception] { q1.awaitTermination() }
+    } finally CdcPipeline.afterDdlHook = _ => ()
+    assert(crashed.get)
+    CdcPipeline.start(spark, s"$root/replay", s"$root/out",
+      s"$root/ck", s"$root/st", materializeDir = Some(s"$root/mat"))
+      .awaitTermination()
+
+    val env = CdcOps.pipeline(Tables.events(spark, sfDir))
+    val expected = env.groupBy("database_name", "table_name", "payload_id")
+      .agg(expr("max_by(message_type, pos_key)").as("message_type"),
+        expr("max_by(payload_value, pos_key)").as("payload_value"))
+      .filter(col("message_type") =!= "delete")
+      .select("database_name", "table_name", "payload_id", "payload_value")
+    val got = CdcPipeline.readMaterialized(spark, s"$root/mat")
+      .select("database_name", "table_name", "payload_id", "payload_value")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "post-crash materialized snapshot diverges from batch truth")
+  }
+
   test("materialization enabled mid-stream backfills from committed batch dirs") {
     val root = Files.createTempDirectory("cdc-mat2").toString
     writeSegments(s"$root/replay", 2)
