@@ -1,0 +1,64 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation WITH pointer
+  * jumping.
+  *
+  * Plain neighbor-min propagation needs O(diameter) rounds — fine for the
+  * near-clique components LSH dedup produces, but a chain-shaped dup graph
+  * (doc i duplicates doc i+1) makes the diameter the corpus size. Each
+  * round here therefore also applies one pointer-jumping step,
+  * L(x) ← min(L(x), L(L(x))): the label graph's chains halve every round,
+  * so convergence is O(log n) rounds on ANY component shape (the classic
+  * two-phase/"label propagation + path halving" distributed CC, the same
+  * round structure GraphX and large-star/small-star use).
+  *
+  * Per round: two hash joins keyed on node id (neighbor min, then jump)
+  * over one-row-per-node label frames; only per-round COUNTS reach the
+  * driver, never data rows.
+  */
+object ConnectedComponents {
+
+  /** @param nodes one column `id` (unique)
+    * @param edges columns `src`, `dst` — DIRECTED as given; pass both
+    *              orientations for an undirected graph
+    * @return (id, component) where component = min node id reachable */
+  def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e = edges.persist()
+    var labels = nodes.select(col("id"), col("id").as("component")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbMin = e.join(labels, e("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("component").as("nb_min"))
+      val propagated = labels.join(nbMin, labels("id") === nbMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nb_min"), col("component"))).as("component"))
+      // pointer jump: follow the label's label (labels cover every node,
+      // and components are node ids, so the self-join always resolves).
+      // localCheckpoint (eager), not persist: the self-join references
+      // `propagated` twice, so the LOGICAL plan doubles per round —
+      // persist dedupes execution but not the plan, and by round ~15 the
+      // exponential lineage OOMs the planner. Checkpointing truncates it.
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).as("b"),
+          col("a.component") === col("pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.component"), coalesce(col("pcomp"), col("a.component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters rounds " +
+        s"($changed labels still moving) — with pointer jumping that needs a " +
+        "component of diameter > 2^" + maxIters)
+    e.unpersist()
+    labels
+  }
+}

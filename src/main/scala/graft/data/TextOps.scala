@@ -644,47 +644,20 @@ object TextOps {
   }
 
   /** d6 — dedup cluster assignment: connected components over the minhash
-    * dup-pair graph, each document labeled with the smallest doc_id in its
+    * dup-pair graph ([[ConnectedComponents.minLabel]] — min-label
+    * propagation with pointer jumping, O(log n) rounds on any component
+    * shape), each document labeled with the smallest doc_id in its
     * component (the cluster representative a keep-one-per-cluster pass
-    * retains) plus the cluster size.
-    *
-    * Distributed shape: iterative min-label propagation — per round, every
-    * node takes the min of its own label and its neighbors' labels; rounds
-    * until fixpoint. Each round is two hash joins keyed on doc_id (edges
-    * are the tiny dup-pair set; labels are one row per doc), and the round
-    * count is the component diameter — near-dup clusters are band-collision
-    * near-cliques, so 2-3 rounds in practice, capped defensively. This is
-    * the driver-loop-until-converged pattern of distributed connected
-    * components (GraphX Pregel does the same); only per-round COUNTS hit
-    * the driver, never data rows. */
+    * retains) plus the cluster size. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.5,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 25): DataFrame = {
     val pairs = dedupMinhashLsh(documents, threshold).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .persist()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min("cluster_id").as("nb_min"))
-      val next = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    // silent non-convergence would diverge from the oracle's full
-    // transitive closure and surface as an inexplicable hash mismatch
-    if (changed > 0) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIters rounds ($changed labels still moving); " +
-        "raise maxIters — the dup graph has a longer chain than expected")
+      .toDF("src", "dst")
+    val labels = ConnectedComponents.minLabel(
+      documents.select(col("doc_id").as("id")), edges, maxIters)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select("doc_id", "cluster_id", "cluster_size")
