@@ -116,10 +116,15 @@ object CdcOps {
     // comparisons. log_pos pads to 10 digits (MySQL positions are
     // uint32, max 4294967295 — and Spark's lpad TRUNCATES overlong
     // input, so an insufficient width would silently corrupt the
-    // order); row_idx pads to 4 (binlog rows-events batch far fewer).
+    // order); row_idx pads to 4. Unlike log_pos, row_idx has NO
+    // protocol bound (rows per event follow binlog_row_event_max_size),
+    // so overflow raises instead of silently reordering the stream.
     concat_ws(":", col("log_file"),
       lpad(col("log_pos").cast("string"), 10, "0"),
-      lpad(col("row_idx").cast("string"), 4, "0")).as("pos_key"),
+      when(col("row_idx") > 9999, raise_error(concat(
+          lit("pos_key row_idx overflow (>9999), total order would corrupt: "),
+          col("row_idx").cast("string"))).cast("string"))
+        .otherwise(lpad(col("row_idx").cast("string"), 4, "0"))).as("pos_key"),
     col("event_id"), col("row_idx"), col("k"))
 
   // ---- composed chain ------------------------------------------------
