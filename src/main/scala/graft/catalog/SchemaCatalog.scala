@@ -45,9 +45,18 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
     * table), in order — what the reference's registry would have ruled at
     * registration time (schema_event_handler.py:154-175). */
   private var compatReports = Vector.empty[(TableId, SchemaCompat.Report)]
+  /** Every ALTER applied through [[applyDdl]] with a binlog position: the
+    * (table-at-alter-time, event position) pairs the DATA PLANE derives
+    * its payload-schema validity intervals from (T22b — the payload's
+    * column set follows the version active at each row's position).
+    * Persisted in the snapshot: a recovered pipeline must keep serving the
+    * SAME intervals or replayed rows would re-emit under the wrong
+    * schema version. */
+  private var alterHistory = Vector.empty[(TableId, Long)]
 
   def version: Int = versionCounter
   def compatLog: Seq[(TableId, SchemaCompat.Report)] = synchronized(compatReports)
+  def alterEvents: Seq[(TableId, Long)] = synchronized(alterHistory)
   def cachedTables: Set[TableId] = cache.keySet
   def all: Map[TableId, TableSchema] = entries
 
@@ -83,8 +92,13 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
   def invalidateCache(): Unit = synchronized { cache = Map.empty }
 
   /** T22/T23 — apply a DDL statement to the tracked catalog; returns the
-    * new TableSchema for schema-changing table DDL. */
-  def applyDdl(cluster: String, defaultDb: String, sql: String): Option[TableSchema] = synchronized {
+    * new TableSchema for schema-changing table DDL. `atEventId` (when ≥ 0)
+    * is the statement's binlog position — ALTERs record it in
+    * [[alterEvents]] so the data plane can version payloads by position.
+    * Idempotent per (table, position): a crash-replayed batch re-applying
+    * the same ALTER must not double-count the version. */
+  def applyDdl(cluster: String, defaultDb: String, sql: String,
+      atEventId: Long = -1L): Option[TableSchema] = synchronized {
     if (MysqlStatementClassifier.isSkippable(sql)) return None
     MysqlStatementClassifier.classify(sql) match {
       case CreateTableStatement(db, tbl) =>
@@ -93,6 +107,8 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
         Some(register(id, struct, pkeys))
       case AlterTableStatement(db, tbl, rename) =>
         val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
+        if (atEventId >= 0 && !alterHistory.contains((id, atEventId)))
+          alterHistory :+= (id -> atEventId)
         val cur = entries.get(id).map(_.struct).getOrElse(new StructType())
         val curPkeys = entries.get(id).map(_.pkeys).getOrElse(Nil)
         if (rename) {
@@ -152,8 +168,13 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
         s"""{"cluster":"${esc(id.cluster)}","database":"${esc(id.database)}",""" +
           s""""table":"${esc(id.table)}","fp":"${esc(fp)}","schemaId":$sid}"""
       }
+    val alters = alterHistory.map { case (id, ev) =>
+      s"""{"cluster":"${esc(id.cluster)}","database":"${esc(id.database)}",""" +
+        s""""table":"${esc(id.table)}","eventId":$ev}"""
+    }
     s"""{"version":$versionCounter,"nextId":$nextId,""" +
-      s""""entries":[${rows.mkString(",")}],"fingerprints":[${fps.mkString(",")}]}"""
+      s""""entries":[${rows.mkString(",")}],"fingerprints":[${fps.mkString(",")}],""" +
+      s""""alters":[${alters.mkString(",")}]}"""
   }
 
   /** Restore from [[snapshotJson]] output (recovery path T30). */
@@ -185,6 +206,17 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
         }.toMap
       case _ =>
         entries.map { case (id, ts) => (id, fingerprint(ts.struct, ts.pkeys)) -> ts.schemaId }
+    }
+    // alter positions ARE snapshot state (the data plane's version
+    // intervals must survive recovery); absent in pre-T22b snapshots
+    alterHistory = (root \ "alters") match {
+      case JArray(as) =>
+        as.map { a =>
+          (TableId((a \ "cluster").extract[String],
+            (a \ "database").extract[String], (a \ "table").extract[String]),
+            (a \ "eventId").extract[Long])
+        }.toVector
+      case _ => Vector.empty
     }
     cache = Map.empty
     // the compat audit log is per-incarnation (it records THIS process's

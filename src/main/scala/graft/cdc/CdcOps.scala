@@ -127,6 +127,59 @@ object CdcOps {
         .otherwise(lpad(col("row_idx").cast("string"), 4, "0"))).as("pos_key"),
     col("event_id"), col("row_idx"), col("k"))
 
+  /** T22b — per-table schema-version validity intervals derived from the
+    * ALTER stream (reference schema_event_handler.py:154-175: every ALTER
+    * registers a new schema version; data events thereafter carry it).
+    * Control-plane frame: one row per ALTER, broadcastable. `to_id` null =
+    * interval open to the end of the stream. */
+  def schemaIntervals(admitted: DataFrame): DataFrame = {
+    val w = Window.partitionBy("database_name", "base_table").orderBy("from_id")
+    admitted.filter(expr(IS_ALTER_DDL))
+      .select(col("database_name"), col("base_table"), col("event_id").as("from_id"))
+      .withColumn("version", (row_number().over(w) + 1).cast("bigint"))
+      .withColumn("to_id", lead(col("from_id"), 1).over(w))
+  }
+
+  /** T22b — the data plane follows the catalog's evolved schemas: each
+    * envelope row joins the schema-version interval active at its binlog
+    * position and emits a payload whose COLUMN SET is that version's
+    * (version v carries evolved columns c2..cv — the replay's arithmetic
+    * stand-in for the reference's ALTER ADD column; reference
+    * data_event_handler.py:40-52 builds each message dict from the schema
+    * active for the row).
+    *
+    * Scale: intervals are control-plane-tiny (one row per ALTER) and
+    * broadcast; the equality keys (db, table) make this a broadcast HASH
+    * join with the range condition as its filter, each data row matching
+    * at most one interval — no shuffle, no fan-out on the 100 TB side. */
+  def evolvePayload(env: DataFrame, intervals: DataFrame): DataFrame = {
+    // intervals shares lineage with env (both descend from the replay
+    // frame) — alias both sides so the join keys resolve by name, not by
+    // the ambiguous shared attribute ids
+    val i = intervals.select(
+      col("database_name").as("i_db"), col("base_table").as("i_tbl"),
+      col("version").as("i_version"), col("from_id"), col("to_id"))
+    env.alias("e").join(broadcast(i.alias("iv")),
+        col("e.database_name") === col("iv.i_db") &&
+          col("e.table_name") === col("iv.i_tbl") &&
+          col("iv.from_id") <= col("e.event_id") &&
+          (col("iv.to_id").isNull || col("e.event_id") < col("iv.to_id")),
+        "left")
+      .withColumn("schema_version", coalesce(col("i_version"), lit(1L)))
+      .drop("i_db", "i_tbl", "i_version", "from_id", "to_id")
+      .withColumn("payload_json", concat(
+        lit("{\"id\":"), col("payload_id").cast("string"),
+        lit(",\"k\":"), col("payload_k").cast("string"),
+        // sequence() must be guarded: Spark's sequence(2, 1) counts DOWN
+        // ([2,1]) where DuckDB's generate_series(2, 1) is empty
+        when(col("schema_version") >= 2, concat(lit(","), array_join(
+          transform(sequence(lit(2L), col("schema_version")), v =>
+            concat(lit("\"c"), v.cast("string"), lit("\":"),
+              (col("payload_k") + v).cast("string"))), ",")))
+          .otherwise(lit("")),
+        lit("}")))
+  }
+
   // ---- composed chain ------------------------------------------------
 
   /** cdc frame → filtered (pre-explode) data events. */

@@ -18,6 +18,8 @@ final class CdcChain(spark: SparkSession, sfDir: String) {
   lazy val imaged: DataFrame = CdcOps.images(enriched)
   lazy val transformed: DataFrame = CdcOps.typeTransforms(imaged)
   lazy val env: DataFrame = CdcOps.envelope(transformed)
+  lazy val intervals: DataFrame = CdcOps.schemaIntervals(admitted)
+  lazy val evolved: DataFrame = CdcOps.evolvePayload(env, intervals)
 }
 
 /** One oracle-checked query per data-plane operator (SURVEY §2 T1-T19).
@@ -115,7 +117,13 @@ object CdcQueries {
       .orderBy("schema_id")),
     "t19_event_routing" -> c(_.admitted
       .groupBy("kind").agg(count(lit(1)).as("n"))
-      .orderBy("kind"))
+      .orderBy("kind")),
+    // T22b — the payload's column set follows the table's DDL-evolved
+    // schema version as of each row's position (SURVEY §7.4 risk 1).
+    "t22b_evolved_payload" -> c(_.evolved
+      .select("event_id", "row_idx", "database_name", "table_name",
+        "schema_version", "payload_json")
+      .orderBy("event_id", "row_idx"))
   )
 
   import CdcOracle.q
@@ -171,6 +179,16 @@ object CdcQueries {
     "t18_pii_flags" -> q(
       "SELECT database_name, target_table AS table_name, schema_id, contains_pii FROM registry ORDER BY schema_id"),
     "t19_event_routing" -> q(
-      "SELECT kind, CAST(count(*) AS BIGINT) AS n FROM admitted GROUP BY kind ORDER BY kind")
+      "SELECT kind, CAST(count(*) AS BIGINT) AS n FROM admitted GROUP BY kind ORDER BY kind"),
+    "t22b_evolved_payload" -> q(
+      """SELECT e.event_id, e.row_idx, e.database_name, e.table_name, v.schema_version,
+           '{"id":' || CAST(e.payload_id AS STRING) || ',"k":' || CAST(e.payload_k AS STRING) ||
+           CASE WHEN v.schema_version >= 2
+                THEN ',' || array_to_string(list_transform(
+                       generate_series(CAST(2 AS BIGINT), v.schema_version),
+                       x -> '"c' || CAST(x AS STRING) || '":' || CAST(e.payload_k + x AS STRING)), ',')
+                ELSE '' END || '}' AS payload_json
+         FROM envelope e JOIN (SELECT event_id, schema_version FROM versions) v USING (event_id)
+         ORDER BY e.event_id, e.row_idx""")
   )
 }

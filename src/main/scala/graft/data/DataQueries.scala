@@ -451,10 +451,15 @@ ORDER BY stage"""),
 SELECT query_id, neighbor_id, rnk, dot, cos, cell FROM r6
 WHERE rnk <= 3 ORDER BY query_id, rnk"""),
     "s5_ann_int8" -> (vecProlog + s"""
-, e8 AS (
+, e8r AS (
   SELECT vec_id, embedding,
-         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx0
   FROM embeddings
+), e8 AS (
+  SELECT vec_id, embedding,
+         CASE WHEN mx0 <= 0 THEN CAST(error('annInt8: zero-magnitude embedding') AS DOUBLE)
+              ELSE mx0 END AS mx
+  FROM e8r
 ), v8 AS (
   SELECT vec_id,
          list_transform(embedding,

@@ -130,6 +130,13 @@ object VectorOps {
     // for the query side, the candidate side, and under the broadcast
     val v8 = embeddings
       .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      // a zero-magnitude embedding has no direction: x/mx would emit NULL
+      // q8 entries that silently sink to the bottom of the ranking. Fail
+      // loudly instead (the oracle SQL carries the same guard).
+      .withColumn("mx", when(col("mx") <= 0d,
+        raise_error(lit("annInt8: zero-magnitude embedding cannot be quantized; " +
+          "filter zero vectors upstream")).cast("double"))
+        .otherwise(col("mx")))
       .withColumn("q8", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127e0 + 0.5e0) AS BIGINT))"))
       .withColumn("nn8", expr("graft_dot_long(q8, q8)"))

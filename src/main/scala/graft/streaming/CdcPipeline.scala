@@ -353,7 +353,8 @@ object CdcPipeline {
         .collect() // DDL volume is control-plane-tiny by construction
         .sortBy(_.getLong(0))
       ddls.foreach { r =>
-        catalog.applyDdl(CdcSqlFragments.CLUSTER, r.getString(1), r.getString(2))
+        catalog.applyDdl(CdcSqlFragments.CLUSTER, r.getString(1), r.getString(2),
+          atEventId = r.getLong(0))
       }
       afterDdlHook(batchId)
 
@@ -396,8 +397,27 @@ object CdcPipeline {
       val reg = spark.createDataFrame(regRows)
         .toDF("database_name", "target_table", "schema_id", "contains_pii")
 
-      val env = CdcOps.envelope(CdcOps.typeTransforms(CdcOps.images(
+      val env0 = CdcOps.envelope(CdcOps.typeTransforms(CdcOps.images(
         CdcOps.enrich(CdcOps.explodeRows(data), reg))))
+
+      // T22b — the data plane follows the CATALOG's evolved schemas: the
+      // payload-version intervals come from the ALTER positions the
+      // catalog recorded while applying DDL (above and in all prior
+      // batches — they ride the state snapshot through recovery), so an
+      // ALTER changes the payload column set from its binlog position
+      // onward. Interval construction is pure driver-side arithmetic on
+      // control-plane state; the data side takes one broadcast hash join.
+      import spark.implicits._
+      val intervalRows = catalog.alterEvents
+        .groupBy(h => (h._1.database, h._1.table))
+        .toSeq.flatMap { case ((db, tbl), es) =>
+          val at = es.map(_._2).sorted
+          at.zipWithIndex.map { case (from, idx) =>
+            (db, tbl, idx + 2L, from, at.lift(idx + 1)) }
+        }
+      val intervals = intervalRows
+        .toDF("database_name", "base_table", "version", "from_id", "to_id")
+      val env = CdcOps.evolvePayload(env0, intervals)
 
       // strict per-topic order on publish (single partition per topic —
       // the same constraint Kafka's per-topic-partition ordering imposes).
@@ -434,7 +454,7 @@ object CdcPipeline {
     * the control-plane scale of the reference's state mirror. */
   private def materializeBatch(spark: SparkSession, env: DataFrame,
       batchId: Long, matDir: String, outDir: String): Unit = {
-    val ids = snapIds(matDir)
+    val ids = snapIds(spark, matDir)
     // snap ids above batchId can only come from a DIFFERENT incarnation
     // (fresh checkpoint over an old matDir) — pruning never removes them
     // and readMaterialized would serve the stale foreign state forever
@@ -443,7 +463,8 @@ object CdcPipeline {
         s"(ids ${ids.filter(_ > batchId).sorted.mkString(",")} > $batchId); " +
         "point the pipeline at a fresh directory")
     val cols = Seq("database_name", "table_name", "payload_id", "pos_key",
-      "message_type", "payload_value", "payload_k").map(col)
+      "message_type", "payload_value", "payload_k",
+      "schema_version", "payload_json").map(col)
     val changes = env.select(cols: _*)
     val merged = ids.filter(_ < batchId).maxOption match {
       case Some(prev) =>
@@ -453,11 +474,7 @@ object CdcPipeline {
         // (materialization enabled mid-stream): their envelope rows live
         // in the batch=<id> dirs — fold them in so the first snapshot is
         // complete, not a silent suffix of the changelog
-        val prior = Option(new java.io.File(outDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-          .map(_.getName.stripPrefix("batch=").toLong)
-          .filter(_ < batchId)
+        val prior = dirIds(spark, outDir, "batch=").filter(_ < batchId)
         if (prior.isEmpty) changes
         else spark.read
           .parquet(prior.map(id => s"$outDir/batch=$id").toIndexedSeq: _*)
@@ -467,29 +484,43 @@ object CdcPipeline {
     merged
       .groupBy("database_name", "table_name", "payload_id")
       .agg(expr(
-        "max_by(struct(pos_key, message_type, payload_value, payload_k), pos_key)").as("s"))
+        "max_by(struct(pos_key, message_type, payload_value, payload_k, " +
+          "schema_version, payload_json), pos_key)").as("s"))
       .select(col("database_name"), col("table_name"), col("payload_id"),
         col("s.pos_key").as("pos_key"), col("s.message_type").as("message_type"),
-        col("s.payload_value").as("payload_value"), col("s.payload_k").as("payload_k"))
+        col("s.payload_value").as("payload_value"), col("s.payload_k").as("payload_k"),
+        col("s.schema_version").as("schema_version"),
+        col("s.payload_json").as("payload_json"))
       .write.mode(SaveMode.Overwrite).parquet(s"$matDir/snap=$batchId")
     // prune everything below the direct predecessor (kept for replay)
-    val keep = snapIds(matDir).filter(_ < batchId).maxOption
-    snapIds(matDir).filter(id => id < batchId && !keep.contains(id)).foreach { id =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(s"$matDir/snap=$id"))
+    val after = snapIds(spark, matDir)
+    val keep = after.filter(_ < batchId).maxOption
+    after.filter(id => id < batchId && !keep.contains(id)).foreach { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$matDir/snap=$id")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
-  private def snapIds(matDir: String): Seq[Long] =
-    Option(new java.io.File(matDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap="))
-      .map(_.getName.stripPrefix("snap=").toLong).toSeq
+  /** List `<prefix><id>` child dirs through the Hadoop FS API so a
+    * non-local matDir/outDir (HDFS/S3) lists correctly — java.io.File
+    * returns null there, which would silently present an empty state.
+    * A missing dir is a legitimate empty state; any OTHER failure
+    * (permission, transient FS error) propagates loudly. */
+  private def dirIds(spark: SparkSession, dir: String, prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
+  private def snapIds(spark: SparkSession, matDir: String): Seq[Long] =
+    dirIds(spark, matDir, "snap=")
 
   /** Read the current materialized table state (live rows only). */
   def readMaterialized(spark: SparkSession, matDir: String): DataFrame = {
-    val latest = snapIds(matDir).maxOption.getOrElse(throw new IllegalStateException(
+    val latest = snapIds(spark, matDir).maxOption.getOrElse(throw new IllegalStateException(
       s"no materialized snapshot in $matDir yet — has a batch committed with materializeDir set?"))
     spark.read.parquet(s"$matDir/snap=$latest")
       .filter(col("message_type") =!= "delete")

@@ -350,4 +350,57 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(got.count() == expected.count(),
       s"mid-stream snapshot ${got.count()} != full-changelog state ${expected.count()}")
   }
+
+  test("mid-stream ALTER changes the payload column set from its position onward (T22b)") {
+    // reference schema_event_handler.py:154-175 + end_to_end_test
+    // alter-mid-stream: rows BEFORE the ALTER publish under the old schema
+    // version, rows AFTER under the new one — the data plane follows the
+    // catalog, per binlog position, through the materialized snapshot.
+    val root = Files.createTempDirectory("cdc-evolve").toString
+    val replayDir = s"$root/replay"
+    // hand-ordered stream: data(t0) → ALTER t0 ADD → data(t0). user_id=5
+    // maps to (db2, t0) whitelisted/non-blacklisted; k=2 on data rows
+    // (3-row explode, non-refresh); k=1 on the error event classifies as
+    // the ALTER..ADD DDL flavor (CdcSqlFragments.DDL_STMT, k%8=1).
+    import spark.implicits._
+    def writeOne(eventId: Long, eventType: String, value: Double, k: Int): Unit = {
+      Seq((eventId, 5L, eventType, value, s"""{"k": $k}""", eventId * 1000L))
+        .toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")
+        .coalesce(1).write.mode("append").parquet(replayDir)
+      Thread.sleep(100) // distinct mtimes → the file source preserves order
+    }
+    writeOne(100L, "signup", 1.0, 2)
+    writeOne(200L, "error", 0.0, 1)
+    writeOne(300L, "signup", 2.0, 2)
+
+    CdcPipeline.start(spark, replayDir, s"$root/out", s"$root/ck", s"$root/state",
+      materializeDir = Some(s"$root/mat")).awaitTermination()
+
+    val snap = CdcPipeline.readMaterialized(spark, s"$root/mat")
+      .select("payload_id", "schema_version", "payload_json")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+    assert(snap.map(_._1) == Seq(1000L, 1001L, 1002L, 3000L, 3001L, 3002L))
+    val (before, after) = snap.partition(_._1 < 3000L)
+    assert(before.forall(_._2 == 1L), s"pre-ALTER rows must stay version 1: $before")
+    assert(before.forall(!_._3.contains("\"c2\"")),
+      s"pre-ALTER payloads must NOT carry the added column: $before")
+    assert(after.forall(_._2 == 2L), s"post-ALTER rows must be version 2: $after")
+    // c2 = payload_k + 2 where payload_k = k + row_idx
+    assert(after.map(_._3) == Seq(
+      """{"id":3000,"k":2,"c2":4}""", """{"id":3001,"k":3,"c2":5}""",
+      """{"id":3002,"k":4,"c2":6}"""),
+      s"post-ALTER payloads must carry the added column: $after")
+    // the evolved column set survives recovery: a restart restores the
+    // catalog's alter positions from the state snapshot, so a NEW data
+    // batch still versions against the pre-restart ALTER
+    writeOne(400L, "signup", 3.0, 2)
+    CdcPipeline.start(spark, replayDir, s"$root/out", s"$root/ck", s"$root/state",
+      materializeDir = Some(s"$root/mat")).awaitTermination()
+    val v400 = CdcPipeline.readMaterialized(spark, s"$root/mat")
+      .filter(col("payload_id") === 4000L)
+      .select("schema_version", "payload_json")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v400 == Seq((2L, """{"id":4000,"k":2,"c2":4}""")),
+      s"post-restart batch must keep the evolved schema: $v400")
+  }
 }
