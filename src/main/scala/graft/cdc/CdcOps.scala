@@ -127,6 +127,41 @@ object CdcOps {
         .otherwise(lpad(col("row_idx").cast("string"), 4, "0"))).as("pos_key"),
     col("event_id"), col("row_idx"), col("k"))
 
+  /** T11b-e — the MySQL type-matrix fidelity stage (reference
+    * tests/integration/end_to_end_test.py:77-196): every type family the
+    * reference round-trips, derived arithmetically from the row image
+    * (see [[CdcSqlFragments]] TM_* for the shared value derivations) and
+    * carried in the type the catalog's DDL mapping assigns it —
+    * signed ints at their exact boundaries, unsigned upcast one width,
+    * DECIMAL(p,s) built exact from unscaled integers, unsigned-BIGINT
+    * boundary as DECIMAL(20,0), DATE/DATETIME(6)/TIME(6)/YEAR through the
+    * reference's output transforms (ISO-8601 micros string, µs-of-day),
+    * zero-dates NULLed like the binlog reader does, CHAR/VARCHAR/BINARY/
+    * ENUM. Pure narrow projection — codegen'd, no shuffle. */
+  def typeMatrix(rows: DataFrame): DataFrame = rows.select(
+    col("event_id"), col("row_idx"),
+    expr(TM_TINY).as("tiny_s"), expr(TM_UTINY).as("tiny_u"),
+    expr(TM_SMALL).as("small_s"), expr(TM_USMALL).as("small_u"),
+    expr(TM_MED).as("medium_s"), expr(TM_INT).as("int_s"),
+    expr(TM_UINT).as("int_u"), expr(TM_BIG_HI).as("big_hi"),
+    expr(TM_BIG_LO).as("big_lo"),
+    expr(TM_DEC92).as("dec_9_2"), expr(TM_DEC1211).as("dec_12_11"),
+    expr(TM_UBIG).as("ubig_20"), expr(TM_F32).as("f32"),
+    date_add(to_date(lit("1901-01-01")), expr(TM_DAYS)).as("d_date"),
+    date_format(timestamp_micros(expr(TM_US6)),
+      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("dt6_iso"),
+    expr(TM_TIME6).as("time6_us"), expr(TM_YEAR).as("yr"),
+    when(expr(TM_IS_ZERO), lit("0000-00-00 00:00:00"))
+      .otherwise(date_format(timestamp_micros(expr(TM_US6)),
+        "yyyy-MM-dd HH:mm:ss")).as("dt_wire"),
+    when(expr(TM_IS_ZERO), lit(null).cast("string"))
+      .otherwise(date_format(timestamp_micros(expr(TM_US6)),
+        "yyyy-MM-dd HH:mm:ss")).as("dt_out"),
+    expr(TM_CH).as("ch"),
+    concat(expr(TM_CH), lit("-"), col("payload_id").cast("string")).as("vch"),
+    expr(s"CAST($TM_CH AS BINARY)").as("bin"),
+    expr(TM_ENUM).as("enum_v"))
+
   /** T22b — per-table schema-version validity intervals derived from the
     * ALTER stream (reference schema_event_handler.py:154-175: every ALTER
     * registers a new schema version; data events thereafter carry it).

@@ -85,6 +85,26 @@ WITH base AS (
     OVER (PARTITION BY database_name, base_table ORDER BY event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS schema_version
   FROM admitted
+), matrix AS (
+  SELECT event_id, row_idx,
+    $TM_TINY AS tiny_s, $TM_UTINY AS tiny_u,
+    $TM_SMALL AS small_s, $TM_USMALL AS small_u,
+    $TM_MED AS medium_s, $TM_INT AS int_s,
+    $TM_UINT AS int_u, $TM_BIG_HI AS big_hi, $TM_BIG_LO AS big_lo,
+    $TM_DEC92 AS dec_9_2, $TM_DEC1211 AS dec_12_11,
+    $TM_UBIG AS ubig_20, $TM_F32 AS f32,
+    DATE '1901-01-01' + $TM_DAYS AS d_date,
+    strftime(make_timestamp($TM_US6), '%Y-%m-%dT%H:%M:%S.%f') AS dt6_iso,
+    $TM_TIME6 AS time6_us, $TM_YEAR AS yr,
+    CASE WHEN $TM_IS_ZERO THEN '0000-00-00 00:00:00'
+         ELSE strftime(make_timestamp($TM_US6), '%Y-%m-%d %H:%M:%S') END AS dt_wire,
+    CASE WHEN $TM_IS_ZERO THEN NULL
+         ELSE strftime(make_timestamp($TM_US6), '%Y-%m-%d %H:%M:%S') END AS dt_out,
+    $TM_CH AS ch,
+    $TM_CH || '-' || CAST(payload_id AS STRING) AS vch,
+    CAST($TM_CH AS BLOB) AS bin,
+    $TM_ENUM AS enum_v
+  FROM rws
 ), numbered AS (
   SELECT *, CAST(row_number() OVER (ORDER BY pos_key) AS BIGINT) AS rn,
          CAST(count(*) OVER () AS BIGINT) AS cnt,

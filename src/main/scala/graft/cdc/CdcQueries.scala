@@ -20,6 +20,7 @@ final class CdcChain(spark: SparkSession, sfDir: String) {
   lazy val env: DataFrame = CdcOps.envelope(transformed)
   lazy val intervals: DataFrame = CdcOps.schemaIntervals(admitted)
   lazy val evolved: DataFrame = CdcOps.evolvePayload(env, intervals)
+  lazy val matrix: DataFrame = CdcOps.typeMatrix(rows)
 }
 
 /** One oracle-checked query per data-plane operator (SURVEY §2 T1-T19).
@@ -83,6 +84,11 @@ object CdcQueries {
       .orderBy("event_id", "row_idx")),
     "t12b_avro_roundtrip" -> c(ch => AvroEnvelope.roundTrip(ch.env)
       .orderBy("event_id", "row_idx")),
+    // T12c — the type matrix through the Avro wire format: equality with
+    // the plain matrix oracle proves decimal/date/binary logical types
+    // survive encode→decode bit-exactly.
+    "t12c_avro_matrix" -> c(ch => AvroEnvelope.roundTripGeneric(ch.matrix)
+      .orderBy("event_id", "row_idx")),
     "t13_changelog" -> c(_.env
       .select("database_name", "table_name", "payload_id")
       .orderBy("database_name", "table_name", "payload_id")),
@@ -118,6 +124,22 @@ object CdcQueries {
     "t19_event_routing" -> c(_.admitted
       .groupBy("kind").agg(count(lit(1)).as("n"))
       .orderBy("kind")),
+    // T11b-e — MySQL type-matrix fidelity (SURVEY §7.4 risk 4; reference
+    // end_to_end_test.py:77-196), one oracle row per type family.
+    "t11b_int_matrix" -> c(_.matrix
+      .select("event_id", "row_idx", "tiny_s", "tiny_u", "small_s", "small_u",
+        "medium_s", "int_s", "int_u", "big_hi", "big_lo")
+      .orderBy("event_id", "row_idx")),
+    "t11c_decimal_exact" -> c(_.matrix
+      .select("event_id", "row_idx", "dec_9_2", "dec_12_11", "ubig_20", "f32")
+      .orderBy("event_id", "row_idx")),
+    "t11d_temporal_matrix" -> c(_.matrix
+      .select("event_id", "row_idx", "d_date", "dt6_iso", "time6_us", "yr",
+        "dt_wire", "dt_out")
+      .orderBy("event_id", "row_idx")),
+    "t11e_char_binary_enum" -> c(_.matrix
+      .select("event_id", "row_idx", "ch", "vch", "bin", "enum_v")
+      .orderBy("event_id", "row_idx")),
     // T22b — the payload's column set follows the table's DDL-evolved
     // schema version as of each row's position (SURVEY §7.4 risk 1).
     "t22b_evolved_payload" -> c(_.evolved
@@ -180,6 +202,20 @@ object CdcQueries {
       "SELECT database_name, target_table AS table_name, schema_id, contains_pii FROM registry ORDER BY schema_id"),
     "t19_event_routing" -> q(
       "SELECT kind, CAST(count(*) AS BIGINT) AS n FROM admitted GROUP BY kind ORDER BY kind"),
+    "t12c_avro_matrix" -> q(
+      "SELECT * FROM matrix ORDER BY event_id, row_idx"),
+    "t11b_int_matrix" -> q(
+      """SELECT event_id, row_idx, tiny_s, tiny_u, small_s, small_u, medium_s,
+         int_s, int_u, big_hi, big_lo FROM matrix ORDER BY event_id, row_idx"""),
+    "t11c_decimal_exact" -> q(
+      """SELECT event_id, row_idx, dec_9_2, dec_12_11, ubig_20, f32
+         FROM matrix ORDER BY event_id, row_idx"""),
+    "t11d_temporal_matrix" -> q(
+      """SELECT event_id, row_idx, d_date, dt6_iso, time6_us, yr, dt_wire, dt_out
+         FROM matrix ORDER BY event_id, row_idx"""),
+    "t11e_char_binary_enum" -> q(
+      """SELECT event_id, row_idx, ch, vch, bin, enum_v
+         FROM matrix ORDER BY event_id, row_idx"""),
     "t22b_evolved_payload" -> q(
       """SELECT e.event_id, e.row_idx, e.database_name, e.table_name, v.schema_version,
            '{"id":' || CAST(e.payload_id AS STRING) || ',"k":' || CAST(e.payload_k AS STRING) ||

@@ -112,6 +112,66 @@ object CdcSqlFragments {
   val PII_TABLES: Seq[String] = Seq("t1", "t3")
 
   def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  // ---- MySQL type matrix (reference tests/integration/end_to_end_test.py:
+  // 77-196: the complex-table fidelity fixture). The replay has no such
+  // columns, so each family is DERIVED arithmetically from the row image
+  // (payload_id/payload_k/payload_value) spanning the type's full range
+  // incl. its boundaries, then carried through the output transforms the
+  // reference applies (util/message_builder.py:90-107). Every fragment
+  // below is valid VERBATIM in both Spark SQL and DuckDB — dialect-split
+  // pieces (date arith, µs→ISO, blob cast) live in CdcOps/CdcOracle.
+
+  // int family: signed ranges spanned exactly; unsigned upcast one width
+  // (TINYINT/SMALLINT → INT, INT → BIGINT — the catalog's mysqlType rule)
+  val TM_TINY = "CAST((payload_id * 37) % 256 - 128 AS TINYINT)"
+  val TM_UTINY = "CAST((payload_id * 37) % 256 AS INT)"
+  val TM_SMALL = "CAST((payload_id * 7919) % 65536 - 32768 AS SMALLINT)"
+  val TM_USMALL = "CAST((payload_id * 7919) % 65536 AS INT)"
+  val TM_MED = "CAST((payload_id * 104729) % 16777216 - 8388608 AS INT)"
+  val TM_INT = "CAST((payload_id * 2654435761) % 4294967296 - 2147483648 AS INT)"
+  val TM_UINT = "CAST((payload_id * 2654435761) % 4294967296 AS BIGINT)"
+  val TM_BIG_HI = "9223372036854775807 - CAST(payload_k AS BIGINT)"
+  val TM_BIG_LO = "CAST(-9223372036854775807 AS BIGINT) - 1 + CAST(payload_k AS BIGINT)"
+
+  // DECIMAL(p,s) exactness: built from integer unscaled parts via string
+  // (never float arithmetic), terminal CAST pins precision+scale in both
+  // engines — DECIMAL values compare bit-exact, the reference's DECIMAL
+  // round-trip promise
+  private def decimalFrag(unscaled: String, intDiv: Long, fracDigits: Int, p: Int, s: Int) =
+    s"""CAST(CASE WHEN payload_k % 2 = 1 THEN '-' ELSE '' END ||
+       CAST(CAST((($unscaled) - ($unscaled) % $intDiv) / $intDiv AS BIGINT) AS STRING) ||
+       '.' || lpad(CAST(($unscaled) % $intDiv AS STRING), $fracDigits, '0')
+       AS DECIMAL($p,$s))"""
+  val TM_DEC92: String =
+    decimalFrag("(payload_id * 48611 + payload_k * 13) % 1000000000", 100L, 2, 9, 2)
+  val TM_DEC1211: String =
+    decimalFrag("(payload_id * 9999999967 + payload_k) % 1000000000000", 100000000000L, 11, 12, 11)
+  // unsigned BIGINT boundary: 18446744073709551615 does not fit int64 —
+  // DECIMAL(20,0), the catalog's BIGINT UNSIGNED mapping
+  val TM_UBIG =
+    """CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) -
+       CAST(payload_k AS DECIMAL(20,0)) AS DECIMAL(20,0))"""
+  val TM_F32 = "CAST(payload_value AS FLOAT)"
+
+  // temporal family: DATE spanning 1901..2051, DATETIME(6) µs over the
+  // 32-bit epoch range, TIME(6) µs-of-day incl. 23:59:59.999999, YEAR
+  val TM_DAYS = "CAST((payload_id * 53) % 54787 AS INT)"
+  /** seconds spanning the full 32-bit epoch range (to 2038-01-19) composed
+    * with a separate µs part — a single multiplier would need to overflow
+    * int64 to wrap the 2^31·10^6 modulus. */
+  val TM_US6 =
+    "((payload_id * 2654435761) % 2147483647) * 1000000 + (payload_id * 999983) % 1000000"
+  val TM_TIME6 = "((payload_id % 100000) * 86399999999) % 86400000000"
+  val TM_YEAR = "CAST(1901 + (payload_id * 13) % 155 AS INT)"
+  /** MySQL zero-dates ('0000-00-00...') arrive from the binlog reader as
+    * NULL (pymysqlreplication converts unrepresentable dates) — model the
+    * raw wire string alongside the NULLed output. */
+  val TM_IS_ZERO = "payload_k % 11 = 0"
+
+  // char/text family + ENUM (SET is t11's tags_sorted)
+  val TM_CH = "substr('abcdefghij', 1, CAST(payload_k % 11 AS INT))"
+  val TM_ENUM = "CASE payload_k % 3 WHEN 0 THEN 'ONE' WHEN 1 THEN 'TWO' ELSE 'THREE' END"
 }
 
 object CdcReplay {
