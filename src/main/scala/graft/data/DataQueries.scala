@@ -53,6 +53,7 @@ object DataQueries {
     "s3_ann_lsh" -> ((spark, sfDir) =>
       VectorOps.annLsh(spark, Tables.embeddings(spark, sfDir))),
     "s4_kmeans_step" -> embs(VectorOps.kmeansStep(_)),
+    "s4b_kmeans_converged" -> embs(VectorOps.kmeansConverged(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_))
@@ -153,6 +154,46 @@ WITH qe AS (
 
   private def pairDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a.qv)), d -> $a.qv[d] * $b.qv[d])) AS BIGINT)"
+
+  /** One unrolled Lloyd's round on the 2^20 integer grid (see
+    * [[VectorOps.kmeansConverged]]): assignment is the exact-integer
+    * argmin against the previous round's centroids `k${i-1}`, the update
+    * snaps per-dim means back to the grid with ONE IEEE floor(s/n + 0.5),
+    * and an empty cluster keeps its previous centroid. Because the Spark
+    * side stops at the exact fixpoint and every post-fixpoint round is the
+    * identity, unconditionally unrolling `maxIter` rounds here lands on
+    * the same table. */
+  private def kmeansRoundSql(i: Int, dims: Int): String = s"""
+, a$i AS MATERIALIZED (
+  SELECT vec_id, qv, c_id FROM (
+    SELECT v.vec_id, v.qv, c.c_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * ${pairDot("v", "c")}
+               + CAST(list_sum(list_transform(generate_series(1, $dims), d -> c.qv[d] * c.qv[d])) AS BIGINT),
+             c.c_id) AS rn
+    FROM qn v, k${i - 1} c) q WHERE rn = 1
+), u$i AS (
+  SELECT c_id, CAST(count(*) AS BIGINT) AS n, list(qv) AS vs FROM a$i GROUP BY c_id
+), k$i AS MATERIALIZED (
+  SELECT p.c_id,
+         CASE WHEN u.n IS NULL THEN p.qv
+              ELSE list_transform(generate_series(1, $dims), d ->
+                CAST(floor(CAST(list_sum(list_transform(u.vs, m -> m[d])) AS DOUBLE) / u.n + 0.5e0) AS BIGINT))
+         END AS qv,
+         CAST(coalesce(u.n, 0) AS BIGINT) AS n
+  FROM k${i - 1} p LEFT JOIN u$i u ON p.c_id = u.c_id
+)"""
+
+  private def kmeansConvergedSql(k: Int, maxIter: Int, dims: Int): String =
+    vecProlog + s"""
+, k0 AS MATERIALIZED (
+  SELECT vec_id AS c_id, qv, CAST(0 AS BIGINT) AS n FROM qn WHERE vec_id < $k
+)""" +
+      (1 to maxIter).map(kmeansRoundSql(_, dims)).mkString + s"""
+SELECT c_id, CAST(d - 1 AS INT) AS d, n, qv[d] AS cq,
+       CAST(qv[d] AS DOUBLE) / 1048576.0 AS mean
+FROM (SELECT c_id, n, qv, unnest(generate_series(1, $dims)) AS d FROM k$maxIter) q
+ORDER BY c_id, d"""
 
   private def topK(where: String, k: Int, extraCols: String = ""): String = s"""
 , pairsx AS (
@@ -704,6 +745,10 @@ ORDER BY doc_a, doc_b"""),
       SELECT c_id, d, CAST(count(*) AS BIGINT) AS n,
              CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) / 1048576.0 AS mean
       FROM kdims GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // maxIter matches kmeansConverged's default; measured convergence is
+    // round 14 (sf0.001) / 18 (sf0.01), so the cap only binds at scales
+    // where BOTH sides cap identically
+    "s4b_kmeans_converged" -> kmeansConvergedSql(k = 4, maxIter = 24, dims = 64),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

@@ -169,6 +169,22 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Exact-integer nearest-centroid assignment against a broadcast k-row
+    * centroid frame (c_id, c_qv, c_nn): dist² = |x|² − 2x·c + |c|², all
+    * BIGINT, argmin via `min_by` keyed on struct(dist2, c_id) so ties
+    * break to the smallest c_id — the same total order the oracle's
+    * `row_number ... ORDER BY dist2, c_id` induces, but as a
+    * map-side-combinable hash aggregation: the k candidate rows per
+    * vector collapse to one before the shuffle (~k× less shuffle volume)
+    * and no sort runs anywhere in the assignment stage. */
+  private def assignToCentroids(v: DataFrame, cent: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(struct(label, qv, nn, c_id), struct(dist2, c_id))").as("s"))
+      .select(col("vec_id"), col("s.label").as("label"), col("s.qv").as("qv"),
+        col("s.nn").as("nn"), col("s.c_id").as("c_id"))
+
   /** s6 — IVF over a TRAINED coarse index: cluster assignment comes from
     * k-means centroids (s4's assignment step — exact integer argmin
     * against broadcast centroids), not a given label column; the query
@@ -181,13 +197,8 @@ object VectorOps {
     val v = quantized(embeddings)
     val cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
-      .withColumn("rnk", row_number()
-        .over(Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("label"), col("qv"), col("nn"),
-        col("c_id").as("cell"))
+    val assigned = assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
       .persist() // both sides of the cell-pruned search read it
     val q = assigned.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
@@ -211,23 +222,82 @@ object VectorOps {
     * for assignment), then one hash aggregation keyed (cluster, dim) with
     * map-side partials. An iterating driver loop over this step is the
     * standard distributed Lloyd's algorithm (MLlib KMeans has the same
-    * per-iteration shape). Seed centroids are the first k vectors for
-    * determinism (k-means++ would sample). */
+    * per-iteration shape) — [[kmeansConverged]] is that loop. Seed
+    * centroids are the first k vectors for determinism (k-means++ would
+    * sample). */
   def kmeansStep(embeddings: DataFrame, k: Int = 4): DataFrame = {
     val v = quantized(embeddings)
     val cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
-      .withColumn("rnk", row_number()
-        .over(Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
-      .filter(col("rnk") === 1)
-      .select("vec_id", "c_id", "qv")
+    val assigned = assignToCentroids(v, cent).select("vec_id", "c_id", "qv")
     assigned.select(col("c_id"), posexplode(col("qv")).as(Seq("d", "q")))
       .groupBy("c_id", "d").agg(sum("q").as("s"), count(lit(1)).as("n"))
       .select(col("c_id"), col("d").cast("int").as("d"), col("n"),
         expr("CAST(s AS DOUBLE) / n / 1048576.0").as("mean"))
       .orderBy("c_id", "d")
+  }
+
+  /** s4b — Lloyd's algorithm iterated to convergence on the 2^20 integer
+    * grid. Each round assigns (broadcast centroids, exact BIGINT argmin
+    * via [[assignToCentroids]] — map-side combinable, no window/sort) and
+    * updates: new centroid dim = round-half-up(Σqv_d / n), computed as ONE
+    * IEEE floor(s/n + 0.5) over exact integers, then snapped back to the
+    * grid — so centroids stay BIGINT vectors and every subsequent round
+    * is again exact integer algebra.
+    *
+    * Convergence is the EXACT fixpoint (new grid centroids == old), not an
+    * epsilon: once assignments repeat, sums repeat, grid centroids repeat,
+    * and every later round is the identity. That is what makes this
+    * oracle-checkable — DuckDB unconditionally unrolls `maxIter` rounds
+    * and lands on the same fixpoint the early-exit loop found.
+    *
+    * Scale: the driver holds only the k×dims centroid table (the same
+    * control-plane collect MLlib's KMeans does every round); the data-side
+    * work per round is one broadcast join + two hash aggregations, never a
+    * shuffle of the vectors by anything but their own id, never a sort.
+    * Empty clusters keep their previous centroid (n = 0). */
+  def kmeansConverged(embeddings: DataFrame, k: Int = 4, maxIter: Int = 24,
+      dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = quantized(embeddings).persist()
+    try {
+      val seed: Seq[(Long, Seq[Long])] = v.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("qv")).as[(Long, Seq[Long])]
+        .collect().sortBy(_._1).toSeq
+      var cent = seed
+      var ns = Map.empty[Long, Long]
+      var it = 0
+      var converged = false
+      while (it < maxIter && !converged) {
+        val cdf = cent.toDF("c_id", "c_qv")
+          .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
+        val upd = assignToCentroids(v, cdf)
+          .select(col("c_id"), posexplode(col("qv")).as(Seq("d", "q")))
+          .groupBy("c_id", "d").agg(sum("q").as("s"), count(lit(1)).as("n"))
+          .withColumn("cq", expr("CAST(floor(CAST(s AS DOUBLE) / n + 0.5e0) AS BIGINT)"))
+          .select(col("c_id"), col("d"), col("n"), col("cq"))
+          .as[(Long, Int, Long, Long)].collect()
+        val byC = upd.groupBy(_._1)
+        val next = cent.map { case (cId, oldQv) =>
+          byC.get(cId) match {
+            case Some(rows) => cId -> rows.sortBy(_._2).map(_._4).toSeq
+            case None       => cId -> oldQv // empty cluster keeps its centroid
+          }
+        }
+        ns = cent.map { case (cId, _) =>
+          cId -> byC.get(cId).map(_.head._3).getOrElse(0L)
+        }.toMap
+        converged = next == cent
+        cent = next
+        it += 1
+      }
+      cent.flatMap { case (cId, qv) =>
+        qv.zipWithIndex.map { case (cq, d) =>
+          (cId, d, ns(cId), cq, cq.toDouble / 1048576.0)
+        }
+      }.toDF("c_id", "d", "n", "cq", "mean")
+    } finally v.unpersist()
   }
 
   /** Scored candidate pairs within a (label, LSH-bucket) cell — the ONE

@@ -208,4 +208,20 @@ class PlanSpec extends AnyFunSuite {
     val (_, p) = planOf("t12_envelope")
     assert(p.toString.contains("*("), "envelope chain fell out of codegen:\n" + p.toString.take(1500))
   }
+
+  test("k-means/IVF argmin is a min_by aggregation — no window in the assignment") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window => LWindow}
+    // s4: the only Sort is the terminal orderBy; zero windows anywhere —
+    // the N·k candidate rows combine map-side instead of shuffling + sorting
+    val s4 = SparkEntry.queries("s4_kmeans_step")(spark, sfDir).queryExecution.optimizedPlan
+    assert(s4.collect { case w: LWindow => w }.isEmpty,
+      "s4 assignment must use min_by, not a row_number window:\n" + s4.treeString.take(2000))
+    assert(s4.collect { case s: Sort => s }.size <= 1,
+      "s4 must sort only for the terminal orderBy:\n" + s4.treeString.take(2000))
+    // s6: exactly ONE window survives — rankTopK's top-k over the cell
+    // search; the assignment contributes none
+    val s6 = SparkEntry.queries("s6_ann_ivf_trained")(spark, sfDir).queryExecution.optimizedPlan
+    assert(s6.collect { case w: LWindow => w }.size == 1,
+      "s6 must window only in rankTopK, not in the assignment:\n" + s6.treeString.take(2000))
+  }
 }
