@@ -23,7 +23,7 @@ object DataQueries {
     "x6_vocab_bigrams" -> docs(TextOps.vocabBigrams(_)),
     "d1_dedup_exact" -> docs(TextOps.dedupExact),
     "d2_dedup_ngram_jaccard" -> docs(TextOps.dedupNgramJaccard(_)),
-    "d3_dedup_minhash_lsh" -> docs(TextOps.dedupMinhashLsh(_)),
+    "d3_dedup_minhash_lsh" -> docs(TextOps.lshDupPairs(_)),
     "d4_dedup_simhash" -> docs(TextOps.simhash),
     "d5_dedup_embedding" -> embs(VectorOps.dedupEmbedding(_)),
     "d6_dedup_clusters" -> docs(TextOps.dedupClusters(_)),

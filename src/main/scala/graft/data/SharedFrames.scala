@@ -1,0 +1,51 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+
+import scala.collection.concurrent.TrieMap
+
+/** Pay-once registry for expensive intermediates consumed by several
+  * queries in one session: the minhash dup-pair frame feeds d3, d6 (via
+  * the component labels), d8, x18 and x21, and the connected-components
+  * cluster frame feeds d6 and d9 — without this, one full bench pass
+  * re-runs the shingle→minhash→band→verify pipeline ~5× and the CC loop
+  * twice from raw text.
+  *
+  * Keyed by (session identity, canonicalized input plan, tag) so the same
+  * table read at two scale factors — or two thresholds — never collide.
+  * The computed frame is persisted on first use and reused by every later
+  * consumer in the session; `clear()` releases everything (tests, or a
+  * long-running daemon rotating inputs).
+  *
+  * At 100 TB this same pattern is an explicit bucketed parquet write (see
+  * [[Bucketing]] — pay the shuffle once, read co-located forever); the
+  * in-session persist is the local-mode analogue with identical query
+  * semantics, which is why the oracle results are unchanged by it.
+  */
+object SharedFrames {
+
+  private val cache = TrieMap.empty[(Int, Int, String), DataFrame]
+
+  /** Memoize `compute` for this (input, tag): first caller pays, later
+    * callers get the materialized frame. `compute` must be a pure function
+    * of the input frame — the tag must encode every other parameter.
+    *
+    * Materialization is an EAGER `localCheckpoint`, not `persist`: the
+    * CC-loop output carries a 25-round iterative plan whose re-analysis
+    * alone costs seconds per action (and lazily-checkpointed inner rounds
+    * re-trigger under AQE-cached plans — measured SLOWER than recompute).
+    * The eager checkpoint runs the plan exactly once and hands every
+    * consumer a plain scan over the computed partitions. */
+  def memo(input: DataFrame, tag: String)(compute: => DataFrame): DataFrame = {
+    val key = (System.identityHashCode(input.sparkSession),
+      input.queryExecution.analyzed.canonicalized.hashCode(), tag)
+    cache.getOrElseUpdate(key, compute.localCheckpoint(true))
+  }
+
+  def clear(): Unit = {
+    cache.values.foreach(df =>
+      try df.unpersist()
+      catch { case _: Throwable => () })
+    cache.clear()
+  }
+}

@@ -404,7 +404,7 @@ object TextOps {
       .withColumn("fp", md5(col("text")))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(true).as("is_keeper"))
-    val dupLosers = dedupMinhashLsh(documents)
+    val dupLosers = lshDupPairs(documents)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
     val sampled = sampleStratified(documents)
@@ -497,7 +497,7 @@ object TextOps {
           .otherwise("train"))
       .select("doc_id", "split")
       .persist() // joined twice (doc_a and doc_b sides)
-    dedupMinhashLsh(documents).select("doc_a", "doc_b", "jac")
+    lshDupPairs(documents).select("doc_a", "doc_b", "jac")
       .join(splits.toDF("doc_a", "split_a"), "doc_a")
       .join(splits.toDF("doc_b", "split_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jac"),
@@ -643,6 +643,33 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The minhash dup-pair frame as a pay-once shared artifact: d3 emits
+    * it, and d6 (via the cluster labels), d8, x18 and x21 all consume it —
+    * [[SharedFrames]] materializes it on first touch so one session never
+    * runs the shingle→minhash→band→verify pipeline twice over the same
+    * input. */
+  def lshDupPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    SharedFrames.memo(documents, s"lsh-dup-pairs@$threshold")(
+      dedupMinhashLsh(documents, threshold))
+
+  /** d6's cluster labels as a pay-once shared artifact (d9 re-consumes
+    * them): connected components over [[lshDupPairs]], UNordered — the
+    * oracle-facing [[dedupClusters]] adds the deterministic sort. */
+  def clusterLabels(documents: DataFrame, threshold: Double = 0.5,
+      maxIters: Int = 25): DataFrame =
+    SharedFrames.memo(documents, s"dedup-clusters@$threshold/$maxIters") {
+      val pairs = lshDupPairs(documents, threshold).select("doc_a", "doc_b")
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val labels = ConnectedComponents.minLabel(
+        documents.select(col("doc_id").as("id")), edges, maxIters)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+    }
+
   /** d6 — dedup cluster assignment: connected components over the minhash
     * dup-pair graph ([[ConnectedComponents.minLabel]] — min-label
     * propagation with pointer jumping, O(log n) rounds on any component
@@ -650,19 +677,8 @@ object TextOps {
     * component (the cluster representative a keep-one-per-cluster pass
     * retains) plus the cluster size. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.5,
-      maxIters: Int = 25): DataFrame = {
-    val pairs = dedupMinhashLsh(documents, threshold).select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-    val labels = ConnectedComponents.minLabel(
-      documents.select(col("doc_id").as("id")), edges, maxIters)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select("doc_id", "cluster_id", "cluster_size")
-      .orderBy("doc_id")
-  }
+      maxIters: Int = 25): DataFrame =
+    clusterLabels(documents, threshold, maxIters).orderBy("doc_id")
 
   /** d4 — SimHash: 16-bit signature from MD5-hex-digit parity weighted by
     * token frequency; identical signature = dup bucket.
@@ -720,7 +736,7 @@ object TextOps {
       // cosine ≈ 0.41), so the demo threshold sits at the top tail; a
       // real corpus would use ~0.95 as d5 does
       cosThreshold: Double = 0.35): DataFrame = {
-    val textPairs = dedupMinhashLsh(documents, jacThreshold)
+    val textPairs = lshDupPairs(documents, jacThreshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
     val embPairs = VectorOps.nearPairs(embeddings, cosThreshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cos"))

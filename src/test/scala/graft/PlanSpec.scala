@@ -98,7 +98,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash-LSH dedup never forms an all-pairs product") {
-    val (s, _) = planOf("d3_dedup_minhash_lsh")
+    // assert on the RAW pipeline, not the SharedFrames-memoized d3 entry —
+    // a previously-materialized shared frame would hide the join plan
+    // behind an InMemoryTableScan and make the assertion vacuous
+    val df = graft.data.TextOps.dedupMinhashLsh(Tables.documents(spark, sfDir))
+    df.collect()
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       "d3 must only hash-join on band/pair keys:\n" + s.take(2000))
   }
