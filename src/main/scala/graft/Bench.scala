@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the very columns whose computation we are measuring.
   * A warmup pass (untimed) absorbs JVM/codegen/classloading cost so the
   * numbers reflect steady-state engine throughput, matching how the
-  * reference's long-running daemon amortizes startup.
+  * reference's long-running daemon amortizes startup. Reported times are
+  * per-query medians of SPARK_GRAFT_BENCH_REPS (default 3) timed passes.
   */
 object Bench {
 
@@ -57,9 +58,16 @@ object Bench {
       try run(name)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") })
 
-    // Timed pass: a failing query records -1 (never its time-to-failure,
-    // which would silently "improve" the total) and fails the process.
-    val results = headline.map { name =>
+    // Timed passes: the per-query number is the MEDIAN of `reps`
+    // in-process repetitions — single-shot totals swung 54-89 s on
+    // identical binaries (container noise), which made round-over-round
+    // deltas unreadable. Reps interleave whole passes (1..n of q1..qN,
+    // not n reps of q1 back-to-back) so a transient stall degrades one
+    // rep of many queries rather than every rep of one. A failing query
+    // records -1 (never its time-to-failure, which would silently
+    // "improve" the total) and fails the process.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val samples = Seq.fill(reps)(headline.map { name =>
       val t0 = System.nanoTime()
       try { run(name); name -> (System.nanoTime() - t0) / 1e9 }
       catch {
@@ -67,6 +75,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
           name -> -1.0
       }
+    })
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = headline.zipWithIndex.map { case (name, i) =>
+      val times = samples.map(_(i)._2)
+      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
