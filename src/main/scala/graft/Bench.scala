@@ -33,7 +33,7 @@ object Bench {
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "d7_simhash_near", "d8_dedup_agreement", "d9_dedup_savings",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step", "s5_ann_int8",
-    "s6_ann_ivf_trained",
+    "s6_ann_ivf_trained", "s7_ann_pq",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
     "x5_top_terms", "x6_vocab_bigrams", "x7_repetition", "x8_length_quantiles",
     "x9_distinct_kmv", "x10_distinct_by_lang",
@@ -41,7 +41,8 @@ object Bench {
     "x13_langid_confusion", "x14_source_mix",
     "x15_pack_sequences", "x16_filter_audit", "x17_mixture_temperature",
     "x18_curation_funnel", "x19_novelty", "x20_chunk_sliding",
-    "x21_split_leakage",
+    "x21_split_leakage", "x22_boilerplate_lines", "x23_pii_redact",
+    "x24_cluster_reps",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize")
 
   def main(args: Array[String]): Unit = {

@@ -46,6 +46,9 @@ object DataQueries {
     "x21_split_leakage" -> docs(TextOps.splitLeakage),
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
+    "x22_boilerplate_lines" -> docs(TextOps.boilerplateLines(_)),
+    "x23_pii_redact" -> docs(TextOps.piiRedact),
+    "x24_cluster_reps" -> docs(TextOps.clusterRepresentatives),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
@@ -54,6 +57,7 @@ object DataQueries {
       VectorOps.annLsh(spark, Tables.embeddings(spark, sfDir))),
     "s4_kmeans_step" -> embs(VectorOps.kmeansStep(_)),
     "s4b_kmeans_converged" -> embs(VectorOps.kmeansConverged(_)),
+    "s7_ann_pq" -> embs(VectorOps.annPq(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_))
@@ -240,6 +244,45 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
     "d1_dedup_exact" -> """
       SELECT md5(text) AS fp, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keeper""",
+    // "lines" are fixed 8-word segments (corpus has no newlines); df >= 2
+    // marks a line boilerplate, cleaned text is the kept lines in order
+    "x22_boilerplate_lines" -> """
+      WITH wordsx AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      linesx AS (
+        SELECT doc_id, i AS idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+        FROM (SELECT doc_id, ws,
+                unnest(generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS i
+              FROM wordsx) q
+      ), boiler AS (
+        SELECT line FROM (
+          SELECT line, count(DISTINCT doc_id) AS df FROM linesx GROUP BY 1) b
+        WHERE df >= 2
+      )
+      SELECT l.doc_id,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(count(b.line) AS BIGINT) AS n_boiler,
+        CAST(count(*) - count(b.line) AS DOUBLE) / count(*) AS kept_frac,
+        md5(coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+          ' ' ORDER BY l.idx), '')) AS clean_md5
+      FROM linesx l LEFT JOIN boiler b ON l.line = b.line
+      GROUP BY 1 ORDER BY 1""",
+    "x23_pii_redact" -> s"""
+      WITH wire AS (
+        SELECT doc_id, ${TextOps.PiiWireExpr} AS wire_text FROM documents
+      ), red AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(wire_text, '${TextOps.PiiEmailRe}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(wire_text, '${TextOps.PiiPhoneRe}')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(wire_text, '${TextOps.PiiIpRe}')) AS BIGINT) AS n_ip,
+          regexp_replace(regexp_replace(regexp_replace(wire_text,
+            '${TextOps.PiiEmailRe}', '<EMAIL>', 'g'),
+            '${TextOps.PiiPhoneRe}', '<PHONE>', 'g'),
+            '${TextOps.PiiIpRe}', '<IP>', 'g') AS redacted
+        FROM wire
+      )
+      SELECT doc_id, n_email, n_phone, n_ip,
+        (n_email + n_phone + n_ip > 0) AS has_pii, md5(redacted) AS red_md5
+      FROM red ORDER BY doc_id""",
     "d2_dedup_ngram_jaccard" -> (docProlog + """
       SELECT doc_a, doc_b, common, sa, sb, jac FROM rjacp
       WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""),
@@ -271,6 +314,42 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT l.doc_id, l.cluster_id, s.cluster_size
       FROM lab l JOIN csizes s ON l.cluster_id = s.cluster_id
       ORDER BY l.doc_id"""),
+    // d6's transitive-closure chain + the x2 quality projection: each
+    // cluster keeps its highest-quality member (ties to smaller doc_id)
+    "x24_cluster_reps" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + s"""
+      , e0 AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jac >= 0.5
+      ), e AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+      ), walk(n, m) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a
+      ), comp AS (
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM walk GROUP BY n
+      ), lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      ), csizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1
+      ), qual AS (
+        SELECT doc_id, ${TextOps.QualityExpr} AS quality_score
+        FROM (SELECT doc_id, n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop
+              FROM documents) q
+      ), rankedq AS (
+        SELECT l.cluster_id, l.doc_id, q.quality_score,
+               row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY q.quality_score DESC, l.doc_id) AS rn
+        FROM lab l JOIN qual q ON l.doc_id = q.doc_id
+      )
+      SELECT r.cluster_id, c.cluster_size, r.doc_id AS rep_doc,
+             r.quality_score AS rep_quality, c.cluster_size - 1 AS n_dropped
+      FROM rankedq r JOIN csizes c ON r.cluster_id = c.cluster_id
+      WHERE rn = 1 ORDER BY r.cluster_id"""),
     // same recursive transitive-closure chain as d6, rolled up to the
     // per-cluster savings report
     "d9_dedup_savings" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + """
@@ -465,6 +544,58 @@ ORDER BY stage"""),
         CAST(w AS DOUBLE) / w_total AS p,
         CAST(w AS DOUBLE) / w_total * 10000000 / tokens AS epochs
       FROM wts, tot ORDER BY source""",
+    // PQ-ADC: encode (vector, subspace) to nearest-of-16 codewords, scan
+    // by the query's precomputed codeword-distance table inside the label
+    // cell, exact-rerank the ADC top-10 (all-integer until the cosine)
+    "s7_ann_pq" -> (vecProlog + """
+, subsp AS (SELECT unnest(generate_series(0, 7)) AS s)
+, vsubn AS (
+  SELECT vec_id, label, s, sub,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> sub[j] * sub[j])) AS BIGINT) AS sub_nn
+  FROM (SELECT vec_id, label, s, qv[s*8+1 : s*8+8] AS sub FROM qn, subsp) q0
+), cbx AS (
+  SELECT vec_id AS c_id, s AS c_s, sub AS c_sub, sub_nn AS c_nn
+  FROM vsubn WHERE vec_id < 16
+), encd AS (
+  SELECT v.vec_id, v.label, v.s, c.c_id,
+         v.sub_nn - 2 * CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> v.sub[j] * c.c_sub[j])) AS BIGINT) + c.c_nn AS dist2
+  FROM vsubn v JOIN cbx c ON v.s = c.c_s
+), codesx AS (
+  SELECT vec_id, label, s, c_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c_id) AS rn
+    FROM encd) q WHERE rn = 1
+), qdx AS (
+  SELECT vec_id AS query_id, label AS q_label, s, c_id AS code, dist2 AS qdist2
+  FROM encd WHERE vec_id % 50 = 0
+), adc AS (
+  SELECT q.query_id, c.vec_id, CAST(sum(q.qdist2) AS BIGINT) AS adc_d2
+  FROM codesx c JOIN qdx q
+    ON c.s = q.s AND c.code = q.code AND c.label = q.q_label
+       AND c.vec_id <> q.query_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, vec_id, adc_d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS crn
+    FROM adc) q WHERE crn <= 10
+), rr AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id, c.adc_d2,
+         CAST(list_sum(list_transform(generate_series(1, len(qq.qv)),
+           d -> qq.qv[d] * nb.qv[d])) AS BIGINT) AS dot,
+         qq.nn AS qnn, nb.nn AS nnn
+  FROM cand c JOIN qn qq ON qq.vec_id = c.query_id
+              JOIN qn nb ON nb.vec_id = c.vec_id
+), scored7 AS (
+  SELECT query_id, neighbor_id, adc_d2, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(qnn AS DOUBLE) * CAST(nnn AS DOUBLE)) AS cos
+  FROM rr
+), ranked7 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM scored7
+)
+SELECT query_id, neighbor_id, rnk, adc_d2, dot, cos FROM ranked7
+WHERE rnk <= 5 ORDER BY query_id, rnk"""),
     "s6_ann_ivf_trained" -> (vecProlog + s"""
 , c6 AS (
   SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4

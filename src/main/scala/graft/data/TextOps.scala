@@ -817,4 +817,120 @@ object TextOps {
         expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** x22 — C4-style boilerplate-line removal (the "discard any line seen
+    * in N+ documents" rule of the C4/RefinedWeb cleaning recipes,
+    * applied corpus-wide): count each line's document frequency, drop
+    * lines at df ≥ minDf, and reassemble each document from its kept
+    * lines in original order. This corpus has no newline structure, so a
+    * "line" is a fixed [[lineWords]]-word segment; on real data the
+    * splitter is `split(text, '\n')` and nothing else changes.
+    *
+    * Scale: line-df is ONE hash aggregation keyed by line; the
+    * boilerplate set (df ≥ threshold) is the high-frequency HEAD of that
+    * distribution — small by construction — and is broadcast back
+    * against the exploded lines, so the data side never shuffles.
+    * Reassembly state is bounded by document length, never corpus size. */
+  def boilerplateLines(documents: DataFrame, lineWords: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    val lines = documents
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(ws) / $lineWords.0) AS INT) - 1),
+            i -> array_join(slice(ws, i * $lineWords + 1, $lineWords), ' '))"""))
+        .as(Seq("idx", "line")))
+      .persist()
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .select("line")
+    // persist above: the exploded-lines frame feeds both the df agg and
+    // the join; released with the session (same contract as decontaminate)
+    lines.join(broadcast(boiler.withColumn("is_boiler", lit(true))),
+        Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        // kept lines in original order; md5('') when everything was dropped
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("idx"), col("line"))))),
+          x => x.getField("line")), " ")).as("clean_md5"))
+      .withColumn("kept_frac",
+        expr("CAST(n_lines - n_boiler AS DOUBLE) / n_lines"))
+      .select("doc_id", "n_lines", "n_boiler", "kept_frac", "clean_md5")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic PII injection: the corpus is synthetic word-salad with
+    * no emails/phones/IPs, so (exactly like the CDC type matrix derives
+    * MySQL-typed columns arithmetically) each document's wire text gets a
+    * doc_id-derived PII suffix — none / one type / all three — and the
+    * redactor is exercised against known ground truth. Valid verbatim in
+    * Spark SQL and DuckDB. */
+  val PiiWireExpr: String =
+    """text || CASE CAST(doc_id % 5 AS INT)
+       WHEN 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@mail.example.com now'
+       WHEN 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today'
+       WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST((doc_id * 7) % 256 AS STRING) || ' up'
+       WHEN 3 THEN ' reach admin@example.org or 10.1.2.3 via 650-555-0199'
+       ELSE '' END"""
+
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** x23 — PII scan + redaction: per-type match counts and the text with
+    * emails/phones/IPv4s replaced by placeholder tags — the scrubbing
+    * pass every training-data pipeline runs before tokenization. The
+    * patterns are RE2-safe (no lookaround), so Spark's Java regex and the
+    * oracle's RE2 agree. Pure narrow projection: counts and replacement
+    * are per-row, codegen'd, zero shuffle at any scale. Redaction order
+    * (email, then phone, then IP) is part of the contract — placeholder
+    * text must never re-match a later pattern. */
+  def piiRedact(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("wire_text", expr(PiiWireExpr))
+      .withColumn("n_email", regexp_count(col("wire_text"), lit(PiiEmailRe)).cast("long"))
+      .withColumn("n_phone", regexp_count(col("wire_text"), lit(PiiPhoneRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(col("wire_text"), lit(PiiIpRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("wire_text"), PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"),
+          PiiIpRe, "<IP>"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        (col("n_email") + col("n_phone") + col("n_ip") > 0).as("has_pii"),
+        md5(col("redacted")).as("red_md5"))
+      .orderBy("doc_id")
+
+  /** x24 — near-dup cluster representative selection: instead of d6's
+    * keep-smallest-id rule, keep each cluster's HIGHEST-QUALITY member
+    * (quality-aware dedup — the pass a curation pipeline actually runs,
+    * so a polished original survives over its mangled mirror). Rep =
+    * argmax quality_score, ties to the smaller doc_id; both engines
+    * compute the score from identical integer inputs, so the doubles —
+    * and the argmax — agree exactly.
+    *
+    * Scale: reuses the session-shared cluster labels ([[clusterLabels]],
+    * pay-once), joins the per-doc quality projection, and reduces with a
+    * map-side-combinable min_by — one keyed shuffle of one row per doc,
+    * no window, no sort. */
+  def clusterRepresentatives(documents: DataFrame): DataFrame = {
+    val labels = clusterLabels(documents)
+    val quality = qualityScore(documents).select("doc_id", "quality_score")
+    labels.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max(col("cluster_size")).as("cluster_size"),
+        min_by(col("doc_id"),
+          struct(negate(col("quality_score")), col("doc_id"))).as("rep_doc"),
+        min_by(col("quality_score"),
+          struct(negate(col("quality_score")), col("doc_id"))).as("rep_quality"))
+      .withColumn("n_dropped", col("cluster_size") - 1)
+      .select("cluster_id", "cluster_size", "rep_doc", "rep_quality", "n_dropped")
+      .orderBy("cluster_id")
+  }
 }

@@ -177,6 +177,78 @@ object VectorOps {
     * map-side-combinable hash aggregation: the k candidate rows per
     * vector collapse to one before the shuffle (~k× less shuffle volume)
     * and no sort runs anywhere in the assignment stage. */
+  /** s7 — product quantization with asymmetric-distance (ADC) scan: the
+    * IVF-PQ shape of billion-scale vector search. The 64 dims split into
+    * m=8 subspaces of 8; per subspace each sub-vector is encoded as the
+    * nearest of 16 codewords (codebook = the first 16 vectors'
+    * sub-vectors — the same deterministic-sample rule as the k-means
+    * seeds), compressing every vector to 8 small codes. A query scans
+    * candidates by ADC — its EXACT sub-vectors against each candidate's
+    * CODEWORDS, via one precomputed (query × subspace × codeword)
+    * distance table summed over subspaces — inside its label cell (the
+    * IVF coarse stage, as s2), and the adcTopK best are re-scored
+    * exactly (s5's rerank).
+    *
+    * Every distance is an exact BIGINT sum on the 2^20 grid (sub-norms
+    * ≤ 2^45, ADC sums ≤ 2^49), so encoding, ADC ranks, and the final
+    * cosine hash-match the oracle bit-for-bit.
+    *
+    * Scale: the codebook (m·16 rows) and per-query distance tables
+    * (Q·m·16 rows) broadcast; encoding is a broadcast join reduced by a
+    * map-side-combinable min_by (no window, no sort); the ADC scan
+    * shuffles one (query, candidate, subspace) partial into a keyed sum.
+    * At 100 TB the codes are a write-time column ~32× narrower than the
+    * raw vectors — the whole point of PQ: the scan reads codes, never
+    * floats. */
+  def annPq(embeddings: DataFrame, nCodes: Int = 16, m: Int = 8,
+      subDim: Int = 8, everyNth: Int = 50, adcTopK: Int = 10,
+      k: Int = 5): DataFrame = {
+    val v = quantized(embeddings).persist()
+    // one row per (vector, subspace): the sliced sub-vector + exact norm
+    val subs = v
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+      .select("vec_id", "label", "s", "sub", "sub_nn")
+      .persist() // feeds the codebook, the encoding, and the query tables
+    val cb = subs.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("c_id"), col("s").as("c_s"),
+        col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
+    val codes = subs.join(broadcast(cb), col("s") === col("c_s"))
+      .withColumn("dist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
+      .groupBy("vec_id", "label", "s")
+      .agg(expr("min_by(c_id, struct(dist2, c_id))").as("code"))
+    // per-query ADC table: exact query sub-vector vs every codeword
+    val qd = subs.filter(col("vec_id") % everyNth === 0)
+      .join(broadcast(cb), col("s") === col("c_s"))
+      .withColumn("qdist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("s").as("q_s"), col("c_id").as("qcode"), col("qdist2"))
+    val adc = codes.join(broadcast(qd),
+        col("s") === col("q_s") && col("code") === col("qcode") &&
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qdist2").as("adc_d2"))
+    val cand = adc
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("crn") <= adcTopK)
+      .select("query_id", "vec_id", "adc_d2")
+    val qfull = v.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    cand.join(v.select("vec_id", "qv", "nn"), "vec_id")
+      .join(broadcast(qfull), "query_id")
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc_d2"), col("dot"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   private def assignToCentroids(v: DataFrame, cent: DataFrame): DataFrame =
     v.crossJoin(broadcast(cent))
       .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))

@@ -230,4 +230,23 @@ class PlanSpec extends AnyFunSuite {
     assert(s6.collect { case w: LWindow => w }.size == 1,
       "s6 must window only in rankTopK, not in the assignment:\n" + s6.treeString.take(2000))
   }
+
+  test("x22 boilerplate set broadcasts back — the exploded lines never shuffle for it") {
+    val (s, _) = planOf("x22_boilerplate_lines")
+    assert(s.contains("BroadcastHashJoin"),
+      "x22 boiler join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("s7 PQ encoding is min_by against a broadcast codebook — windows only rank candidates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("s7_ann_pq")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    // exactly two windows: ADC candidate top-k and the exact rerank —
+    // the (vector, subspace) codeword argmin contributes none
+    assert(opt.collect { case w: LWindow => w }.size == 2,
+      "s7 must window only for candidate/rerank ranking:\n" + opt.treeString.take(2000))
+    val (s, _) = planOf("s7_ann_pq")
+    assert(s.contains("BroadcastHashJoin"),
+      "s7 codebook/query-table joins must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
+  }
 }
