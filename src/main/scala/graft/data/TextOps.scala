@@ -906,6 +906,44 @@ object TextOps {
         md5(col("redacted")).as("red_md5"))
       .orderBy("doc_id")
 
+  /** x25 — unigram-LM surprisal scoring (the CCNet-style "how unusual is
+    * this document under a corpus LM" quality signal, with the LM reduced
+    * to unigrams so it is exactly checkable): per-token surprisal is
+    * -log2 p(w) = log2(T / c(w)) bits against the corpus's own token
+    * distribution, quantized once per DISTINCT token to the 2^20 integer
+    * grid; a document's score is the exact BIGINT sum of its tokens'
+    * quantized surprisals. High bits/token = rare vocabulary (novel or
+    * noise), low = boilerplate-heavy — the ranking CCNet's perplexity
+    * buckets use.
+    *
+    * Exactness: floor(log2(double(T)/c)·2^20) is one division + one log2
+    * + one multiply + one floor over identical integers in both engines,
+    * computed once per vocab entry; the per-doc aggregation is then an
+    * order-independent integer sum, never a float accumulation.
+    *
+    * Scale: vocab build is one keyed hash agg (scales like d1); the
+    * token→bits join is a hash join on the token (AQE-broadcast when the
+    * vocab head is small); the per-doc sum combines map-side. T reaches
+    * the plan via one broadcast single-row frame, not a collected
+    * constant baked into the query. */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").as("t_total"))
+    val bits = vocab.crossJoin(broadcast(tot))
+      .withColumn("b", expr(
+        "CAST(floor(log2(CAST(t_total AS DOUBLE) / c) * 1048576e0) AS BIGINT)"))
+      .select("w", "b")
+    tok.join(bits, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("b").as("bits_q"))
+      .withColumn("bits_per_token",
+        expr("CAST(bits_q AS DOUBLE) / n_tokens / 1048576e0"))
+      .select("doc_id", "n_tokens", "bits_q", "bits_per_token")
+      .orderBy("doc_id")
+  }
+
   /** x24 — near-dup cluster representative selection: instead of d6's
     * keep-smallest-id rule, keep each cluster's HIGHEST-QUALITY member
     * (quality-aware dedup — the pass a curation pipeline actually runs,

@@ -54,7 +54,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("registry lookup join broadcasts (T16) — no fact-side shuffle") {
-    val (s, _) = planOf("t16_registry_join")
+    // inspect the chain BELOW the session-shared envelope memo (the
+    // t16 query itself reads the materialized checkpoint, whose plan is
+    // a scan — the join shape to pin lives in the enrich stage)
+    val ch = new graft.cdc.CdcChain(spark, sfDir)
+    val df = ch.enriched
+    df.collect()
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
       "registry join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
   }
@@ -210,8 +217,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("whole-stage codegen covers the envelope projection chain") {
     // formatted mode omits codegen markers; the executed plan tree shows
-    // them as *(n) stage ids
-    val (_, p) = planOf("t12_envelope")
+    // them as *(n) stage ids. Build the chain below the session-shared
+    // envelope memo — the t12 query reads the materialized checkpoint.
+    val ch = new graft.cdc.CdcChain(spark, sfDir)
+    val df = graft.cdc.CdcOps.envelope(ch.transformed)
+    df.collect()
+    val p = df.queryExecution.executedPlan
     assert(p.toString.contains("*("), "envelope chain fell out of codegen:\n" + p.toString.take(1500))
   }
 
