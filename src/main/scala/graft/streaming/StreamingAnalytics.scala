@@ -80,6 +80,62 @@ object StreamingAnalytics {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class BandSig(bucket: String, doc_id: Long)
+  final case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming near-dup candidate detection — the continuous form of
+    * d3's LSH stage, for deduplicating a document firehose as it
+    * arrives instead of in nightly batches. Each arriving document
+    * computes its 12 minhashes and 4 band signatures PER ROW (a narrow
+    * projection — the batch path's explode+groupBy is the scan-efficient
+    * formulation, but per-row HOFs give the IDENTICAL signatures, which
+    * the equivalence spec asserts), and per band-signature state keeps
+    * the doc ids seen so far; a new arrival colliding with them emits
+    * candidate pairs incrementally.
+    *
+    * Pairs are at-least-once across bands (two docs can collide in more
+    * than one band — the batch path has the same multiplicity before its
+    * .distinct()); the downstream exact-jaccard verifier dedups. State
+    * per bucket is the collision-group membership — tiny by LSH design
+    * (collision groups ARE the near-dup groups); production adds
+    * watermark eviction exactly like [[dedupWithinWatermark]]. */
+  def nearDupCandidates(docs: DataFrame): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hs = (1 to 12).map(i =>
+      expr(s"array_min(transform(shs, sh -> md5(concat('$i:', sh))))").as(s"h$i"))
+    val bandSigs = (0 until 4).map { b =>
+      val cols = (1 to 3).map(r => s"h${b * 3 + r}").mkString(", ")
+      expr(s"md5(concat_ws('|', $cols))")
+    }
+    val sigs = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3) // <3 words: no trigram, same as batch
+      .withColumn("shs", expr(
+        """array_distinct(transform(sequence(1, size(ws) - 2),
+           i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                          element_at(ws, i + 2))))"""))
+      .select((col("doc_id") +: hs): _*)
+      .select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+      .select(concat_ws("#", col("band"), col("sig")).as("bucket"), col("doc_id"))
+      .as[BandSig]
+    def fn(bucket: String, rows: Iterator[BandSig],
+        state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+      val seen = state.getOption.getOrElse(Seq.empty)
+      val fresh = rows.map(_.doc_id).toSeq.distinct.sorted.filterNot(seen.contains)
+      var acc = seen
+      val out = Seq.newBuilder[CandPair]
+      fresh.foreach { d =>
+        acc.foreach(a => out += (if (a < d) CandPair(a, d) else CandPair(d, a)))
+        acc = acc :+ d
+      }
+      state.update(acc)
+      out.result().iterator
+    }
+    sigs.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -164,4 +164,37 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(fin("b") == Materialized("b", "f1:004:0", deleted = true, 2.0))
     q.stop()
   }
+
+  test("streaming near-dup candidates converge to the batch LSH candidate set") {
+    import spark.implicits._
+    import graft.data.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docsDf = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val all = docsDf.as[(Long, String)].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingAnalytics.nearDupCandidates(stream)
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      // three arrival waves: pairs must accumulate across batches via state
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("nd").distinct()
+        .as[(Long, Long)].collect().toSet
+      // the batch path's candidate pairs (band+sig collisions, pre-verify)
+      val bands = TextOps.lshBands(TextOps.minhashOf(TextOps.shingles(docsDf)))
+      val want = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty, "degenerate: batch produced no candidate pairs")
+      assert(got == want,
+        s"streaming/batch diverge: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
 }
