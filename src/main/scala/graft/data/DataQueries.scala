@@ -50,6 +50,7 @@ object DataQueries {
     "x23_pii_redact" -> docs(TextOps.piiRedact),
     "x24_cluster_reps" -> docs(TextOps.clusterRepresentatives),
     "x25_unigram_surprisal" -> docs(TextOps.unigramSurprisal),
+    "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
@@ -268,6 +269,33 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
           ' ' ORDER BY l.idx), '')) AS clean_md5
       FROM linesx l LEFT JOIN boiler b ON l.line = b.line
       GROUP BY 1 ORDER BY 1""",
+    // 16-word stride-1 windows; a window in >=2 distinct docs is a
+    // duplicated span; per-doc instance counts + fraction
+    "x27_duplicated_spans" -> """
+      WITH wordsx AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), wins AS (
+        SELECT doc_id, md5(array_to_string(ws[i : i+15], ' ')) AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i
+              FROM wordsx WHERE len(ws) >= 16) q
+      ), dup AS (
+        SELECT h FROM (
+          SELECT h, count(DISTINCT doc_id) AS docs FROM wins GROUP BY 1) b
+        WHERE docs >= 2
+      ), per_doc AS (
+        SELECT w.doc_id,
+          CAST(count(*) AS BIGINT) AS n_windows,
+          CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM wins w LEFT JOIN dup d ON w.h = d.h
+        GROUP BY 1
+      )
+      SELECT doc.doc_id,
+        coalesce(p.n_windows, 0) AS n_windows,
+        coalesce(p.n_dup, 0) AS n_dup,
+        CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0e0
+             ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END AS dup_frac
+      FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
+      ORDER BY doc.doc_id""",
     // per-token surprisal quantized once per vocab entry, per-doc exact
     // integer sum (unigram-LM bits: the CCNet-style quality ranking)
     "x25_unigram_surprisal" -> """

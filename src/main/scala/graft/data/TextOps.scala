@@ -906,6 +906,45 @@ object TextOps {
         md5(col("redacted")).as("red_md5"))
       .orderBy("doc_id")
 
+  /** x27 — duplicated-span detection: the exact-substring dedup signal
+    * (the "dedup at 50-token granularity" result of the training-data
+    * dedup literature), approximated at fixed [[spanWords]]-word windows
+    * with stride 1. A window occurring in ≥2 DISTINCT documents is a
+    * duplicated span; each document reports its window count, how many
+    * of its window instances are duplicated, and the duplicated
+    * fraction — the signal that catches partial overlap (shared
+    * paragraphs, quoted passages) that whole-document dedup (d1) and
+    * line-level removal (x22) both miss.
+    *
+    * Scale: ~n_words window rows per document feed ONE keyed hash agg on
+    * the window's md5 (map-side partials), and the per-doc rollup joins
+    * back on that key — all hash-partitioned, nothing pairwise. At 100 TB
+    * the md5-of-concat becomes a rolling (Rabin-Karp) hash so each window
+    * costs O(1), not O(spanWords); the plan shape is unchanged. Documents
+    * shorter than a window report zero windows (kept via left join). */
+  def duplicatedSpans(documents: DataFrame, spanWords: Int = 16): DataFrame = {
+    val wins = documents
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= spanWords)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - (spanWords - 1))))
+      .select(col("doc_id"),
+        md5(array_join(expr(s"slice(ws, i, $spanWords)"), " ")).as("h"))
+      .persist() // feeds the df agg and the instance rollup
+    val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("docs"))
+      .filter(col("docs") >= 2).select(col("h"), lit(true).as("is_dup"))
+    val perDoc = wins.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", expr(
+        "CASE WHEN n_windows = 0 THEN 0e0 ELSE CAST(n_dup AS DOUBLE) / n_windows END"))
+      .orderBy("doc_id")
+  }
+
   /** x25 — unigram-LM surprisal scoring (the CCNet-style "how unusual is
     * this document under a corpus LM" quality signal, with the LM reduced
     * to unigrams so it is exactly checkable): per-token surprisal is
