@@ -541,6 +541,64 @@ object RelationalQueries {
         .select(col("event_id"), col("ts_us"),
           col("asof_ts").as("hb_ts_us"), col("asof_val").as("hb_serial"))
         .orderBy("event_id")
+    },
+    "q29_cohort_retention" -> t { (spark, dir) =>
+      // cohort retention over the event stream: cohort = a user's first
+      // active day, retention = distinct users still active at each day
+      // offset. The (user, day) grid dedupes in one keyed agg; the
+      // per-user cohort day is an unordered window min over user_id (no
+      // sort, high-cardinality partition key); the roll-up to
+      // (cohort_day, offset) and the cohort-size window both run on the
+      // already-aggregated frame, which is O(users·days-active) →
+      // O(cohorts·offsets) — tiny relative to the event stream at any SF.
+      val ev = Tables.events(spark, dir)
+      val days = ev
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .distinct()
+      val withCohort = days.withColumn("cohort_day",
+        min("day").over(Window.partitionBy("user_id")))
+      val grid = withCohort
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      // every user is active on their cohort day, so offset-0 n_users IS
+      // the cohort size — no extra distinct-user pass needed
+      grid.withColumn("cohort_size",
+          max(when(col("day_offset") === 0, col("n_users")))
+            .over(Window.partitionBy("cohort_day")))
+        .withColumn("retention", expr("CAST(n_users AS DOUBLE) / cohort_size"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    "q30_conversion_funnel" -> t { (spark, dir) =>
+      // ordered conversion funnel signup → view → click → purchase: each
+      // stage's per-user timestamp is the first occurrence STRICTLY AFTER
+      // the previous stage's (not the global per-type min — a view before
+      // the signup does not convert). Four keyed min-aggs + hash joins,
+      // all on user_id so the shuffles co-partition; stage frames are one
+      // row per surviving user and persisted because the funnel roll-up
+      // reads every stage. The final report is four 1-row aggregates.
+      val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts_us")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t")).persist()
+      def after(prev: DataFrame, typ: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+          .filter(col("ts_us") > col("t_prev"))
+          .groupBy("user_id").agg(min("ts_us").as("t")).persist()
+      val s2 = after(s1, "view")
+      val s3 = after(s2, "click")
+      val s4 = after(s3, "purchase")
+      val counts = Seq("1_signup" -> s1, "2_view" -> s2,
+          "3_click" -> s3, "4_purchase" -> s4)
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+        }
+        .reduce(_ unionByName _)
+      counts
+        .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_first"))))
+        .withColumn("conv_frac", expr("CAST(n_users AS DOUBLE) / n_first"))
+        .select("stage", "n_users", "conv_frac")
+        .orderBy("stage")
     }
   )
 
@@ -845,6 +903,54 @@ object RelationalQueries {
       )
       SELECT d.event_id, d.ts_us, h.hb_ts_us, h.hb_serial
       FROM dat d ASOF LEFT JOIN hb h ON d.ts_us >= h.hb_ts_us
-      ORDER BY d.event_id"""
+      ORDER BY d.event_id""",
+    "q29_cohort_retention" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      ), coh AS (
+        SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM ud
+      ), grid AS (
+        SELECT cohort_day, day - cohort_day AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM coh GROUP BY 1, 2
+      ), sized AS (
+        SELECT cohort_day, day_offset, n_users,
+          max(CASE WHEN day_offset = 0 THEN n_users END)
+            OVER (PARTITION BY cohort_day) AS cohort_size
+        FROM grid
+      )
+      SELECT cohort_day, day_offset, n_users, cohort_size,
+        CAST(n_users AS DOUBLE) / cohort_size AS retention
+      FROM sized ORDER BY cohort_day, day_offset""",
+    "q30_conversion_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      ), s1 AS (
+        SELECT user_id, min(ts_us) AS t FROM ev
+        WHERE event_type = 'signup' GROUP BY 1
+      ), s2 AS (
+        SELECT e.user_id, min(e.ts_us) AS t
+        FROM ev e JOIN s1 p ON e.user_id = p.user_id
+        WHERE e.event_type = 'view' AND e.ts_us > p.t GROUP BY 1
+      ), s3 AS (
+        SELECT e.user_id, min(e.ts_us) AS t
+        FROM ev e JOIN s2 p ON e.user_id = p.user_id
+        WHERE e.event_type = 'click' AND e.ts_us > p.t GROUP BY 1
+      ), s4 AS (
+        SELECT e.user_id, min(e.ts_us) AS t
+        FROM ev e JOIN s3 p ON e.user_id = p.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_us > p.t GROUP BY 1
+      ), n AS (
+        SELECT (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3, (SELECT count(*) FROM s4) AS n4
+      )
+      SELECT stage, n_users, conv_frac FROM (
+        SELECT '1_signup' AS stage, CAST(n1 AS BIGINT) AS n_users,
+               CAST(n1 AS DOUBLE) / n1 AS conv_frac FROM n
+        UNION ALL SELECT '2_view', CAST(n2 AS BIGINT), CAST(n2 AS DOUBLE) / n1 FROM n
+        UNION ALL SELECT '3_click', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n1 FROM n
+        UNION ALL SELECT '4_purchase', CAST(n4 AS BIGINT), CAST(n4 AS DOUBLE) / n1 FROM n
+      ) u ORDER BY stage"""
   )
 }
