@@ -52,7 +52,8 @@ object Bench {
     "x15_pack_sequences", "x16_filter_audit", "x17_mixture_temperature",
     "x18_curation_funnel", "x19_novelty", "x20_chunk_sliding",
     "x21_split_leakage", "x22_boilerplate_lines", "x23_pii_redact",
-    "x24_cluster_reps", "x25_unigram_surprisal", "x27_duplicated_spans",
+    "x24_cluster_reps", "x25_unigram_surprisal", "x26_bpe_merges",
+    "x27_duplicated_spans",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal")
 

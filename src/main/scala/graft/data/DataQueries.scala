@@ -50,6 +50,7 @@ object DataQueries {
     "x23_pii_redact" -> docs(TextOps.piiRedact),
     "x24_cluster_reps" -> docs(TextOps.clusterRepresentatives),
     "x25_unigram_surprisal" -> docs(TextOps.unigramSurprisal),
+    "x26_bpe_merges" -> docs(TextOps.bpeMerges(_)),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
@@ -202,6 +203,61 @@ SELECT c_id, CAST(d - 1 AS INT) AS d, n, qv[d] AS cq,
 FROM (SELECT c_id, n, qv, unnest(generate_series(1, $dims)) AS d FROM k$maxIter) q
 ORDER BY c_id, d"""
 
+  /** One unrolled BPE merge round (see [[TextOps.bpeMerges]]): weighted
+    * pair counts over vocab v${k-1}, argmax by (count DESC, pair ASC),
+    * then greedy left-to-right merge application as a per-word recursive
+    * fold — the CTE mirror of the Spark side's `aggregate` HOF (a string
+    * replace would disagree on shared-delimiter runs like `a a a a`).
+    * Words not containing the pair skip the recursion and pass through
+    * unchanged. Assumes the round's pair table t$k is non-empty, exactly
+    * like the Spark loop observes on this corpus (pair mass >> rounds).
+    */
+  private def bpeRoundSql(k: Int): String = s"""
+, p$k AS (
+  SELECT ss[i] AS pa, ss[i+1] AS pb, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, ss, unnest(generate_series(1, len(ss) - 1)) AS i FROM v${k - 1}) q
+  GROUP BY 1, 2
+), t$k AS MATERIALIZED (
+  SELECT pa, pb, pa || pb AS merged, c FROM p$k ORDER BY c DESC, pa, pb LIMIT 1
+), f$k(rid, i, acc, ss) AS (
+  SELECT v.rid, 1, [v.ss[1]], v.ss
+  FROM v${k - 1} v, t$k t
+  WHERE len(list_filter(generate_series(1, len(v.ss) - 1),
+          j -> v.ss[j] = t.pa AND v.ss[j+1] = t.pb)) > 0
+  UNION ALL
+  SELECT f.rid, f.i + 1,
+    CASE WHEN f.acc[-1] = t.pa AND f.ss[f.i + 1] = t.pb
+         THEN list_append(f.acc[1:len(f.acc) - 1], t.merged)
+         ELSE list_append(f.acc, f.ss[f.i + 1]) END,
+    f.ss
+  FROM f$k f, t$k t WHERE f.i < len(f.ss)
+), v$k AS MATERIALIZED (
+  SELECT f.rid, v.cnt, f.acc AS ss
+  FROM (SELECT rid, acc, row_number() OVER (PARTITION BY rid ORDER BY i DESC) AS rn
+        FROM f$k) f
+  JOIN v${k - 1} v ON f.rid = v.rid
+  WHERE f.rn = 1
+  UNION ALL
+  SELECT v.rid, v.cnt, v.ss
+  FROM v${k - 1} v, t$k t
+  WHERE len(list_filter(generate_series(1, len(v.ss) - 1),
+          j -> v.ss[j] = t.pa AND v.ss[j+1] = t.pb)) = 0
+)"""
+
+  private def bpeMergesSql(rounds: Int): String = """
+WITH RECURSIVE v0 AS MATERIALIZED (
+  SELECT w AS rid, CAST(count(*) AS BIGINT) AS cnt,
+         list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS ss
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  GROUP BY w
+)""" +
+    (1 to rounds).map(bpeRoundSql).mkString + s"""
+SELECT round, pa, pb, merged, cnt FROM (
+${(1 to rounds).map(k =>
+      s"  SELECT CAST($k AS INT) AS round, pa, pb, merged, c AS cnt FROM t$k")
+      .mkString("\n  UNION ALL\n")}
+) u ORDER BY round"""
+
   private def topK(where: String, k: Int, extraCols: String = ""): String = s"""
 , pairsx AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -314,6 +370,7 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
              CAST(sum(b.b) AS DOUBLE) / count(*) / 1048576e0 AS bits_per_token
       FROM tok t JOIN bits b ON t.w = b.w
       GROUP BY 1 ORDER BY 1""",
+    "x26_bpe_merges" -> bpeMergesSql(8),
     "x23_pii_redact" -> s"""
       WITH wire AS (
         SELECT doc_id, ${TextOps.PiiWireExpr} AS wire_text FROM documents

@@ -1010,4 +1010,66 @@ object TextOps {
       .select("cluster_id", "cluster_size", "rep_doc", "rep_quality", "n_dropped")
       .orderBy("cluster_id")
   }
+
+  /** x26 — distributed BPE tokenizer training: `rounds` greedy merges
+    * over the corpus vocabulary. Per round: (1) weighted adjacent-pair
+    * counts in ONE keyed agg over the VOCAB frame (pair occurrences ×
+    * word frequency) — the corpus token stream is touched exactly once,
+    * in the initial word count, so every later round is O(|vocab|·len),
+    * never O(corpus); (2) the argmax pair by (count DESC, pair ASC)
+    * collected to the driver — one control-plane row per round, the same
+    * loop pattern as [[VectorOps.kmeansConverged]]; (3) merge application
+    * as a per-word left-to-right greedy fold (`aggregate` HOF) — a fold,
+    * NOT a string replace, because replace's non-overlapping scan resumes
+    * AFTER each match and disagrees with greedy BPE on runs like
+    * `a a a a` (shared-delimiter chains). The vocab frame is
+    * localCheckpoint'ed per round so eight HOF plans never nest.
+    *
+    * Counts are exact BIGINTs, so the per-round argmax — and therefore
+    * the whole merge table — is engine-exact. Output: one row per merge,
+    * the table a trained BPE tokenizer ships.
+    */
+  def bpeMerges(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var vocab = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // sequence(1, 0) DESCENDS in Spark ([1, 0]) — guard the empty token
+      .withColumn("ss", expr(
+        "CASE WHEN length(w) = 0 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
+      .select("cnt", "ss")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = vocab.filter(size(col("ss")) >= 2)
+        .select(col("cnt"), expr(
+          "explode(transform(sequence(1, size(ss) - 1), " +
+            "i -> struct(element_at(ss, i) AS pa, element_at(ss, i + 1) AS pb)))").as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("pa"), col("pb"))
+        .limit(1).as[(String, String, Long)].collect()
+      top.headOption.foreach { case (pa, pb, c) =>
+        merges += ((r, pa, pb, pa + pb, c))
+        val paL = lit(pa); val pbL = lit(pb); val mL = lit(pa + pb)
+        val folded = aggregate(
+          slice(col("ss"), lit(2), size(col("ss")) - 1),
+          array(element_at(col("ss"), 1)),
+          (acc, x) =>
+            when(element_at(acc, -1) === paL && x === pbL,
+              concat(slice(acc, lit(1), size(acc) - 1), array(mL)))
+              .otherwise(concat(acc, array(x))))
+        val prev = vocab
+        vocab = vocab.withColumn("ss",
+            when(size(col("ss")) >= 2, folded).otherwise(col("ss")))
+          .localCheckpoint()
+        prev.unpersist()
+      }
+    }
+    vocab.unpersist()
+    merges.result().toDF("round", "pa", "pb", "merged", "cnt")
+      .orderBy("round")
+  }
 }
