@@ -1011,6 +1011,62 @@ object TextOps {
       .orderBy("cluster_id")
   }
 
+  /** x28 — DSIR-style importance weighting: score every document by how
+    * much its hashed n-gram features look like a TARGET distribution
+    * relative to the raw corpus (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"). Target here = the
+    * documents passing the x16 quality rule, so the pipeline needs no
+    * external corpus; features = word bigrams hashed into `buckets`
+    * cells.
+    *
+    * Per bucket b: weight λ_b = log2((target_b + 1) / (all_b + 1)),
+    * quantized ONCE per bucket to the 2^20 grid; per document: exact
+    * BIGINT sum of its bigram instances' quantized weights (the
+    * add-1-smoothed log-likelihood ratio, the resampling key).
+    *
+    * Plan shape: narrow bigram explode → ONE map-side-combinable agg
+    * onto `buckets` keys (the bucket table is O(buckets), broadcast
+    * back) → one keyed agg by doc_id. Scales exactly like x25: the
+    * corpus is read once, nothing wider than a (doc_id)-keyed shuffle
+    * ever materializes, and the model (the bucket-weight table) stays
+    * control-plane-sized at any corpus size.
+    */
+  def dsirImportance(documents: DataFrame, buckets: Int = 256): DataFrame = {
+    val flags = documents
+      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("n_distinct", expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"))
+      .withColumn("n_stop", expr(cntSum(StopwordsEn)).cast("long"))
+      .withColumn("is_target", expr(
+        "NOT (n_words < 20 OR n_words > 88 OR n_stop = 0 OR n_distinct * 100 < n_words * 35)"))
+      .select("doc_id", "text", "is_target")
+    val bg = flags
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("is_target"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bgr"))
+      .withColumn("h", md5(col("bgr")))
+      .withColumn("bucket", expr(s"${hex13Num("h")} % $buckets"))
+      .select("doc_id", "is_target", "bucket")
+      .persist() // feeds the bucket-count agg AND the per-doc scoring join
+    val wts = bg.groupBy("bucket")
+      .agg(count(lit(1)).as("a_b"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"))
+      .withColumn("w_q", expr(
+        "CAST(floor(log2(CAST(t_b + 1 AS DOUBLE) / (a_b + 1)) * 1048576e0) AS BIGINT)"))
+      .select("bucket", "w_q")
+    val perDoc = bg.join(broadcast(wts), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("w_q").as("score_q"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("score_q", coalesce(col("score_q"), lit(0L)))
+      .withColumn("importance", expr(
+        "CASE WHEN n_bigrams = 0 THEN 0e0 " +
+          "ELSE CAST(score_q AS DOUBLE) / n_bigrams / 1048576e0 END"))
+      .orderBy("doc_id")
+  }
+
   /** x26 — distributed BPE tokenizer training: `rounds` greedy merges
     * over the corpus vocabulary. Per round: (1) weighted adjacent-pair
     * counts in ONE keyed agg over the VOCAB frame (pair occurrences ×

@@ -197,4 +197,47 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         s"streaming/batch diverge: extra=${got -- want} missing=${want -- got}")
     } finally q.stop()
   }
+
+  test("streaming sessionizer converges to the batch q11 sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // time-ordered arrival in waves: the event stream replayed in binlog
+    // order, exactly the deployment shape (watermark 0s tolerates no
+    // disorder; CdcReplay delivers in-order the same way)
+    val all = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"))
+      .as[StreamingAnalytics.Ev].collect().sortBy(_.ts_us)
+    val sentinel = -1L
+    val flushTs = all.map(_.ts_us).max + 100L * 86400000000L
+
+    val input = MemoryStream[StreamingAnalytics.Ev]
+    val q = StreamingAnalytics.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessq11")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 3) / 4).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark past every
+      // open session's lastSeen+gap, the second triggers timeout emission
+      input.addData(StreamingAnalytics.Ev(sentinel, flushTs))
+      q.processAllAvailable()
+      input.addData(StreamingAnalytics.Ev(sentinel, flushTs + 1))
+      q.processAllAvailable()
+
+      val got = spark.table("sessq11")
+        .filter(col("user_id") =!= sentinel)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = graft.data.RelationalQueries
+        .queries("q11_user_sessions")(spark, sfDir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "degenerate: batch q11 returned no users")
+      assert(got == want,
+        s"streaming/batch diverge: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
 }
