@@ -53,7 +53,8 @@ object Bench {
     "x18_curation_funnel", "x19_novelty", "x20_chunk_sliding",
     "x21_split_leakage", "x22_boilerplate_lines", "x23_pii_redact",
     "x24_cluster_reps", "x25_unigram_surprisal", "x26_bpe_merges",
-    "x27_duplicated_spans", "x28_dsir_importance",
+    "x27_duplicated_spans", "x28_dsir_importance", "x29_bm25_topk",
+    "x30_source_drift",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal")
 

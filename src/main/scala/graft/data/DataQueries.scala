@@ -52,6 +52,8 @@ object DataQueries {
     "x25_unigram_surprisal" -> docs(TextOps.unigramSurprisal),
     "x26_bpe_merges" -> docs(TextOps.bpeMerges(_)),
     "x28_dsir_importance" -> docs(TextOps.dsirImportance(_)),
+    "x29_bm25_topk" -> docs(TextOps.bm25TopK(_)),
+    "x30_source_drift" -> docs(TextOps.sourceDrift),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
@@ -372,6 +374,67 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       FROM tok t JOIN bits b ON t.w = b.w
       GROUP BY 1 ORDER BY 1""",
     "x26_bpe_merges" -> bpeMergesSql(8),
+    // per-source unigram KL drift: each (source, word) contribution
+    // quantized to the 2^20 grid, exact BIGINT per-source sum
+    "x30_source_drift" -> """
+      WITH swd AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) q
+        GROUP BY 1, 2
+      ), corpusd AS (
+        SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM swd GROUP BY 1
+      ), totalsd AS (
+        SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM swd GROUP BY 1
+      ), totd AS (
+        SELECT CAST(sum(c_sw) AS BIGINT) AS n_tot FROM swd
+      ), termsd AS (
+        SELECT s.source, t.n_s,
+          CAST(floor(CAST(s.c_sw AS DOUBLE) / t.n_s
+           * log2((CAST(s.c_sw AS DOUBLE) / t.n_s) / (CAST(c.c_w AS DOUBLE) / g.n_tot))
+           * 1048576e0) AS BIGINT) AS term_q
+        FROM swd s
+        JOIN corpusd c ON s.w = c.w
+        JOIN totalsd t ON s.source = t.source, totd g
+      )
+      SELECT source, max(n_s) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab,
+        CAST(sum(term_q) AS BIGINT) AS kl_q,
+        CAST(CAST(sum(term_q) AS BIGINT) AS DOUBLE) / 1048576e0 AS kl_bits
+      FROM termsd GROUP BY source ORDER BY source""",
+    // BM25 retrieval: idf quantized once per term, each posting's
+    // contribution quantized to the 2^20 grid, exact BIGINT per-doc sum
+    "x29_bm25_topk" -> """
+      WITH lensb AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+      ), statsb AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM lensb
+      ), tfb AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) q
+        WHERE w IN ('spark', 'shuffle', 'hash', 'merge')
+        GROUP BY 1, 2
+      ), idfb AS (
+        SELECT w,
+          CAST(floor(ln(1e0 + (CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+           * 1048576e0) AS BIGINT) AS idf_q
+        FROM (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY 1) d, statsb
+      ), postsb AS (
+        SELECT t.doc_id,
+          CAST(floor(CAST(i.idf_q AS DOUBLE) * (CAST(t.tf AS DOUBLE) * 2.2e0)
+           / (CAST(t.tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 * CAST(l.dl AS DOUBLE)
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS BIGINT) AS contrib_q
+        FROM tfb t
+        JOIN lensb l ON t.doc_id = l.doc_id
+        JOIN idfb i ON t.w = i.w, statsb s
+      ), scoredb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(contrib_q) AS BIGINT) AS score_q
+        FROM postsb GROUP BY 1
+      )
+      SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rnk,
+        doc_id, n_terms, score_q, CAST(score_q AS DOUBLE) / 1048576e0 AS score
+      FROM scoredb ORDER BY score_q DESC, doc_id LIMIT 10""",
     // DSIR importance: per-bucket add-1 log-ratio weight quantized once,
     // per-doc exact BIGINT sum over bigram instances (see TextOps scaladoc)
     "x28_dsir_importance" -> s"""

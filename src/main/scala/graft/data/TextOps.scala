@@ -1011,6 +1011,101 @@ object TextOps {
       .orderBy("cluster_id")
   }
 
+  /** x30 — per-source distribution drift: KL(P_source ‖ P_corpus) over
+    * the unigram distribution, the dataset-monitoring number that flags
+    * a source whose language shifted relative to the mixture (scraper
+    * regressions, template floods) before it poisons a training run.
+    *
+    * Exactness: each (source, word) KL contribution
+    * p·log2(p/q) — p, q single IEEE divisions of exact BIGINT counts —
+    * is quantized to the 2^20 grid per term, and the per-source KL is
+    * the exact BIGINT sum (a float Σ would be aggregation-order-
+    * sensitive; contributions are signed, so ordering would matter).
+    *
+    * Plan shape: ONE keyed agg onto (source, word) — map-side
+    * combinable, output is O(sources·vocab), control-plane-sized at any
+    * corpus size — then corpus/word and per-source totals derive from
+    * THAT frame (never a second corpus scan) and broadcast back. */
+  def sourceDrift(documents: DataFrame): DataFrame = {
+    val sw = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .persist() // feeds corpus re-aggs AND the contribution join
+    val corpus = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val totals = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val tot = sw.agg(sum("c_sw").as("n_tot"))
+    sw.join(broadcast(corpus), "w")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_q", expr(
+        """CAST(floor(CAST(c_sw AS DOUBLE) / n_s
+           * log2((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n_tot))
+           * 1048576e0) AS BIGINT)"""))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum("term_q").as("kl_q"))
+      .withColumn("kl_bits", expr("CAST(kl_q AS DOUBLE) / 1048576e0"))
+      .orderBy("source")
+  }
+
+  /** x29 — BM25 keyword retrieval: top-k documents for a fixed query-term
+    * set (Robertson/Spärck Jones; the Lucene-practical idf form
+    * ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75).
+    *
+    * Exactness: idf is quantized ONCE per term to the 2^20 grid; each
+    * (doc, term) contribution idf_q · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    * is a fixed-shape IEEE expression over exact integers (tf, dl, N,
+    * sum_dl) quantized per posting, and the per-doc score is the exact
+    * BIGINT sum of those — order-independent where a float Σ over terms
+    * would depend on aggregation order.
+    *
+    * Plan shape: the term filter lands directly on the exploded token
+    * stream (a posting-list scan, not a corpus scan — at 100 TB this is
+    * the inverted-index access path: only rows matching the query terms
+    * survive the first projection); per-(doc,term) tf is one keyed agg;
+    * df and the corpus length stats are O(terms)+O(1) aggregates
+    * broadcast back; final top-k is a TakeOrdered over one row per
+    * matching doc. */
+  def bm25TopK(documents: DataFrame,
+      terms: Seq[String] = Seq("spark", "shuffle", "hash", "merge"),
+      k: Int = 10): DataFrame = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val lens = documents
+      .withColumn("dl", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .select("doc_id", "dl")
+      .persist() // feeds the corpus stats AND the per-posting join
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(expr(s"w IN ($termList)"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds df counts AND the scoring join
+    val idf = tf.groupBy("w")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q", expr(
+        """CAST(floor(ln(1e0 + (CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+           * 1048576e0) AS BIGINT)"""))
+      .select("w", "idf_q")
+    tf.join(lens, "doc_id")
+      .join(broadcast(idf), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_q", expr(
+        """CAST(floor(CAST(idf_q AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2e0)
+           / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl AS DOUBLE)
+              / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS BIGINT)"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib_q").as("score_q"))
+      .withColumn("score", expr("CAST(score_q AS DOUBLE) / 1048576e0"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id"))).cast("int"))
+      .select("rnk", "doc_id", "n_terms", "score_q", "score")
+  }
+
   /** x28 — DSIR-style importance weighting: score every document by how
     * much its hashed n-gram features look like a TARGET distribution
     * relative to the raw corpus (Xie et al., "Data Selection for
