@@ -54,6 +54,7 @@ object DataQueries {
     "x28_dsir_importance" -> docs(TextOps.dsirImportance(_)),
     "x29_bm25_topk" -> docs(TextOps.bm25TopK(_)),
     "x30_source_drift" -> docs(TextOps.sourceDrift),
+    "x31_bpe_encode" -> docs(TextOps.bpeEncode(_)),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
@@ -247,19 +248,33 @@ ORDER BY c_id, d"""
           j -> v.ss[j] = t.pa AND v.ss[j+1] = t.pb)) = 0
 )"""
 
-  private def bpeMergesSql(rounds: Int): String = """
+  private def bpeProlog(rounds: Int): String = """
 WITH RECURSIVE v0 AS MATERIALIZED (
   SELECT w AS rid, CAST(count(*) AS BIGINT) AS cnt,
          list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS ss
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
   GROUP BY w
-)""" +
-    (1 to rounds).map(bpeRoundSql).mkString + s"""
+)""" + (1 to rounds).map(bpeRoundSql).mkString
+
+  private def bpeMergesSql(rounds: Int): String = bpeProlog(rounds) + s"""
 SELECT round, pa, pb, merged, cnt FROM (
 ${(1 to rounds).map(k =>
       s"  SELECT CAST($k AS INT) AS round, pa, pb, merged, c AS cnt FROM t$k")
       .mkString("\n  UNION ALL\n")}
 ) u ORDER BY round"""
+
+  /** Encode under the trained tokenizer: a word's token count is the
+    * length of its final merged symbol sequence (v`rounds`). */
+  private def bpeEncodeSql(rounds: Int): String = bpeProlog(rounds) + s"""
+, encx AS (SELECT rid, len(ss) AS n_sym FROM v$rounds)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+  CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+  CASE WHEN sum(e.n_sym) = 0 THEN 0e0
+       ELSE CAST(sum(length(t.w)) AS DOUBLE) / sum(e.n_sym) END AS chars_per_token
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+JOIN encx e ON t.w = e.rid
+GROUP BY 1 ORDER BY 1"""
 
   private def topK(where: String, k: Int, extraCols: String = ""): String = s"""
 , pairsx AS (
@@ -374,6 +389,7 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       FROM tok t JOIN bits b ON t.w = b.w
       GROUP BY 1 ORDER BY 1""",
     "x26_bpe_merges" -> bpeMergesSql(8),
+    "x31_bpe_encode" -> bpeEncodeSql(8),
     // per-source unigram KL drift: each (source, word) contribution
     // quantized to the 2^20 grid, exact BIGINT per-source sum
     "x30_source_drift" -> """

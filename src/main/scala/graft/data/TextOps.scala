@@ -1183,6 +1183,19 @@ object TextOps {
   def bpeMerges(documents: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val (merges, vocab) = bpeTrain(documents, rounds)
+    vocab.unpersist()
+    merges.toDF("round", "pa", "pb", "merged", "cnt")
+      .orderBy("round")
+  }
+
+  /** The x26 training loop, also exposing the final vocabulary state
+    * (word → merged symbol sequence) for [[bpeEncode]]. The returned
+    * vocab frame is localCheckpoint'ed; the caller owns the handle. */
+  private def bpeTrain(documents: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     var vocab = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -1190,7 +1203,7 @@ object TextOps {
       .withColumn("ss", expr(
         "CASE WHEN length(w) = 0 THEN CAST(array() AS ARRAY<STRING>) " +
           "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END"))
-      .select("cnt", "ss")
+      .select("w", "cnt", "ss")
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -1219,8 +1232,36 @@ object TextOps {
         prev.unpersist()
       }
     }
-    vocab.unpersist()
-    merges.result().toDF("round", "pa", "pb", "merged", "cnt")
-      .orderBy("round")
+    (merges.result(), vocab)
+  }
+
+  /** x31 — BPE encoding under the x26-trained tokenizer: apply the merge
+    * table back to the corpus and report per-document token counts — the
+    * train→encode lifecycle completion (as s6 is to s4's k-means). A
+    * word's token count is the length of its merged symbol sequence, so
+    * encoding is ONE broadcast join of the vocab-sized (word → n_sym)
+    * model onto the exploded token stream plus a doc-keyed agg — the
+    * corpus is never re-tokenized per merge. Reports per doc: words,
+    * characters, tokens, and the chars/token compression the tokenizer
+    * achieves — exact integers throughout.
+    */
+  def bpeEncode(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    val (_, vocab) = bpeTrain(documents, rounds)
+    val sizes = vocab.select(col("w"),
+      size(col("ss")).cast("long").as("n_sym"),
+      length(col("w")).cast("long").as("n_chr"))
+    val out = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(sizes), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chr").as("n_chars"),
+        sum("n_sym").as("n_tokens"))
+      .withColumn("chars_per_token", expr(
+        "CASE WHEN n_tokens = 0 THEN 0e0 ELSE CAST(n_chars AS DOUBLE) / n_tokens END"))
+      .orderBy("doc_id")
+    // vocab stays checkpointed: the returned plan reads it (truncated
+    // lineage — unpersisting before materialization would strand it)
+    out
   }
 }

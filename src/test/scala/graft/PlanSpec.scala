@@ -260,4 +260,51 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"),
       "s7 codebook/query-table joins must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
   }
+
+  test("x28 DSIR bucket-weight model broadcasts back onto the posting stream") {
+    val (s, _) = planOf("x28_dsir_importance")
+    assert(s.contains("BroadcastHashJoin"),
+      "x28 weight join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("x29 BM25 term filter prunes the exploded stream before any shuffle") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val (s, _) = planOf("x29_bm25_topk")
+    // idf + corpus stats are broadcast; the only window ranks the ≤k rows
+    assert(s.contains("BroadcastHashJoin"),
+      "x29 idf/stats joins must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
+    val opt = SparkEntry.queries("x29_bm25_topk")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the posting stage is persisted, so the term filter lives BELOW the
+    // InMemoryRelation boundary (cachedPlan) — inspect both levels
+    val hasTermFilter = opt.collect { case f: Filter => f }.exists(_.condition.exists {
+      case _: In | _: InSet => true
+      case _ => false
+    }) || opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.exists { r =>
+      val ps = r.cachedPlan.toString
+      ps.contains("INSET") || ps.contains(" IN (")
+    }
+    assert(hasTermFilter,
+      "x29 must filter tokens to the query terms before aggregating:\n" +
+        opt.treeString.take(2000))
+  }
+
+  test("q29 cohort windows stay partitioned — never an unpartitioned sort of events") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q29_cohort_retention")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "q29 expects cohort/window stages")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q29 windows must all be partitioned:\n" + opt.treeString.take(2000))
+  }
+
+  test("x31 BPE encode joins the vocab-sized model by broadcast — no corpus re-tokenization") {
+    val (s, _) = planOf("x31_bpe_encode")
+    assert(s.contains("BroadcastHashJoin"),
+      "x31 vocab join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
+  }
 }
