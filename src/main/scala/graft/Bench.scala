@@ -54,7 +54,7 @@ object Bench {
     "x21_split_leakage", "x22_boilerplate_lines", "x23_pii_redact",
     "x24_cluster_reps", "x25_unigram_surprisal", "x26_bpe_merges",
     "x27_duplicated_spans", "x28_dsir_importance", "x29_bm25_topk",
-    "x30_source_drift", "x31_bpe_encode",
+    "x30_source_drift", "x31_bpe_encode", "x32_span_scrub",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal")
 

@@ -55,6 +55,7 @@ object DataQueries {
     "x29_bm25_topk" -> docs(TextOps.bm25TopK(_)),
     "x30_source_drift" -> docs(TextOps.sourceDrift),
     "x31_bpe_encode" -> docs(TextOps.bpeEncode(_)),
+    "x32_span_scrub" -> docs(TextOps.spanScrub(_)),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
@@ -390,6 +391,39 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       GROUP BY 1 ORDER BY 1""",
     "x26_bpe_merges" -> bpeMergesSql(8),
     "x31_bpe_encode" -> bpeEncodeSql(8),
+    // duplicated-span removal: tokens covered by any >=2-doc 16-word
+    // window are dropped; cleaned doc reassembled in order (x27's scrub)
+    "x32_span_scrub" -> """
+      WITH wsx2 AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), tok2 AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM wsx2) q
+      ), win2 AS (
+        SELECT doc_id, i, md5(array_to_string(ws[i : i+15], ' ')) AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i
+              FROM wsx2 WHERE len(ws) >= 16) q
+      ), dup2 AS (
+        SELECT h FROM (
+          SELECT h, count(DISTINCT doc_id) AS docs FROM win2 GROUP BY 1) b
+        WHERE docs >= 2
+      ), cov2 AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT w.doc_id, unnest(generate_series(w.i - 1, w.i + 14)) AS pos
+          FROM win2 w JOIN dup2 d ON w.h = d.h) q
+      ), marked2 AS (
+        SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS is_cov
+        FROM tok2 t LEFT JOIN cov2 c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      ), agg2 AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN is_cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          md5(coalesce(string_agg(CASE WHEN NOT is_cov THEN w END, ' ' ORDER BY pos),
+            '')) AS clean_md5
+        FROM marked2 GROUP BY 1
+      )
+      SELECT doc_id, n_tokens, n_removed,
+        CAST(n_tokens - n_removed AS DOUBLE) / n_tokens AS kept_frac, clean_md5
+      FROM agg2 ORDER BY doc_id""",
     // per-source unigram KL drift: each (source, word) contribution
     // quantized to the 2^20 grid, exact BIGINT per-source sum
     "x30_source_drift" -> """

@@ -945,6 +945,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x32 — duplicated-span REMOVAL: the completion of x27's detection
+    * (as x22's reassembly is to its line-df detection): every token
+    * covered by any ≥2-doc duplicated 16-word window is dropped and the
+    * cleaned document reassembled in order — the exact-substring dedup
+    * scrub of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", at window granularity.
+    *
+    * Scale: the duplicated-window table grows with the corpus, so it is
+    * a HASH join on the window hash (never broadcast — unlike x22's
+    * boilerplate head, dup spans are not a small head); coverage
+    * positions explode 16× per dup instance, dedupe on (doc_id, pos),
+    * and mark tokens via one co-keyed left join. Reassembly is the x22
+    * collect-in-order idiom, bounded per doc by document length. */
+  def spanScrub(documents: DataFrame, spanWords: Int = 16): DataFrame = {
+    val toks = documents
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val wins = documents
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= spanWords)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - (spanWords - 1))))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(expr(s"slice(ws, i, $spanWords)"), " ")).as("h"))
+      .persist() // feeds the df agg and the coverage join
+    val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("docs"))
+      .filter(col("docs") >= 2).select("h")
+    // 0-based token positions covered by a duplicated window instance
+    val covered = wins.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i") - 1, col("i") + (spanWords - 2))).as("pos"))
+      .distinct()
+    toks.join(covered.withColumn("is_cov", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("is_cov"), 1L).otherwise(0L)).as("n_removed"),
+        // kept tokens in original order; md5('') when everything dropped
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("is_cov").isNull,
+            struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ")).as("clean_md5"))
+      .withColumn("kept_frac",
+        expr("CAST(n_tokens - n_removed AS DOUBLE) / n_tokens"))
+      .select("doc_id", "n_tokens", "n_removed", "kept_frac", "clean_md5")
+      .orderBy("doc_id")
+  }
+
   /** x25 — unigram-LM surprisal scoring (the CCNet-style "how unusual is
     * this document under a corpus LM" quality signal, with the LM reduced
     * to unigrams so it is exactly checkable): per-token surprisal is
