@@ -214,9 +214,9 @@ ORDER BY c_id, d"""
     * fold — the CTE mirror of the Spark side's `aggregate` HOF (a string
     * replace would disagree on shared-delimiter runs like `a a a a`).
     * Words not containing the pair skip the recursion and pass through
-    * unchanged. Assumes the round's pair table t$k is non-empty, exactly
-    * like the Spark loop observes on this corpus (pair mass >> rounds).
-    */
+    * unchanged — via LEFT JOIN ON TRUE, so an EMPTY round table (pair
+    * mass exhausted before the configured rounds) passes the whole vocab
+    * through, matching the Spark loop's empty-argmax no-op. */
   private def bpeRoundSql(k: Int): String = s"""
 , p$k AS (
   SELECT ss[i] AS pa, ss[i+1] AS pb, CAST(sum(cnt) AS BIGINT) AS c
@@ -244,8 +244,9 @@ ORDER BY c_id, d"""
   WHERE f.rn = 1
   UNION ALL
   SELECT v.rid, v.cnt, v.ss
-  FROM v${k - 1} v, t$k t
-  WHERE len(list_filter(generate_series(1, len(v.ss) - 1),
+  FROM v${k - 1} v LEFT JOIN t$k t ON TRUE
+  WHERE t.pa IS NULL
+     OR len(list_filter(generate_series(1, len(v.ss) - 1),
           j -> v.ss[j] = t.pa AND v.ss[j+1] = t.pb)) = 0
 )"""
 

@@ -574,33 +574,46 @@ object RelationalQueries {
       // stage's per-user timestamp is the first occurrence STRICTLY AFTER
       // the previous stage's (not the global per-type min — a view before
       // the signup does not convert). Four keyed min-aggs + hash joins,
-      // all on user_id so the shuffles co-partition; stage frames are one
-      // row per surviving user and persisted because the funnel roll-up
-      // reads every stage. The final report is four 1-row aggregates.
+      // all on user_id so the shuffles co-partition. The stage chain
+      // lives in [[funnelStages]] so FunnelSpec drives the PRODUCTION
+      // logic, not a copy. The final report is four 1-row aggregates.
       val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts_us")
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts_us").as("t")).persist()
-      def after(prev: DataFrame, typ: String): DataFrame =
-        ev.filter(col("event_type") === typ)
-          .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
-          .filter(col("ts_us") > col("t_prev"))
-          .groupBy("user_id").agg(min("ts_us").as("t")).persist()
-      val s2 = after(s1, "view")
-      val s3 = after(s2, "click")
-      val s4 = after(s3, "purchase")
-      val counts = Seq("1_signup" -> s1, "2_view" -> s2,
-          "3_click" -> s3, "4_purchase" -> s4)
+      val stages = funnelStages(ev)
+      val counts = Seq("1_signup", "2_view", "3_click", "4_purchase")
+        .zip(stages)
         .map { case (name, df) =>
           df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
         }
         .reduce(_ unionByName _)
       counts
-        .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_first"))))
-        .withColumn("conv_frac", expr("CAST(n_users AS DOUBLE) / n_first"))
+        .crossJoin(broadcast(stages.head.agg(count(lit(1)).as("n_first"))))
+        // NULL (not a throw / ±Inf) on an empty first stage, same as the
+        // oracle's x/0
+        .withColumn("conv_frac", expr(
+          "CASE WHEN n_first = 0 THEN NULL ELSE CAST(n_users AS DOUBLE) / n_first END"))
         .select("stage", "n_users", "conv_frac")
         .orderBy("stage")
     }
   )
+
+  /** q30's staged chain over an (user_id, event_type, ts_us) frame: one
+    * per-user min-timestamp frame per funnel stage, each bounded strictly
+    * after the previous stage. Intermediate stages persist (the next
+    * stage AND the roll-up read them); the last is consumed once, so it
+    * does not. */
+  private[data] def funnelStages(ev: DataFrame,
+      stages: Seq[String] = Seq("signup", "view", "click", "purchase")): Seq[DataFrame] = {
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts_us").as("t"))
+    val chain = stages.tail.scanLeft(first) { (prev, typ) =>
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts_us") > col("t_prev"))
+        .groupBy("user_id").agg(min("ts_us").as("t"))
+    }
+    chain.init.foreach(_.persist())
+    chain
+  }
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> s"""
@@ -947,10 +960,13 @@ object RelationalQueries {
       )
       SELECT stage, n_users, conv_frac FROM (
         SELECT '1_signup' AS stage, CAST(n1 AS BIGINT) AS n_users,
-               CAST(n1 AS DOUBLE) / n1 AS conv_frac FROM n
-        UNION ALL SELECT '2_view', CAST(n2 AS BIGINT), CAST(n2 AS DOUBLE) / n1 FROM n
-        UNION ALL SELECT '3_click', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n1 FROM n
-        UNION ALL SELECT '4_purchase', CAST(n4 AS BIGINT), CAST(n4 AS DOUBLE) / n1 FROM n
+               CASE WHEN n1 = 0 THEN NULL ELSE CAST(n1 AS DOUBLE) / n1 END AS conv_frac FROM n
+        UNION ALL SELECT '2_view', CAST(n2 AS BIGINT),
+               CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END FROM n
+        UNION ALL SELECT '3_click', CAST(n3 AS BIGINT),
+               CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n1 END FROM n
+        UNION ALL SELECT '4_purchase', CAST(n4 AS BIGINT),
+               CASE WHEN n1 = 0 THEN NULL ELSE CAST(n4 AS DOUBLE) / n1 END FROM n
       ) u ORDER BY stage"""
   )
 }

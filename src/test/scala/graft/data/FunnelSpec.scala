@@ -43,20 +43,12 @@ class FunnelSpec extends AnyFunSuite {
     (1 to Stages.size).map(d => byUser.count { case (_, evs) => converts(evs, d) }.toLong)
   }
 
-  /** The production stage chain, re-driven over an arbitrary frame (the
-    * q30 query binds it to the events table; logic identical). */
+  /** Drives the PRODUCTION stage chain (RelationalQueries.funnelStages)
+    * over the randomized frame — a change to the q30 logic fails here. */
   private def run(events: Seq[(Long, String, Long)]): Seq[Long] = {
     import spark.implicits._
     val ev = events.toDF("user_id", "event_type", "ts_us")
-    val s1 = ev.filter(col("event_type") === Stages.head)
-      .groupBy("user_id").agg(min("ts_us").as("t"))
-    val chain = Stages.tail.scanLeft(s1) { (prev, typ) =>
-      ev.filter(col("event_type") === typ)
-        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
-        .filter(col("ts_us") > col("t_prev"))
-        .groupBy("user_id").agg(min("ts_us").as("t"))
-    }
-    chain.map(_.count())
+    RelationalQueries.funnelStages(ev).map(_.count())
   }
 
   test("q30 funnel stage counts agree with the chronological-walk reference") {
