@@ -31,6 +31,7 @@ object DataQueries {
     "d8_dedup_agreement" -> ((spark, sfDir) => TextOps.dedupAgreement(
       Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))),
     "d9_dedup_savings" -> docs(TextOps.dedupSavings),
+    "d10_minhash_calibration" -> docs(TextOps.minhashCalibration),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
@@ -639,6 +640,23 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       JOIN sized s ON l.doc_id = s.doc_id
       WHERE cs.cluster_size > 1
       GROUP BY l.cluster_id ORDER BY l.cluster_id"""),
+    // signature-estimated vs exact jaccard per LSH candidate pair — the
+    // docProlog's mh/lsh_cands/jacp CTEs carry everything needed
+    "d10_minhash_calibration" -> (docProlog + """
+      , calib AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
+        FROM lsh_cands c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        GROUP BY 1, 2
+      )
+      SELECT e.doc_a, e.doc_b, e.est_matches,
+        CAST(e.est_matches AS DOUBLE) / 12 AS jac_est,
+        j.common, j.sa, j.sb, j.jac AS jac_exact,
+        CAST(e.est_matches AS DOUBLE) / 12 - j.jac AS err
+      FROM calib e JOIN jacp j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b
+      ORDER BY e.doc_a, e.doc_b"""),
     "d4_dedup_simhash" -> (docProlog + """
       SELECT doc_id, simhash, CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
       FROM simh ORDER BY doc_id"""),

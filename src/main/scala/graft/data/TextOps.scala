@@ -643,6 +643,53 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d10 — MinHash calibration audit: for every LSH candidate pair,
+    * the signature-estimated jaccard (matching minima / 12) against the
+    * exact shingle-set jaccard — the measurement that justifies (or
+    * indicts) the signature width and band/row split before anyone
+    * trusts d3's candidate set at 100 TB. E[est] = jac, σ ≈
+    * √(jac(1−jac)/12); pairs with |err| ≫ σ flag collision-prone
+    * content shapes.
+    *
+    * Same scale discipline as d3: estimates come from the wide 12-column
+    * signature frame (one keyed agg, no explode), exact jaccard is
+    * candidate-only verification — the quadratic work never exceeds the
+    * band-collision set, which broadcasts. */
+  def minhashCalibration(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents).cache()
+    val mh = minhashOf(sh).persist() // feeds bands AND both estimate sides
+    val bands = lshBands(mh).persist()
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val estExpr = (1 to 12)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cands
+      .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), estExpr.as("est_matches"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("doc_a"), xxhash64(col("sh")).as("h"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), xxhash64(col("sh")).as("h_b"))
+    val common = shA
+      .join(broadcast(cands), "doc_a")
+      .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    broadcast(common).join(sizes.toDF("doc_a", "sa"), "doc_a")
+      .join(sizes.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("jac_exact", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
+      .join(broadcast(est), Seq("doc_a", "doc_b"))
+      .withColumn("jac_est", expr("CAST(est_matches AS DOUBLE) / 12"))
+      .withColumn("err", expr("CAST(est_matches AS DOUBLE) / 12 - jac_exact"))
+      .select("doc_a", "doc_b", "est_matches", "jac_est",
+        "common", "sa", "sb", "jac_exact", "err")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The minhash dup-pair frame as a pay-once shared artifact: d3 emits
     * it, and d6 (via the cluster labels), d8, x18 and x21 all consume it —
     * [[SharedFrames]] materializes it on first touch so one session never
