@@ -57,6 +57,7 @@ object DataQueries {
     "x30_source_drift" -> docs(TextOps.sourceDrift),
     "x31_bpe_encode" -> docs(TextOps.bpeEncode(_)),
     "x32_span_scrub" -> docs(TextOps.spanScrub(_)),
+    "x33_perplexity_buckets" -> docs(TextOps.perplexityBuckets),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
@@ -393,6 +394,46 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       GROUP BY 1 ORDER BY 1""",
     "x26_bpe_merges" -> bpeMergesSql(8),
     "x31_bpe_encode" -> bpeEncodeSql(8),
+    // CCNet tertiles over x25's bits/token: coarse 1/64-bit histogram
+    // selection (no global sort), thresholds broadcast back
+    "x33_perplexity_buckets" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+      ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t_total FROM vocab
+      ), bits AS (
+        SELECT w, CAST(floor(log2(CAST(t_total AS DOUBLE) / c) * 1048576e0) AS BIGINT) AS b
+        FROM vocab, tot
+      ), perdoc AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(b.b) AS BIGINT) AS bits_q,
+               CAST(sum(b.b) AS BIGINT) // count(*) // 1024 AS btq
+        FROM tok t JOIN bits b ON t.w = b.w GROUP BY 1
+      ), hist AS (
+        SELECT btq, CAST(count(*) AS BIGINT) AS c FROM perdoc GROUP BY 1
+      ), cum AS (
+        SELECT btq, c,
+          CAST(sum(c) OVER (ORDER BY btq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST((SELECT count(*) FROM perdoc) AS BIGINT) AS n
+        FROM hist
+      ), thr AS (
+        SELECT min(CASE WHEN cum >= CAST(ceil(n / 3e0) AS BIGINT) THEN btq END) AS t1,
+               min(CASE WHEN cum >= CAST(ceil(2e0 * n / 3e0) AS BIGINT) THEN btq END) AS t2
+        FROM cum
+      ), bucketed AS (
+        SELECT p.*, CASE WHEN p.btq <= t.t1 THEN '1_head'
+                         WHEN p.btq <= t.t2 THEN '2_middle'
+                         ELSE '3_tail' END AS bucket
+        FROM perdoc p, thr t
+      )
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(CAST(sum(bits_q) AS BIGINT) AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT) / 1048576e0
+          AS avg_bits_per_token
+      FROM bucketed GROUP BY bucket ORDER BY bucket""",
     // duplicated-span removal: tokens covered by any >=2-doc 16-word
     // window are dropped; cleaned doc reassembled in order (x27's scrub)
     "x32_span_scrub" -> """

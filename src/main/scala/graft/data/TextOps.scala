@@ -1086,6 +1086,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x33 — CCNet-style perplexity bucketing: split the corpus into
+    * head/middle/tail tertiles by unigram-LM bits-per-token (x25's
+    * signal) and report each bucket's size, token mass, and mean
+    * bits/token — the standard "keep the head, downsample the tail"
+    * curation split.
+    *
+    * Exact selection WITHOUT a global sort: per-doc bits-per-token is
+    * coarsened to a 1/1024-bit integer grid (`bits_q DIV n_tokens DIV
+    * 1024`), whose histogram is bounded by the bits/token RANGE (a few
+    * thousand cells for any real corpus) regardless of corpus size — the
+    * x8 histogram-selection pattern; the cumulative window runs over
+    * that control-plane-sized frame only, and tertile thresholds
+    * broadcast back. Ties share a cell, so buckets can be uneven —
+    * deterministic in both engines by construction. */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val perDoc = unigramSurprisal(documents)
+      .withColumn("btq", expr("bits_q DIV n_tokens DIV 1024"))
+      .persist() // feeds the histogram AND the bucket assignment
+    val hist = perDoc.groupBy("btq").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("btq").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(perDoc.agg(count(lit(1)).as("n"))))
+    val thr = cum.agg(
+      min(when(expr("cum >= CAST(ceil(n / 3e0) AS BIGINT)"), col("btq"))).as("t1"),
+      min(when(expr("cum >= CAST(ceil(2e0 * n / 3e0) AS BIGINT)"), col("btq"))).as("t2"))
+    perDoc.crossJoin(broadcast(thr))
+      .withColumn("bucket", expr(
+        "CASE WHEN btq <= t1 THEN '1_head' WHEN btq <= t2 THEN '2_middle' ELSE '3_tail' END"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("bits_q").as("bits_q"))
+      .withColumn("avg_bits_per_token",
+        expr("CAST(bits_q AS DOUBLE) / n_tokens / 1048576e0"))
+      .select("bucket", "n_docs", "n_tokens", "avg_bits_per_token")
+      .orderBy("bucket")
+  }
+
   /** x24 — near-dup cluster representative selection: instead of d6's
     * keep-smallest-id rule, keep each cluster's HIGHEST-QUALITY member
     * (quality-aware dedup — the pass a curation pipeline actually runs,
