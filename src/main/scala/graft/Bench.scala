@@ -96,14 +96,35 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Per-query spread alongside the median: IQR for reps ≥ 4, max-min
+    // (the only defined spread) below that. A contended run shows up as
+    // spread ~ median across the board — the signal that this run's
+    // numbers are contaminated by a concurrent process and per-query
+    // medians, not totals, are the only comparable unit.
+    def spread(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size >= 4) {
+        def q(p: Double): Double = {
+          val idx = p * (s.size - 1)
+          val lo = idx.toInt
+          val hi = math.min(lo + 1, s.size - 1)
+          s(lo) + (s(hi) - s(lo)) * (idx - lo)
+        }
+        q(0.75) - q(0.25)
+      } else if (s.size >= 2) s.last - s.head
+      else 0.0
+    }
     val results = headline.zipWithIndex.map { case (name, i) =>
       val times = samples.map(_(i)._2)
-      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
+      (name,
+        if (times.exists(_ < 0)) -1.0 else median(times),
+        if (times.exists(_ < 0)) -1.0 else spread(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val iqrs = results.map { case (k, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iqr":$iqrs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")

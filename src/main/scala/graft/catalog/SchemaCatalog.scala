@@ -107,7 +107,13 @@ class SchemaCatalog(piiTables: Set[String] = Set.empty) {
         Some(register(id, struct, pkeys))
       case AlterTableStatement(db, tbl, rename) =>
         val id = TableId(cluster, db.getOrElse(defaultDb), tbl)
-        if (atEventId >= 0 && !alterHistory.contains((id, atEventId)))
+        if (atEventId >= 0 && alterHistory.contains((id, atEventId)))
+          // crash-replayed statement: the evolution already happened —
+          // re-applying would double-ADD columns (MySQL itself errors on a
+          // duplicate column; the reference never replays DDL past its
+          // checkpoint barrier, schema_event_handler.py:66-74)
+          return entries.get(id)
+        if (atEventId >= 0)
           alterHistory :+= (id -> atEventId)
         val cur = entries.get(id).map(_.struct).getOrElse(new StructType())
         val curPkeys = entries.get(id).map(_.pkeys).getOrElse(Nil)

@@ -52,6 +52,30 @@ object CdcQueries {
   private val expandedWhitelist: Seq[String] =
     WHITELIST ++ WHITELIST.map(_ + REFRESH_SUFFIX)
 
+  /** The full type matrix in its gate-safe form (alias → fragment, each
+    * fragment verbatim-valid in both dialects; see the GM_* scaladoc in
+    * [[CdcSqlFragments]]): DECIMALs as unscaled BIGINTs / digit string,
+    * FLOAT widened exactly to DOUBLE, BINARY as upper-hex. Used by t12c
+    * (applied AFTER the Avro decode) and mirrored by its oracle. */
+  val matrixGate: Seq[(String, String)] = Seq(
+    "event_id" -> "event_id", "row_idx" -> "row_idx",
+    "tiny_s" -> "tiny_s", "tiny_u" -> "tiny_u",
+    "small_s" -> "small_s", "small_u" -> "small_u",
+    "medium_s" -> "medium_s", "int_s" -> "int_s", "int_u" -> "int_u",
+    "big_hi" -> "big_hi", "big_lo" -> "big_lo",
+    "dec92_unscaled" -> GM_DEC92, "dec1211_unscaled" -> GM_DEC1211,
+    "ubig_20_str" -> GM_UBIG, "f32_wide" -> GM_F32,
+    "d_date" -> "d_date", "dt6_iso" -> "dt6_iso",
+    "time6_us" -> "time6_us", "yr" -> "yr",
+    "dt_wire" -> "dt_wire", "dt_out" -> "dt_out",
+    "ch" -> "ch", "vch" -> "vch",
+    "bin_hex" -> GM_BIN, "enum_v" -> "enum_v")
+
+  private def gateSelect(entries: Seq[(String, String)]): String =
+    entries.map { case (alias, frag) =>
+      if (alias == frag) alias else s"$frag AS $alias"
+    }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_cdc_source" -> c(_.cdc
       .select("event_id", "kind", "database_name", "table_name", "log_file", "log_pos")
@@ -95,9 +119,13 @@ object CdcQueries {
     "t12b_avro_roundtrip" -> c(ch => AvroEnvelope.roundTrip(ch.env)
       .orderBy("event_id", "row_idx")),
     // T12c — the type matrix through the Avro wire format: equality with
-    // the plain matrix oracle proves decimal/date/binary logical types
-    // survive encode→decode bit-exactly.
+    // the matrix oracle proves decimal/date/binary logical types survive
+    // encode→decode bit-exactly. The round trip runs on the NATIVE
+    // DECIMAL/FLOAT/BINARY columns (that is the point); only the compared
+    // projection afterwards applies the gate-safe re-projections
+    // ([[CdcSqlFragments.GM_DEC92]] etc.) per the exactness house rule.
     "t12c_avro_matrix" -> c(ch => AvroEnvelope.roundTripGeneric(ch.matrix)
+      .select(matrixGate.map { case (alias, frag) => expr(frag).as(alias) }: _*)
       .orderBy("event_id", "row_idx")),
     "t13_changelog" -> c(_.env
       .select("database_name", "table_name", "payload_id")
@@ -140,15 +168,25 @@ object CdcQueries {
       .select("event_id", "row_idx", "tiny_s", "tiny_u", "small_s", "small_u",
         "medium_s", "int_s", "int_u", "big_hi", "big_lo")
       .orderBy("event_id", "row_idx")),
+    // T11c — DECIMAL/FLOAT exactness through the gate-safe re-projection
+    // (unscaled BIGINTs, digit string for the DECIMAL(20,0) boundary,
+    // exact f32→f64 widening); the live DECIMAL columns themselves are
+    // covered by AvroEnvelopeSpec + t12c's wire round trip.
     "t11c_decimal_exact" -> c(_.matrix
-      .select("event_id", "row_idx", "dec_9_2", "dec_12_11", "ubig_20", "f32")
+      .select(col("event_id"), col("row_idx"),
+        expr(GM_DEC92).as("dec92_unscaled"),
+        expr(GM_DEC1211).as("dec1211_unscaled"),
+        expr(GM_UBIG).as("ubig_20_str"),
+        expr(GM_F32).as("f32_wide"))
       .orderBy("event_id", "row_idx")),
     "t11d_temporal_matrix" -> c(_.matrix
       .select("event_id", "row_idx", "d_date", "dt6_iso", "time6_us", "yr",
         "dt_wire", "dt_out")
       .orderBy("event_id", "row_idx")),
+    // T11e — BINARY travels as upper-hex (the gate cannot sort raw bytes).
     "t11e_char_binary_enum" -> c(_.matrix
-      .select("event_id", "row_idx", "ch", "vch", "bin", "enum_v")
+      .select(col("event_id"), col("row_idx"), col("ch"), col("vch"),
+        expr(GM_BIN).as("bin_hex"), col("enum_v"))
       .orderBy("event_id", "row_idx")),
     // T22b — the payload's column set follows the table's DDL-evolved
     // schema version as of each row's position (SURVEY §7.4 risk 1).
@@ -213,18 +251,20 @@ object CdcQueries {
     "t19_event_routing" -> q(
       "SELECT kind, CAST(count(*) AS BIGINT) AS n FROM admitted GROUP BY kind ORDER BY kind"),
     "t12c_avro_matrix" -> q(
-      "SELECT * FROM matrix ORDER BY event_id, row_idx"),
+      s"SELECT ${gateSelect(matrixGate)} FROM matrix ORDER BY event_id, row_idx"),
     "t11b_int_matrix" -> q(
       """SELECT event_id, row_idx, tiny_s, tiny_u, small_s, small_u, medium_s,
          int_s, int_u, big_hi, big_lo FROM matrix ORDER BY event_id, row_idx"""),
     "t11c_decimal_exact" -> q(
-      """SELECT event_id, row_idx, dec_9_2, dec_12_11, ubig_20, f32
+      s"""SELECT event_id, row_idx, $GM_DEC92 AS dec92_unscaled,
+         $GM_DEC1211 AS dec1211_unscaled, $GM_UBIG AS ubig_20_str,
+         $GM_F32 AS f32_wide
          FROM matrix ORDER BY event_id, row_idx"""),
     "t11d_temporal_matrix" -> q(
       """SELECT event_id, row_idx, d_date, dt6_iso, time6_us, yr, dt_wire, dt_out
          FROM matrix ORDER BY event_id, row_idx"""),
     "t11e_char_binary_enum" -> q(
-      """SELECT event_id, row_idx, ch, vch, bin, enum_v
+      s"""SELECT event_id, row_idx, ch, vch, $GM_BIN AS bin_hex, enum_v
          FROM matrix ORDER BY event_id, row_idx"""),
     "t22b_evolved_payload" -> q(
       """SELECT e.event_id, e.row_idx, e.database_name, e.table_name, v.schema_version,

@@ -172,6 +172,25 @@ object CdcSqlFragments {
   // char/text family + ENUM (SET is t11's tags_sorted)
   val TM_CH = "substr('abcdefghij', 1, CAST(payload_k % 11 AS INT))"
   val TM_ENUM = "CASE payload_k % 3 WHEN 0 THEN 'ONE' WHEN 1 THEN 'TWO' ELSE 'THREE' END"
+
+  // ---- gate-safe re-projections of the matrix columns (exactness house
+  // rule: never emit live DECIMAL/FLOAT/BINARY through the hash gate —
+  // the driver compares through pandas, which coerces DECIMAL to float64
+  // (DECIMAL(20,0) ≈ 1.8e19 and 11 fraction digits are unrepresentable)
+  // and cannot sort raw bytes). The re-projections stay bit-exact: the
+  // unscaled BIGINT fully determines a fixed-scale DECIMAL; DECIMAL(20,0)
+  // exceeds int64 so it travels as its exact digit string (scale 0 never
+  // prints scientific); float32→float64 widening is exact by IEEE-754
+  // construction; bytes travel as upper-hex. Native DECIMAL/FLOAT/BINARY
+  // fidelity stays covered by AvroEnvelopeSpec and t12c's wire round trip
+  // (which re-projects only AFTER decode). Verbatim-valid in both dialects;
+  // the fractional parts below are exactly .00/.00000000000 so the terminal
+  // integer cast never rounds.
+  val GM_DEC92 = "CAST(dec_9_2 * 100 AS BIGINT)"
+  val GM_DEC1211 = "CAST(dec_12_11 * 100000000000 AS BIGINT)"
+  val GM_UBIG = "CAST(ubig_20 AS STRING)"
+  val GM_F32 = "CAST(f32 AS DOUBLE)"
+  val GM_BIN = "upper(hex(bin))"
 }
 
 object CdcReplay {

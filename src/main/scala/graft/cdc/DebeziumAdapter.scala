@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,24 +37,26 @@ import org.apache.spark.sql.types._
   */
 object DebeziumAdapter {
 
+  private val sourceStruct: StructType = StructType(Seq(
+    StructField("version", StringType, nullable = true),
+    StructField("connector", StringType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("ts_ms", LongType, nullable = true),
+    StructField("db", StringType, nullable = true),
+    StructField("table", StringType, nullable = true),
+    StructField("server_id", LongType, nullable = true),
+    StructField("gtid", StringType, nullable = true),
+    StructField("file", StringType, nullable = true),
+    StructField("pos", LongType, nullable = true),
+    StructField("row", IntegerType, nullable = true)))
+
   /** Debezium change-event value schema (payload part; the schema block
     * Debezium emits alongside is connector metadata we don't need). */
   val valueSchema: StructType = StructType(Seq(
     StructField("payload", StructType(Seq(
       StructField("before", MapType(StringType, StringType), nullable = true),
       StructField("after", MapType(StringType, StringType), nullable = true),
-      StructField("source", StructType(Seq(
-        StructField("version", StringType, nullable = true),
-        StructField("connector", StringType, nullable = true),
-        StructField("name", StringType, nullable = true),
-        StructField("ts_ms", LongType, nullable = true),
-        StructField("db", StringType, nullable = true),
-        StructField("table", StringType, nullable = true),
-        StructField("server_id", LongType, nullable = true),
-        StructField("gtid", StringType, nullable = true),
-        StructField("file", StringType, nullable = true),
-        StructField("pos", LongType, nullable = true),
-        StructField("row", IntegerType, nullable = true))), nullable = true),
+      StructField("source", sourceStruct, nullable = true),
       StructField("op", StringType, nullable = true),
       StructField("ts_ms", LongType, nullable = true))), nullable = true)))
 
@@ -126,4 +128,106 @@ object DebeziumAdapter {
         .cast("binary").as("value"),
       array().cast(
         "array<struct<key:string,value:binary>>").as("headers"))
+
+  // ---- schema-change topic (the DDL side of a real connector) ---------
+
+  /** Debezium schema-change event value schema — the events a MySQL
+    * connector publishes on its schema-change topic (topic named after
+    * `topic.prefix`; Debezium reference, "MySQL connector > schema change
+    * topic"): the raw `ddl` string, the `databaseName` it ran under, the
+    * binlog coordinates in `source`, and a `tableChanges` array whose
+    * entries carry a change `type` (CREATE/ALTER/DROP) and the qualified
+    * table `id`. This is the real-deployment form of the reference's
+    * QueryEvent path (components/schema_event_handler.py:49-132). */
+  val schemaChangeSchema: StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("source", sourceStruct, nullable = true),
+      StructField("ts_ms", LongType, nullable = true),
+      StructField("databaseName", StringType, nullable = true),
+      StructField("schemaName", StringType, nullable = true),
+      StructField("ddl", StringType, nullable = true),
+      StructField("tableChanges", ArrayType(StructType(Seq(
+        StructField("type", StringType, nullable = true),
+        StructField("id", StringType, nullable = true))), containsNull = true),
+        nullable = true))), nullable = true)))
+
+  /** Binlog file name → its rotation sequence (`binlog.000042` → 42);
+    * combined with the intra-file byte position this gives the monotone
+    * event position the catalog's ALTER intervals key on. One file holds
+    * < 2^30 byte positions under the default 1 GiB max_binlog_size. */
+  private def filePosAsEventId(file: Column, pos: Column): Column =
+    regexp_extract(file, "([0-9]+)$", 1).cast("bigint") * 1073741824L + pos
+
+  /** kafka-source-shaped frame (binary `value` carrying Debezium
+    * schema-change JSON) → the engine's DDL-stream contract: one row per
+    * statement with the coordinates the catalog records ALTER intervals
+    * at. Control-plane frame — one row per DDL, never data-scaled. */
+  def fromSchemaChange(src: DataFrame): DataFrame =
+    src
+      .select(from_json(col("value").cast("string"), schemaChangeSchema).as("v"))
+      .select(col("v.payload.*"))
+      .filter(col("ddl").isNotNull)
+      .select(
+        col("source.name").as("cluster_name"),
+        col("databaseName").as("database_name"),
+        // tableChanges ids are quoted-qualified ("db"."table"); empty for
+        // statements with no table target (e.g. CREATE DATABASE)
+        regexp_extract(element_at(col("tableChanges"), 1).getField("id"),
+          "\"([^\"]*)\"$", 1).as("table_name"),
+        element_at(col("tableChanges"), 1).getField("type").as("change_type"),
+        col("ddl"),
+        col("source.file").as("log_file"),
+        col("source.pos").as("log_pos"),
+        (col("source.ts_ms") * 1000L).as("ts_us"),
+        filePosAsEventId(col("source.file"), col("source.pos")).as("event_id"))
+
+  /** DDL-stream frame (the [[fromSchemaChange]] column set) rendered as
+    * Debezium schema-change events — the inverse used to round-trip-test
+    * the schema path without a deployment, and a schema-change-dialect
+    * egress for downstream consumers. */
+  def toSchemaChange(ddls: DataFrame): DataFrame =
+    ddls.select(
+      col("cluster_name").as("topic"),
+      col("database_name").cast("binary").as("key"),
+      to_json(struct(struct(
+        struct(
+          lit("2.6").as("version"), lit("mysql").as("connector"),
+          col("cluster_name").as("name"),
+          (col("ts_us") / 1000L).cast("long").as("ts_ms"),
+          col("database_name").as("db"), lit(null).cast("string").as("table"),
+          lit(1L).as("server_id"), lit(null).cast("string").as("gtid"),
+          col("log_file").as("file"), col("log_pos").cast("long").as("pos"),
+          lit(null).cast("int").as("row")).as("source"),
+        (col("ts_us") / 1000L).cast("long").as("ts_ms"),
+        col("database_name").as("databaseName"),
+        lit(null).cast("string").as("schemaName"),
+        col("ddl"),
+        array(struct(col("change_type").as("type"),
+          concat(lit("\""), col("database_name"), lit("\".\""),
+            coalesce(col("table_name"), lit("")), lit("\"")).as("id")))
+          .as("tableChanges")).as("payload")))
+        .cast("binary").as("value"),
+      array().cast(
+        "array<struct<key:string,value:binary>>").as("headers"))
+
+  /** Feed a parsed schema-change stream into the catalog — the ingestion
+    * the reference's schema_event_handler owns (py:49-132): statements
+    * apply in binlog order, ALTERs record their position so the data
+    * plane's payload-version intervals (T22b `schemaIntervals` /
+    * `CdcPipeline`'s interval state) follow the REAL connector's DDL from
+    * that position onward. The collect is control-plane-tiny by
+    * construction (one row per DDL statement, the same bound the
+    * reference's single-threaded DDL path implies). Returns the number of
+    * schema-changing statements applied. */
+  def applySchemaChanges(catalog: graft.catalog.SchemaCatalog,
+      changes: DataFrame): Int = {
+    val rows = changes
+      .select("cluster_name", "database_name", "ddl", "event_id")
+      .collect()
+      .sortBy(_.getLong(3))
+    rows.count { r =>
+      catalog.applyDdl(r.getString(0), r.getString(1), r.getString(2),
+        atEventId = r.getLong(3)).nonEmpty
+    }
+  }
 }

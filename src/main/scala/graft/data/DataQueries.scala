@@ -31,7 +31,7 @@ object DataQueries {
     "d8_dedup_agreement" -> ((spark, sfDir) => TextOps.dedupAgreement(
       Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))),
     "d9_dedup_savings" -> docs(TextOps.dedupSavings),
-    "d10_minhash_calibration" -> docs(TextOps.minhashCalibration),
+    "d10_minhash_calibration" -> docs(TextOps.minhashCalibration(_)),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),

@@ -1,6 +1,7 @@
 package graft.data
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import scala.collection.concurrent.TrieMap
 
@@ -11,11 +12,12 @@ import scala.collection.concurrent.TrieMap
   * re-runs the shingle→minhash→band→verify pipeline ~5× and the CC loop
   * twice from raw text.
   *
-  * Keyed by (session identity, canonicalized input plan, tag) so the same
-  * table read at two scale factors — or two thresholds — never collide.
-  * The computed frame is persisted on first use and reused by every later
-  * consumer in the session; `clear()` releases everything (tests, or a
-  * long-running daemon rotating inputs).
+  * Keyed by (session identity, canonicalized input PLAN — structural
+  * equality, not its 32-bit hashCode, so distinct inputs can never
+  * collide — and tag) so the same table read at two scale factors, or two
+  * thresholds, never collide. The computed frame is materialized on first
+  * use and reused by every later consumer in the session; `clear()`
+  * releases everything (tests, or a long-running daemon rotating inputs).
   *
   * At 100 TB this same pattern is an explicit bucketed parquet write (see
   * [[Bucketing]] — pay the shuffle once, read co-located forever); the
@@ -24,7 +26,18 @@ import scala.collection.concurrent.TrieMap
   */
 object SharedFrames {
 
-  private val cache = TrieMap.empty[(Int, Int, String), DataFrame]
+  /** Holder whose `lazy val` gives the JVM-level single-evaluation
+    * guarantee: `putIfAbsent` decides ONE winning holder per key, and the
+    * lazy initializer runs its compute exactly once no matter how many
+    * threads race on first use (a bare `TrieMap.getOrElseUpdate` can
+    * evaluate the thunk twice under concurrent first use — benign for
+    * correctness here, but it double-pays the dedup chain and wobbles the
+    * bench in a concurrent server). */
+  private final class Memoized(compute: () => DataFrame) {
+    lazy val value: DataFrame = compute()
+  }
+
+  private val cache = TrieMap.empty[(Int, LogicalPlan, String), Memoized]
 
   /** Memoize `compute` for this (input, tag): first caller pays, later
     * callers get the materialized frame. `compute` must be a pure function
@@ -38,13 +51,20 @@ object SharedFrames {
     * consumer a plain scan over the computed partitions. */
   def memo(input: DataFrame, tag: String)(compute: => DataFrame): DataFrame = {
     val key = (System.identityHashCode(input.sparkSession),
-      input.queryExecution.analyzed.canonicalized.hashCode(), tag)
-    cache.getOrElseUpdate(key, compute.localCheckpoint(true))
+      input.queryExecution.analyzed.canonicalized, tag)
+    val fresh = new Memoized(() => compute.localCheckpoint(true))
+    cache.putIfAbsent(key, fresh).getOrElse(fresh).value
   }
 
+  /** Number of distinct memoized entries (test observability). */
+  def size: Int = cache.size
+
   def clear(): Unit = {
-    cache.values.foreach(df =>
-      try df.unpersist()
+    // every holder in the map had `.value` forced by its inserting thread,
+    // so this never triggers a fresh compute — at worst it waits for an
+    // in-flight one to finish before unpersisting it
+    cache.values.foreach(h =>
+      try h.value.unpersist()
       catch { case _: Throwable => () })
     cache.clear()
   }

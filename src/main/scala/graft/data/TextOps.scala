@@ -625,17 +625,19 @@ object TextOps {
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // verify candidates only: intersect the two shingle sets per pair.
-    // The candidate set is tiny by construction (band collisions), so it
-    // broadcasts; the big shingle frame is only ever hash-joined, never
-    // self-producted.
+    // The candidate-pair and common-count frames scale with the CORPUS
+    // (band collisions ~ O(N)), so they carry NO broadcast hint — a forced
+    // broadcast would OOM the driver at 100 TB. Plain hash joins; AQE
+    // broadcasts at runtime when a frame is genuinely small. The big
+    // shingle frame is only ever hash-joined, never self-producted.
     val shA = sh.select(col("doc_id").as("doc_a"), xxhash64(col("sh")).as("h"))
     val shB = sh.select(col("doc_id").as("doc_b2"), xxhash64(col("sh")).as("h_b"))
     val common = shA
-      .join(broadcast(cands), "doc_a")
+      .join(cands, "doc_a")
       .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    broadcast(common).join(sizes.toDF("doc_a", "sa"), "doc_a")
+    common.join(sizes.toDF("doc_a", "sa"), "doc_a")
       .join(sizes.toDF("doc_b", "sb"), "doc_b")
       .withColumn("jac", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
       .filter(col("jac") >= threshold)
@@ -654,16 +656,28 @@ object TextOps {
     * Same scale discipline as d3: estimates come from the wide 12-column
     * signature frame (one keyed agg, no explode), exact jaccard is
     * candidate-only verification — the quadratic work never exceeds the
-    * band-collision set, which broadcasts. */
-  def minhashCalibration(documents: DataFrame): DataFrame = {
+    * band-collision set.
+    *
+    * Scale: every pair-scaled frame here (candidates, per-pair common
+    * counts, estimates) grows with the corpus, so NONE of them carries a
+    * broadcast hint — plain hash joins on the pair key, AQE broadcasts at
+    * runtime only when a frame is genuinely small. Calibration is a
+    * DIAGNOSTIC, not a pipeline stage: at 100 TB run it on a sampled
+    * candidate subset via `sampleOneIn > 1` (deterministic pair-hash
+    * sampling — E[est]=jac holds on any unbiased subset, so a few million
+    * pairs bound the error estimate regardless of corpus size). */
+  def minhashCalibration(documents: DataFrame, sampleOneIn: Int = 1): DataFrame = {
     val sh = shingles(documents).cache()
     val mh = minhashOf(sh).persist() // feeds bands AND both estimate sides
     val bands = lshBands(mh).persist()
-    val cands = bands.as("a").join(bands.as("b"),
+    val allCands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val cands = if (sampleOneIn <= 1) allCands
+      else allCands.filter(
+        pmod(xxhash64(col("doc_a"), col("doc_b")), lit(sampleOneIn)) === 0)
     val estExpr = (1 to 12)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -675,14 +689,14 @@ object TextOps {
     val shA = sh.select(col("doc_id").as("doc_a"), xxhash64(col("sh")).as("h"))
     val shB = sh.select(col("doc_id").as("doc_b2"), xxhash64(col("sh")).as("h_b"))
     val common = shA
-      .join(broadcast(cands), "doc_a")
+      .join(cands, "doc_a")
       .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    broadcast(common).join(sizes.toDF("doc_a", "sa"), "doc_a")
+    common.join(sizes.toDF("doc_a", "sa"), "doc_a")
       .join(sizes.toDF("doc_b", "sb"), "doc_b")
       .withColumn("jac_exact", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
-      .join(broadcast(est), Seq("doc_a", "doc_b"))
+      .join(est, Seq("doc_a", "doc_b"))
       .withColumn("jac_est", expr("CAST(est_matches AS DOUBLE) / 12"))
       .withColumn("err", expr("CAST(est_matches AS DOUBLE) / 12 - jac_exact"))
       .select("doc_a", "doc_b", "est_matches", "jac_est",
@@ -953,22 +967,6 @@ object TextOps {
         md5(col("redacted")).as("red_md5"))
       .orderBy("doc_id")
 
-  /** x27 — duplicated-span detection: the exact-substring dedup signal
-    * (the "dedup at 50-token granularity" result of the training-data
-    * dedup literature), approximated at fixed [[spanWords]]-word windows
-    * with stride 1. A window occurring in ≥2 DISTINCT documents is a
-    * duplicated span; each document reports its window count, how many
-    * of its window instances are duplicated, and the duplicated
-    * fraction — the signal that catches partial overlap (shared
-    * paragraphs, quoted passages) that whole-document dedup (d1) and
-    * line-level removal (x22) both miss.
-    *
-    * Scale: ~n_words window rows per document feed ONE keyed hash agg on
-    * the window's md5 (map-side partials), and the per-doc rollup joins
-    * back on that key — all hash-partitioned, nothing pairwise. At 100 TB
-    * the md5-of-concat becomes a rolling (Rabin-Karp) hash so each window
-    * costs O(1), not O(spanWords); the plan shape is unchanged. Documents
-    * shorter than a window report zero windows (kept via left join). */
   /** The (doc_id, start, window-hash) frame shared by x27's detection and
     * x32's scrub — a SharedFrames pay-once artifact, like the d3 dup-pair
     * frame: one bench session computes the stride-1 window hashes once. */
@@ -992,6 +990,22 @@ object TextOps {
         .filter(col("docs") >= 2).select("h")
     }
 
+  /** x27 — duplicated-span detection: the exact-substring dedup signal
+    * (the "dedup at 50-token granularity" result of the training-data
+    * dedup literature), approximated at fixed `spanWords`-word windows
+    * with stride 1. A window occurring in ≥2 DISTINCT documents is a
+    * duplicated span; each document reports its window count, how many
+    * of its window instances are duplicated, and the duplicated
+    * fraction — the signal that catches partial overlap (shared
+    * paragraphs, quoted passages) that whole-document dedup (d1) and
+    * line-level removal (x22) both miss.
+    *
+    * Scale: ~n_words window rows per document feed ONE keyed hash agg on
+    * the window's md5 (map-side partials), and the per-doc rollup joins
+    * back on that key — all hash-partitioned, nothing pairwise. At 100 TB
+    * the md5-of-concat becomes a rolling (Rabin-Karp) hash so each window
+    * costs O(1), not O(spanWords); the plan shape is unchanged. Documents
+    * shorter than a window report zero windows (kept via left join). */
   def duplicatedSpans(documents: DataFrame, spanWords: Int = 16): DataFrame = {
     val wins = spanWindows(documents, spanWords)
     val dup = spanDupSet(documents, spanWords).withColumn("is_dup", lit(true))
@@ -1062,6 +1076,18 @@ object TextOps {
     * + one multiply + one floor over identical integers in both engines,
     * computed once per vocab entry; the per-doc aggregation is then an
     * order-independent integer sum, never a float accumulation.
+    *
+    * SHARED-LIBM ASSUMPTION (applies to every 2^20-grid quantization that
+    * feeds log2/ln through floor — x25 here, and x28/x29/x30/x33): libm's
+    * log is faithfully- but not correctly-rounded (≤1 ulp), so a log
+    * result landing EXACTLY on a grid boundary could in principle floor
+    * to adjacent cells in two engines using different libms. Both engines
+    * here (JVM StrictMath-backed Math.log and DuckDB) agree on this box
+    * and at sf0.1; the grid is 2^20 so a boundary hit needs the log's
+    * 52-bit mantissa to end in 32 zero bits — ~2^-32 per distinct vocab
+    * entry. If a future engine/libm pairing ever trips this, quantize
+    * through a correctly-rounded log (or compare with one-cell
+    * tolerance); the house rule's integer SUM stays exact either way.
     *
     * Scale: vocab build is one keyed hash agg (scales like d1); the
     * token→bits join is a hash join on the token (AQE-broadcast when the
@@ -1247,6 +1273,9 @@ object TextOps {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score_q").desc, col("doc_id"))).cast("int"))
       .select("rnk", "doc_id", "n_terms", "score_q", "score")
+      // the window's sort is an execution detail — the RETURNED ordering
+      // must be explicit (the oracle has ORDER BY rnk)
+      .orderBy("rnk")
   }
 
   /** x28 — DSIR-style importance weighting: score every document by how
@@ -1337,12 +1366,16 @@ object TextOps {
     * vocab stays checkpointed for the session (clear with
     * [[SharedFrames.clear]]-style test teardown if rotating inputs). */
   private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, Int, Int), (Seq[(Int, String, String, String, Long)], DataFrame)]
+    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      (Seq[(Int, String, String, String, Long)], DataFrame)]
 
   private def bpeTrained(documents: DataFrame,
       rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // keyed by the canonicalized plan ITSELF (structural equality), not its
+    // 32-bit hashCode — a hash collision between two different documents
+    // frames in one session would silently serve the wrong merge table
     val key = (System.identityHashCode(documents.sparkSession),
-      documents.queryExecution.analyzed.canonicalized.hashCode(), rounds)
+      documents.queryExecution.analyzed.canonicalized, rounds)
     bpeCache.getOrElseUpdate(key, bpeTrain(documents, rounds))
   }
 

@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** One-order-of-magnitude empirical scale point for the dedup/span family
+  * (VERDICT r3 prescription #6): build a ~10× corpus (50k docs from
+  * sf0.1's 5k — two verbatim copies so cross-copy exact/near-dup density
+  * GROWS with the corpus, eight perturbed copies), run
+  * d3/d6/x27/x32/x26 once, record wall times, and assert no plan flips
+  * to a cartesian/nested-loop under AQE at the larger size. The 100 TB
+  * story is argued from plan shapes everywhere else; this anchors it with
+  * a measured point.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [srcSfDir] [workDir] [outJson]
+  * Writes one JSON line to stdout AND to outJson (default BENCH_sf1.json).
+  */
+object ScaleRehearsal {
+
+  val rehearsed: Seq[String] = Seq(
+    "d3_dedup_minhash_lsh", "d6_dedup_clusters", "x27_duplicated_spans",
+    "x32_span_scrub", "x26_bpe_merges")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val outJson = args.lift(2).getOrElse("BENCH_sf1.json")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SF1_COPIES", "10").toInt
+    val spark = Tables.session("graft-scale-rehearsal")
+
+    // ---- build the scaled corpus (idempotent: reuse if present) -------
+    val docsPath = s"$workDir/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val base = Tables.documents(spark, src)
+      val scaled = (0 until copies).map { i =>
+        val d = base
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        // copies 0-1 stay verbatim (exact + near-dup pairs across copies,
+        // so the candidate-pair volume grows with the corpus, as it does
+        // in a real crawl); 2+ get a per-copy token appended — near but
+        // not exact, exercising the verify stage
+        if (i <= 1) d
+        else d.withColumn("text",
+          concat(col("text"), lit(s" uniq$i "), (col("doc_id") % 97).cast("string")))
+      }.reduce(_ unionByName _)
+      scaled.repartition(32).write.mode("overwrite").parquet(docsPath)
+    }
+    val nDocs = spark.read.parquet(docsPath).count()
+
+    // ---- run each family member once, timed, with a plan audit --------
+    val results = rehearsed.map { name =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, workDir)
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      // scale-killer audit: AQE must not have flipped any pair-scaled
+      // join to a cartesian/nested-loop at the bigger size
+      val killers = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+      (name, secs, killers)
+    }
+
+    // ---- raw-plan audit ----------------------------------------------
+    // The five queries above read SharedFrames checkpoints, so their
+    // executed plans are scans (see .claude/skills/verify gotcha r3) —
+    // the joins that COULD flip live in the raw pair pipeline. Run the
+    // un-memoized d3 builder once more and inspect what AQE actually
+    // chose, including the realized size of every broadcast it built
+    // (a corpus-scaled broadcast is the driver-OOM shape d10 was
+    // flagged for in r3; after the de-broadcast fix AQE only promotes
+    // frames it measured small).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val t0 = System.nanoTime()
+    val raw = graft.data.TextOps.dedupMinhashLsh(spark.read.parquet(docsPath))
+    raw.write.format("noop").mode("overwrite").save()
+    val rawSecs = (System.nanoTime() - t0) / 1e9
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Nil
+      }))
+    val nodes = walk(raw.queryExecution.executedPlan)
+    val rawFlips = nodes.map(_.nodeName).filter(n =>
+      n.contains("CartesianProduct") || n.contains("BroadcastNestedLoop"))
+    val bcastBytes = nodes.collect { case b: BroadcastExchangeExec =>
+      b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+    }
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val flips = results.flatMap { case (k, _, ks) => ks.map(x => s"$k:$x") } ++
+      rawFlips.map(x => s"d3_raw:$x")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"sf1_rehearsal","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""n_docs":$nDocs,"copies":$copies,"src":"$src",""" +
+        s""""d3_raw_build_sec":$rawSecs,""" +
+        s""""aqe_broadcast_bytes":[${bcastBytes.mkString(",")}],""" +
+        s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
+    spark.stop()
+    if (flips.nonEmpty) {
+      System.err.println(s"[sf1] SCALE-KILLER plan flips: ${flips.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}

@@ -307,4 +307,22 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"),
       "x31 vocab join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
   }
+
+  test("d10/d3 carry no broadcast hints — pair frames scale with the corpus") {
+    // the candidate-pair / common-count / estimate frames grow ~O(N) with
+    // the corpus; a forced broadcast() would OOM the driver at 100 TB.
+    // AQE may still broadcast at runtime when genuinely small — what this
+    // pins is that the CODE never forces it.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("d10_minhash_calibration")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q must not force broadcasts:\n${hints.mkString("\n")}")
+    }
+    // d3's verify chain builds the shared dup-pair artifact — assert on the
+    // raw builder (the memoized query plan itself is a checkpoint scan)
+    val d3 = graft.data.TextOps.dedupMinhashLsh(Tables.documents(spark, sfDir))
+    val d3hints = d3.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(d3hints.isEmpty, s"d3 must not force broadcasts:\n${d3hints.mkString("\n")}")
+  }
 }

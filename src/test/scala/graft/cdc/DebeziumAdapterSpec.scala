@@ -72,6 +72,67 @@ class DebeziumAdapterSpec extends AnyFunSuite {
     assert(joined.count() == back.count())
   }
 
+  test("schema-change topic drives the catalog; next data batch's payload follows (T22b)") {
+    import spark.implicits._
+    import graft.catalog.{SchemaCatalog, TableId}
+    val catalog = new SchemaCatalog()
+    val id = TableId("dbzcluster", "inventory", "customers")
+
+    // two statements on the schema-change topic, in binlog order
+    val ddls = Seq(
+      ("dbzcluster", "inventory", "customers", "CREATE",
+        "CREATE TABLE `customers` (id INT PRIMARY KEY, name VARCHAR(64))",
+        "binlog.000003", 120L, 1700000000000000L),
+      ("dbzcluster", "inventory", "customers", "ALTER",
+        "ALTER TABLE `customers` ADD email VARCHAR(128) NOT NULL",
+        "binlog.000003", 450L, 1700000001000000L))
+      .toDF("cluster_name", "database_name", "table_name", "change_type",
+        "ddl", "log_file", "log_pos", "ts_us")
+
+    // egress → broker → ingress round trip of the public wire format
+    val parsed = DebeziumAdapter.fromSchemaChange(
+      KafkaWire.broker(DebeziumAdapter.toSchemaChange(ddls))).persist()
+    val got = parsed.orderBy("event_id")
+      .select("database_name", "table_name", "change_type", "ddl", "log_pos")
+      .as[(String, String, String, String, Long)].collect().toSeq
+    assert(got.map(_._5) == Seq(120L, 450L))
+    assert(got.map(_._3) == Seq("CREATE", "ALTER"))
+    assert(got.forall(r => r._1 == "inventory" && r._2 == "customers"))
+
+    // batch 1: only the CREATE has arrived — payload column set is (id, name)
+    assert(DebeziumAdapter.applySchemaChanges(catalog,
+      parsed.filter(col("log_pos") === 120L)) == 1)
+    assert(catalog.lookup(id).get.struct.fieldNames.toSeq == Seq("id", "name"))
+
+    // batch 2: the ALTER arrives; the catalog evolves AND records the
+    // statement's binlog position for the data plane's version intervals
+    // (the replayed CREATE re-registers idempotently — same schema_id)
+    assert(DebeziumAdapter.applySchemaChanges(catalog, parsed) == 2)
+    val ts = catalog.lookup(id).get
+    assert(ts.struct.fieldNames.toSeq == Seq("id", "name", "email"))
+    assert(ts.pkeys == Seq("id") && !ts.struct("email").nullable)
+    assert(catalog.alterEvents == Seq(id -> (3L * 1073741824L + 450L)))
+    // replaying the same stream is idempotent (crash-replayed batch)
+    DebeziumAdapter.applySchemaChanges(catalog, parsed)
+    assert(catalog.alterEvents.size == 1)
+
+    // the NEXT data batch follows the evolved schema: the connector's
+    // dynamic after-image typed by the catalog's current StructType
+    val dataJson =
+      """{"payload":{"before":null,"after":{"id":"7","name":"amy","email":"amy@x.io"},
+         "source":{"version":"2.6","connector":"mysql","name":"dbzcluster",
+         "ts_ms":1700000002000,"db":"inventory","table":"customers","server_id":1,
+         "gtid":null,"file":"binlog.000003","pos":600,"row":0},
+         "op":"c","ts_ms":1700000002000}}""".replaceAll("\n\\s*", "")
+    val back = DebeziumAdapter.fromDebezium(
+      Seq(dataJson).toDF("value"))
+    val typed = back.select(ts.struct.fields.toSeq.map(f =>
+      col("after")(f.name).cast(f.dataType).as(f.name)): _*)
+    val row = typed.collect()(0)
+    assert(row.getInt(0) == 7 && row.getString(1) == "amy" &&
+      row.getString(2) == "amy@x.io")
+  }
+
   test("gtid mode wins over the file:pos fallback when present") {
     import spark.implicits._
     val dbz = Seq(

@@ -6,14 +6,28 @@ Usage: python tools/verify_local.py <sfDir> <outDir> [query ...]
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
 <outDir>/<name>/ parquet dirs and <outDir>/oracle_sql.json. Registers each
 testdata parquet as a DuckDB view named after the table, runs every oracle
-SQL, and compares against the Spark result exactly (schema names + values,
-row order respected).
+SQL, and compares against the Spark result in TWO modes:
+
+1. arrow mode — exact value compare on the arrow tables (schema names +
+   values, row order respected with an order-insensitive fallback). This is
+   the ground truth for "the values are identical".
+2. pandas mode — mirrors the DRIVER's hash gate, which pulls the oracle
+   result through `duckdb.df()` and the Spark parquet through
+   pandas/pyarrow, then `sort_values` + hashes. pandas COERCES types the
+   arrow path preserves (DuckDB DECIMAL -> float64, so DECIMAL(20,0) and
+   11-fraction-digit scales lose bits; BLOB -> bytearray, which
+   `sort_values` cannot factorize). Round 3 shipped three queries whose
+   values were arrow-exact but failed/crashed this path (t11c/t11e/t12c);
+   this mode exists so that representation class of bug is caught locally
+   BEFORE the driver runs. A query only counts PASS if both modes pass.
 """
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -25,6 +39,69 @@ def norm(v):
             return "NaN"
         return v
     return v
+
+
+def norm_pandas(v):
+    """Normalize a pandas cell to its string form — the way the driver's
+    hash sees it (calibrated against r3 outcomes: q03/q06/q10 DECIMAL sums
+    whose str() round-trips through float64 PASSED the driver, while
+    t11c's 20-digit DECIMAL, whose float64 str() goes scientific, hash-
+    FAILED). str(Decimal) == str(float64) exactly when the value survives
+    the coercion; nulls of any dtype collapse; temporals print ISO.
+    bytes-vs-bytearray is NOT normalized — the sort crash catches it."""
+    try:
+        if v is None or (not isinstance(v, (bytes, bytearray, list, tuple))
+                         and pd.isna(v)):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):  # datetime.date / datetime.datetime
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(norm_pandas(x) for x in v)
+    return str(v)
+
+
+def pandas_gate(name, con, sql, out_dir):
+    """Driver-mirroring compare. Returns None on pass, error string on fail."""
+    # The asymmetry below is the point: the oracle side goes through
+    # duckdb's .df() (DATE -> datetime64, DECIMAL -> float64, BLOB ->
+    # bytearray) while the Spark side goes through pyarrow's to_pandas
+    # (DECIMAL -> decimal.Decimal, BINARY -> bytes). This is the only
+    # read-path combination consistent with ALL observed r3 driver
+    # outcomes (t11d green, t11c hash-fail, t11e/t12c bytearray crash).
+    try:
+        wdf = con.execute(sql).df()
+    except Exception as e:
+        return f"oracle->pandas error: {e}"
+    try:
+        gdf = pq.read_table(f"{out_dir}/{name}").to_pandas(date_as_object=False)
+    except Exception as e:
+        return f"spark parquet->pandas error: {e}"
+    cols = sorted(wdf.columns)
+    if sorted(gdf.columns) != cols:
+        return f"columns differ: oracle {cols} vs spark {sorted(gdf.columns)}"
+    try:
+        wdf = wdf[cols].sort_values(cols).reset_index(drop=True)
+        gdf = gdf[cols].sort_values(cols).reset_index(drop=True)
+    except Exception as e:
+        return f"sort_values crashed (driver would err): {type(e).__name__}: {e}"
+    if len(wdf) != len(gdf):
+        return f"rows {len(wdf)} (oracle) vs {len(gdf)} (spark)"
+    wrows = [tuple(norm_pandas(v) for v in row)
+             for row in wdf.itertuples(index=False, name=None)]
+    grows = [tuple(norm_pandas(v) for v in row)
+             for row in gdf.itertuples(index=False, name=None)]
+    if wrows == grows:
+        return None
+    bad = [(i, w, g) for i, (w, g) in enumerate(zip(wrows, grows)) if w != g]
+    i, w, g = bad[0]
+    return (f"{len(bad)} coerced-value mismatches (driver would hash-fail), "
+            f"first row {i}:\n    oracle: {w}\n    spark:  {g}")
 
 
 def main():
@@ -64,20 +141,24 @@ def main():
             continue
         wrows = [tuple(norm(row[c]) for c in wcols) for row in want.to_pylist()]
         grows = [tuple(norm(row[c]) for c in wcols) for row in got.to_pylist()]
-        if wrows == grows:
-            print(f"PASS {name} ({want.num_rows} rows)")
-            n_pass += 1
+        arrow_ok = wrows == grows
+        order_note = ""
+        if not arrow_ok and sorted(map(repr, wrows)) == sorted(map(repr, grows)):
+            arrow_ok, order_note = True, "; order differs"
+        if not arrow_ok:
+            bad = [(i, w, g) for i, (w, g) in enumerate(zip(wrows, grows)) if w != g][:3]
+            print(f"FAIL {name}: {len([1 for w, g in zip(wrows, grows) if w != g])} mismatched rows, first:")
+            for i, w, g in bad:
+                print(f"  row {i}:\n    oracle: {w}\n    spark:  {g}")
+            n_fail += 1
             continue
-        # row-order-insensitive fallback (driver may sort before hashing)
-        if sorted(map(repr, wrows)) == sorted(map(repr, grows)):
-            print(f"PASS* {name} ({want.num_rows} rows; order differs)")
-            n_pass += 1
+        perr = pandas_gate(name, con, sql, out_dir)
+        if perr is not None:
+            print(f"FAIL {name} [pandas gate]: {perr}")
+            n_fail += 1
             continue
-        bad = [(i, w, g) for i, (w, g) in enumerate(zip(wrows, grows)) if w != g][:3]
-        print(f"FAIL {name}: {len([1 for w, g in zip(wrows, grows) if w != g])} mismatched rows, first:")
-        for i, w, g in bad:
-            print(f"  row {i}:\n    oracle: {w}\n    spark:  {g}")
-        n_fail += 1
+        print(f"PASS {name} ({want.num_rows} rows; arrow+pandas{order_note})")
+        n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
