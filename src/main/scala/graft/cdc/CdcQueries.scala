@@ -90,6 +90,16 @@ object CdcQueries {
       .select(col("event_id"), col("table_name").as("source_table"),
         col("target_table"), col("out_message_type"))
       .orderBy("event_id")),
+    // T4b — the initial bulk snapshot (FullRefreshRunner analog): a
+    // partitioned-scan stand-in (customer parquet for the JDBC read)
+    // bulk-copied through the refresh shadow table and the REAL chain —
+    // every row comes out as one refresh-typed envelope. See
+    // [[JdbcSnapshot]].
+    "t04b_snapshot_ingest" -> ((spark: SparkSession, sfDir: String) =>
+      JdbcSnapshot.ingest(Tables.load(spark, sfDir, "customer"),
+          "db0", "t1", "c_custkey", "c_acctbal")
+        .select(envelopeCols.map(col): _*)
+        .orderBy("event_id", "row_idx")),
     "t05_heartbeat_beacons" -> c(_.cdc
       .filter(col("kind") === "heartbeat")
       .select(col("event_id").as("serial"), col("ts_us").as("hb_ts_us"),
@@ -207,6 +217,42 @@ object CdcQueries {
       s"SELECT event_id, table_name FROM datas WHERE table_name IN ${sqlList(expandedWhitelist)} ORDER BY event_id"),
     "t04_refresh_retarget" -> q(
       "SELECT event_id, table_name AS source_table, target_table, out_message_type FROM retargeted WHERE is_refresh ORDER BY event_id"),
+    // t04b is self-contained (its source is the customer snapshot, not
+    // the events replay), mirroring [[JdbcSnapshot.refreshFrame]]'s
+    // derivations and the chain stages the ingest actually runs.
+    "t04b_snapshot_ingest" -> s"""
+WITH snap AS (
+  SELECT CAST(c_custkey AS BIGINT) AS event_id,
+         1700000000000000 + CAST(c_custkey AS BIGINT) AS ts_us,
+         CAST(c_acctbal AS DOUBLE) AS value,
+         CAST(c_custkey * 3 AS INT) AS k,
+         'binlog.000001' AS log_file,
+         CAST(c_custkey AS BIGINT) * 4 AS log_pos
+  FROM customer
+), rows0 AS (
+  SELECT s.*, unnest(generate_series(0, s.k % 3)) AS ridx FROM snap s
+), rws AS (
+  SELECT *, CAST(ridx AS INT) AS row_idx,
+         event_id * 10 + CAST(ridx AS INT) AS payload_id,
+         value + CAST(ridx AS INT) AS payload_value,
+         k + CAST(ridx AS INT) AS payload_k
+  FROM rows0
+)
+SELECT 'refcluster' AS cluster_name, 'db0' AS database_name,
+  't1' AS table_name, 'refresh' AS message_type,
+  log_file, log_pos, row_idx AS pos_offset, ts_us,
+  CAST(1 AS INT) AS schema_id, TRUE AS contains_pii,
+  payload_id, payload_value, payload_k,
+  array_to_string(list_sort(string_split(${CdcOps.TAGS_CASE}, ',')), ',') AS tags_sorted,
+  strftime(make_timestamp(ts_us), '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso,
+  ts_us % 86400000000 AS time_of_day_us,
+  CAST(NULL AS BIGINT) AS prev_id, CAST(NULL AS DOUBLE) AS prev_value,
+  CAST(NULL AS INT) AS prev_k,
+  'refcluster' || ':' || log_file || ':' || CAST(log_pos AS STRING) AS transaction_id,
+  'db0.t1' AS topic,
+  log_file || ':' || lpad(CAST(log_pos AS STRING), 10, '0') || ':' || lpad(CAST(row_idx AS STRING), 4, '0') AS pos_key,
+  event_id, row_idx
+FROM rws ORDER BY event_id, row_idx""",
     "t05_heartbeat_beacons" -> q(
       "SELECT event_id AS serial, ts_us AS hb_ts_us, log_file, log_pos FROM cdc WHERE kind = 'heartbeat' ORDER BY serial"),
     "t06_rows_explode" -> q(

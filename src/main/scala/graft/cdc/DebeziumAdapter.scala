@@ -153,10 +153,17 @@ object DebeziumAdapter {
 
   /** Binlog file name → its rotation sequence (`binlog.000042` → 42);
     * combined with the intra-file byte position this gives the monotone
-    * event position the catalog's ALTER intervals key on. One file holds
-    * < 2^30 byte positions under the default 1 GiB max_binlog_size. */
+    * event position the catalog's ALTER intervals key on. The shift is
+    * 2^40, NOT max_binlog_size (2^30): MySQL never splits a transaction
+    * across files, so a large transaction routinely pushes a file past
+    * max_binlog_size — a 2^30 pack would alias such positions into the
+    * next file's id range, breaking ALTER-interval ordering and letting
+    * the catalog's (table, event_id) replay-dedup skip a genuinely new
+    * ALTER as a replay. 2^40 (1 TiB of intra-file positions, 2^22 files
+    * before the sign bit) keeps the pair ordering exact for any feasible
+    * binlog. */
   private def filePosAsEventId(file: Column, pos: Column): Column =
-    regexp_extract(file, "([0-9]+)$", 1).cast("bigint") * 1073741824L + pos
+    regexp_extract(file, "([0-9]+)$", 1).cast("bigint") * (1L << 40) + pos
 
   /** kafka-source-shaped frame (binary `value` carrying Debezium
     * schema-change JSON) → the engine's DDL-stream contract: one row per
@@ -170,11 +177,15 @@ object DebeziumAdapter {
       .select(
         col("source.name").as("cluster_name"),
         col("databaseName").as("database_name"),
-        // tableChanges ids are quoted-qualified ("db"."table"); empty for
-        // statements with no table target (e.g. CREATE DATABASE)
-        regexp_extract(element_at(col("tableChanges"), 1).getField("id"),
-          "\"([^\"]*)\"$", 1).as("table_name"),
-        element_at(col("tableChanges"), 1).getField("type").as("change_type"),
+        // tableChanges ids are quoted-qualified ("db"."table"); the array
+        // is EMPTY for statements with no table target (e.g. CREATE
+        // DATABASE) — `get` (null-safe under ANSI, unlike element_at)
+        // plus nullif map both the empty array and an empty extracted id
+        // segment back to a null table_name, round-trip-exact with
+        // [[toSchemaChange]]
+        nullif(regexp_extract(get(col("tableChanges"), lit(0)).getField("id"),
+          "\"([^\"]*)\"$", 1), lit("")).as("table_name"),
+        get(col("tableChanges"), lit(0)).getField("type").as("change_type"),
         col("ddl"),
         col("source.file").as("log_file"),
         col("source.pos").as("log_pos"),
@@ -202,9 +213,14 @@ object DebeziumAdapter {
         col("database_name").as("databaseName"),
         lit(null).cast("string").as("schemaName"),
         col("ddl"),
-        array(struct(col("change_type").as("type"),
-          concat(lit("\""), col("database_name"), lit("\".\""),
-            coalesce(col("table_name"), lit("")), lit("\"")).as("id")))
+        // non-table DDL (CREATE DATABASE …) carries NO tableChanges entry
+        // — matching the real connector, and round-tripping a null
+        // table_name exactly (an empty-string id would come back as '')
+        when(col("table_name").isNull,
+          array().cast("array<struct<type:string,id:string>>"))
+          .otherwise(array(struct(col("change_type").as("type"),
+            concat(lit("\""), col("database_name"), lit("\".\""),
+              col("table_name"), lit("\"")).as("id"))))
           .as("tableChanges")).as("payload")))
         .cast("binary").as("value"),
       array().cast(

@@ -887,11 +887,15 @@ object TextOps {
     * "line" is a fixed [[lineWords]]-word segment; on real data the
     * splitter is `split(text, '\n')` and nothing else changes.
     *
-    * Scale: line-df is ONE hash aggregation keyed by line; the
-    * boilerplate set (df ≥ threshold) is the high-frequency HEAD of that
-    * distribution — small by construction — and is broadcast back
-    * against the exploded lines, so the data side never shuffles.
-    * Reassembly state is bounded by document length, never corpus size. */
+    * Scale: line-df is ONE hash aggregation keyed by line. The
+    * boilerplate set (df ≥ minDf) is NOT force-broadcast: at the default
+    * minDf = 2 it is exactly the duplicated-line set, which grows with
+    * the corpus on real web data (the same argument [[duplicatedSpanScrub]]
+    * makes for dup spans) — so the join back is a plain hash join on the
+    * line and AQE promotes it to broadcast only when the set measures
+    * genuinely small at runtime (e.g. production C4-style high-df
+    * thresholds). Reassembly state is bounded by document length, never
+    * corpus size. */
   def boilerplateLines(documents: DataFrame, lineWords: Int = 8,
       minDf: Int = 2): DataFrame = {
     val lines = documents
@@ -907,7 +911,7 @@ object TextOps {
       .select("line")
     // persist above: the exploded-lines frame feeds both the df agg and
     // the join; released with the session (same contract as decontaminate)
-    lines.join(broadcast(boiler.withColumn("is_boiler", lit(true))),
+    lines.join(boiler.withColumn("is_boiler", lit(true)),
         Seq("line"), "left")
       .groupBy("doc_id")
       .agg(
@@ -1365,9 +1369,21 @@ object TextOps {
     * pair: one bench session running both x26 and x31 trains ONCE. The
     * vocab stays checkpointed for the session (clear with
     * [[SharedFrames.clear]]-style test teardown if rotating inputs). */
+  /** Holder mirroring [[SharedFrames]]'s Memoized: `putIfAbsent` elects
+    * ONE winning holder per key and the lazy initializer trains exactly
+    * once no matter how many threads race on first use — a bare
+    * `TrieMap.getOrElseUpdate` can evaluate the thunk twice under
+    * concurrent first use, double-paying BPE training and handing racing
+    * callers different (equivalent) frames. */
+  private final class BpeMemo(
+      compute: () => (Seq[(Int, String, String, String, Long)], DataFrame)) {
+    lazy val value: (Seq[(Int, String, String, String, Long)], DataFrame) =
+      compute()
+  }
+
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-      (Seq[(Int, String, String, String, Long)], DataFrame)]
+      BpeMemo]
 
   private def bpeTrained(documents: DataFrame,
       rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
@@ -1376,7 +1392,8 @@ object TextOps {
     // frames in one session would silently serve the wrong merge table
     val key = (System.identityHashCode(documents.sparkSession),
       documents.queryExecution.analyzed.canonicalized, rounds)
-    bpeCache.getOrElseUpdate(key, bpeTrain(documents, rounds))
+    val fresh = new BpeMemo(() => bpeTrain(documents, rounds))
+    bpeCache.putIfAbsent(key, fresh).getOrElse(fresh).value
   }
 
   /** The x26 training loop, also exposing the final vocabulary state

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.catalog.{SchemaCatalog, TableId}
-import graft.cdc.{CdcOps, CdcReplay, CdcSqlFragments}
+import graft.cdc.{CdcOps, CdcReplay, CdcSqlFragments, DebeziumAdapter}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -303,6 +303,175 @@ object CdcPipeline {
     // as check-then-write because the provisional token is registered in
     // heldTokens (same-JVM checkers see it live) and a cross-process steal
     // requires this pid to be dead.
+    heldTokens.add(runId)
+    val f = lockFile(stateDir)
+    if (Files.exists(f) && Files.readString(f).trim == lockToken(token))
+      Files.writeString(f, lockToken(runId))
+    heldTokens.remove(token)
+    query
+  }
+
+  /** Kafka-wire frame shape (what [[KafkaWire]] produces and a real broker
+    * delivers): topic + binary key/value + headers. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", BinaryType)))))))
+
+  /** Debezium-wire ingestion: the same micro-batch loop as [[start]],
+    * sourced from a Kafka-shaped stream carrying BOTH the connector's
+    * data topics (`<cluster>.<db>.<table>`) and its schema-change topic
+    * (named exactly `<cluster>` — Debezium's `topic.prefix` convention).
+    * A Kafka-sourced deployment needs no custom glue: per batch the
+    * schema-change events drive the catalog FIRST
+    * ([[graft.cdc.DebeziumAdapter.applySchemaChanges]] — the T24
+    * flush-barrier; the connector emits an ALTER before the rows that
+    * follow it, so those rows type under the post-DDL schema), then data
+    * events are typed by the catalog's CURRENT per-table StructType and
+    * written per-topic-ordered + idempotent, exactly like
+    * [[processBatch]]'s sink. Rows for tables the schema-change topic has
+    * not yet created are quarantined under `topic=__unregistered` rather
+    * than dropped or guessed (the reference fetches SHOW CREATE on a
+    * cache miss — that needs a live MySQL, so the wire path records
+    * instead). State mirror (lastBatchId + catalog snapshot incl. ALTER
+    * positions + binlog position) and the batchId dedupe give the same
+    * crash/restart contract as [[start]]; the catalog restore means a
+    * restarted consumer types replayed rows under the same schema
+    * versions (T22b/T30).
+    *
+    * Scale: the per-table loop is control-plane-bounded (#tables in the
+    * batch); each table's projection is one narrow codegen'd pass, the
+    * sink repartition is the only shuffle (per-topic ordering contract).
+    */
+  def startWire(
+      spark: SparkSession,
+      wireDir: String,
+      cluster: String,
+      outDir: String,
+      checkpointDir: String,
+      stateDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val catalog = new SchemaCatalog(piiTables = CdcSqlFragments.PII_TABLES.toSet)
+    val saved = loadState(stateDir)
+    saved.foreach(s => catalog.restore(s.catalogJson)) // T30 recovery
+    var lastCommitted = saved.map(_.lastBatchId).getOrElse(-1L)
+    var lastPosition = saved.map(_.position).getOrElse(Map.empty[String, String])
+
+    val token = java.util.UUID.randomUUID().toString
+    acquireLock(spark, stateDir, token)
+
+    val stream = spark.readStream
+      .schema(wireSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(wireDir)
+
+    @volatile var runId: String = token
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.runId.toString == runId) {
+          if (e.exception.isEmpty) markCleanShutdown(stateDir) // T34
+          releaseLock(stateDir, runId)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+
+    val posKeyCol = concat_ws(":", col("log_file"),
+      lpad(col("log_pos").cast("string"), 10, "0"),
+      lpad(col("row_idx").cast("string"), 4, "0")).as("pos_key")
+
+    val query = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastCommitted) {
+          // T31: replayed batch after restart — already committed; skip.
+        } else {
+          val cached = batch.persist()
+          try {
+            // ---- DDL branch (T19 routing by TOPIC on the wire): the
+            // schema-change topic drives the catalog before any of this
+            // batch's data is typed (T24 flush-barrier parity).
+            val changes = DebeziumAdapter.fromSchemaChange(
+              cached.filter(col("topic") === cluster))
+            DebeziumAdapter.applySchemaChanges(catalog, changes)
+
+            // ---- data branch: parse once; one control-plane pass per
+            // table (the reference's per-table handler shape) types the
+            // row image by the catalog's current StructType.
+            val data = DebeziumAdapter.fromDebezium(
+              cached.filter(col("topic") =!= cluster)).persist()
+            try {
+              val present = data.select("database_name", "table_name")
+                .distinct().collect()
+                .map(r => (r.getString(0), r.getString(1))).sorted
+              val outs = present.toSeq.map { case (db, tbl) =>
+                val slice = data.filter(col("database_name") === db &&
+                  col("table_name") === tbl)
+                // delete carries its image in `before` (Debezium op 'd')
+                val img = when(col("message_type") === "delete",
+                  col("before")).otherwise(col("after"))
+                val meta = Seq(col("message_type"), col("log_file"),
+                  col("log_pos"), col("row_idx"), col("ts_us"),
+                  col("transaction_id"), posKeyCol)
+                catalog.lookup(TableId(cluster, db, tbl)) match {
+                  case Some(ts) =>
+                    val version = 1L + catalog.alterEvents.count(_._1 ==
+                      TableId(cluster, db, tbl))
+                    slice.select(Seq(
+                      concat_ws(".", lit(db), lit(tbl)).as("topic"),
+                      lit(ts.schemaId).as("schema_id"),
+                      lit(ts.containsPii).as("contains_pii"),
+                      lit(version).as("schema_version"),
+                      to_json(struct(ts.struct.fields.toSeq.map(f =>
+                        img.getItem(f.name).cast(f.dataType).as(f.name)): _*))
+                        .as("payload_json")) ++ meta: _*)
+                  case None =>
+                    slice.select(Seq(
+                      lit("__unregistered").as("topic"),
+                      lit(-1).as("schema_id"),
+                      lit(false).as("contains_pii"),
+                      lit(0L).as("schema_version"),
+                      to_json(img).as("payload_json")) ++ meta: _*)
+                }
+              }
+              outs.reduceOption(_ unionByName _).foreach(env =>
+                env.repartition(col("topic"))
+                  .sortWithinPartitions("pos_key")
+                  .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId"))
+
+              // ---- position mirror: the max binlog coordinate across
+              // data AND schema-change events (a DDL-only batch still
+              // advances the position, as the reference's QueryEvent
+              // handling does).
+              val posRow = data.select("log_file", "log_pos")
+                .unionByName(changes.select("log_file", "log_pos"))
+                .agg(max(struct(col("log_file"), col("log_pos"))).as("p"))
+                .collect()(0)
+              val position =
+                if (posRow.isNullAt(0)) Map.empty[String, String]
+                else {
+                  val p = posRow.getStruct(0)
+                  graft.cdc.LogPosition(
+                    logPos = Some(p.getLong(1)), logFile = Some(p.getString(0)),
+                    offset = Some(0)).toDict
+                }
+              lastPosition = mergePosition(lastPosition, position)
+              saveState(stateDir, batchId, catalog, clean = false, lastPosition)
+              lastCommitted = batchId
+            } finally data.unpersist()
+          } finally cached.unpersist()
+        }
+        ()
+      }
+      .start()
+    runId = query.runId.toString
     heldTokens.add(runId)
     val f = lockFile(stateDir)
     if (Files.exists(f) && Files.readString(f).trim == lockToken(token))

@@ -19,7 +19,23 @@ object ScaleRehearsal {
 
   val rehearsed: Seq[String] = Seq(
     "d3_dedup_minhash_lsh", "d6_dedup_clusters", "x27_duplicated_spans",
-    "x32_span_scrub", "x26_bpe_merges")
+    "x32_span_scrub", "x26_bpe_merges",
+    // r5: the two heaviest remaining shapes at 10× — the honest-quadratic
+    // df-capped verify member, and boilerplate removal after its
+    // de-broadcast fix (the dup-line set is corpus-scaled here by
+    // construction: verbatim copies make every line df ≥ 2)
+    "d2_dedup_ngram_jaccard", "x22_boilerplate_lines")
+
+  /** Execute a frame THROUGH ITS OWN QueryExecution (ADVICE r4, medium):
+    * `DataFrameWriter.save` wraps the plan in a SEPARATE QueryExecution,
+    * so the AdaptiveSparkPlanExec visible on `df.queryExecution` never
+    * actually ran — AQE's runtime join flips and the BroadcastExchange
+    * `dataSize` metrics this tool gates on would be read off an
+    * un-executed plan. `toRdd` forces AdaptiveSparkPlanExec to pick its
+    * final physical plan on exactly the instance we subsequently walk,
+    * and draining every partition populates the SQL metrics. */
+  private def execute(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -51,7 +67,7 @@ object ScaleRehearsal {
     val results = rehearsed.map { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, workDir)
-      df.write.format("noop").mode("overwrite").save()
+      execute(df)
       val secs = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
       // scale-killer audit: AQE must not have flipped any pair-scaled
@@ -75,7 +91,7 @@ object ScaleRehearsal {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val t0 = System.nanoTime()
     val raw = graft.data.TextOps.dedupMinhashLsh(spark.read.parquet(docsPath))
-    raw.write.format("noop").mode("overwrite").save()
+    execute(raw)
     val rawSecs = (System.nanoTime() - t0) / 1e9
     def walk(p: SparkPlan): Seq[SparkPlan] =
       p +: (p.children.flatMap(walk) ++ (p match {

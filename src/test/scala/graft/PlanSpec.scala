@@ -308,13 +308,15 @@ class PlanSpec extends AnyFunSuite {
       "x31 vocab join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
   }
 
-  test("d10/d3 carry no broadcast hints — pair frames scale with the corpus") {
+  test("d10/d3/x22 carry no broadcast hints — pair/line frames scale with the corpus") {
     // the candidate-pair / common-count / estimate frames grow ~O(N) with
-    // the corpus; a forced broadcast() would OOM the driver at 100 TB.
-    // AQE may still broadcast at runtime when genuinely small — what this
-    // pins is that the CODE never forces it.
+    // the corpus, and x22's boilerplate set at the default minDf = 2 is
+    // the duplicated-LINE set (corpus-scaled on real web data); a forced
+    // broadcast() would OOM the driver at 100 TB. AQE may still broadcast
+    // at runtime when genuinely small — what this pins is that the CODE
+    // never forces it.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    for (q <- Seq("d10_minhash_calibration")) {
+    for (q <- Seq("d10_minhash_calibration", "x22_boilerplate_lines")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
       assert(hints.isEmpty, s"$q must not force broadcasts:\n${hints.mkString("\n")}")

@@ -14,14 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DebeziumAdapterSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("debezium-adapter-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Tables.session, NOT a bare builder: getOrCreate would otherwise let
+  // this suite win the JVM-wide session race WITHOUT GraftExtensions,
+  // breaking any concurrently-run suite that needs the native functions
+  private lazy val spark = Tables.session("debezium-adapter-spec", "4")
 
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -111,7 +107,9 @@ class DebeziumAdapterSpec extends AnyFunSuite {
     val ts = catalog.lookup(id).get
     assert(ts.struct.fieldNames.toSeq == Seq("id", "name", "email"))
     assert(ts.pkeys == Seq("id") && !ts.struct("email").nullable)
-    assert(catalog.alterEvents == Seq(id -> (3L * 1073741824L + 450L)))
+    // 2^40 file shift: a transaction can push a file past max_binlog_size
+    // (2^30), so the pack must not alias large pos into the next file
+    assert(catalog.alterEvents == Seq(id -> (3L * (1L << 40) + 450L)))
     // replaying the same stream is idempotent (crash-replayed batch)
     DebeziumAdapter.applySchemaChanges(catalog, parsed)
     assert(catalog.alterEvents.size == 1)
@@ -131,6 +129,25 @@ class DebeziumAdapterSpec extends AnyFunSuite {
     val row = typed.collect()(0)
     assert(row.getInt(0) == 7 && row.getString(1) == "amy" &&
       row.getString(2) == "amy@x.io")
+  }
+
+  test("non-table DDL round-trips a null table_name via an empty tableChanges array") {
+    import spark.implicits._
+    // CREATE DATABASE has no table target: the wire event must carry an
+    // EMPTY tableChanges array (not a '"db".""' id), and ingest must map
+    // that back to a null table_name — not the empty string a bare
+    // regexp_extract would produce
+    val ddls = Seq(
+      ("dbzcluster", "analytics", Option.empty[String], Option.empty[String],
+        "CREATE DATABASE `analytics`", "binlog.000004", 4L, 1700000002000000L))
+      .toDF("cluster_name", "database_name", "table_name", "change_type",
+        "ddl", "log_file", "log_pos", "ts_us")
+    val back = DebeziumAdapter.fromSchemaChange(
+      KafkaWire.broker(DebeziumAdapter.toSchemaChange(ddls)))
+      .select("database_name", "table_name", "change_type", "ddl")
+      .as[(String, Option[String], Option[String], String)].collect().toSeq
+    assert(back ==
+      Seq(("analytics", None, None, "CREATE DATABASE `analytics`")))
   }
 
   test("gtid mode wins over the file:pos fallback when present") {

@@ -1,5 +1,6 @@
 package graft.data
 
+import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -15,13 +16,10 @@ import scala.util.Random
   */
 class BpeMergesSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("bpe-merges-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Tables.session, NOT a bare builder: getOrCreate would otherwise let
+  // this suite win the JVM-wide session race WITHOUT GraftExtensions,
+  // breaking any concurrently-run suite that needs the native functions
+  private lazy val spark = Tables.session("bpe-merges-spec", "4")
 
   /** Straight-line reference: same contract as TextOps.bpeMerges. */
   private def reference(texts: Seq[String], rounds: Int): Seq[(Int, String, String, String, Long)] = {

@@ -1,5 +1,6 @@
 package graft.data
 
+import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -14,13 +15,10 @@ import scala.util.Random
   * and docs shorter than the window. */
 class SpanScrubSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("span-scrub-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Tables.session, NOT a bare builder: getOrCreate would otherwise let
+  // this suite win the JVM-wide session race WITHOUT GraftExtensions,
+  // breaking any concurrently-run suite that needs the native functions
+  private lazy val spark = Tables.session("span-scrub-spec", "4")
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

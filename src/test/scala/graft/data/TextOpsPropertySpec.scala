@@ -1,5 +1,6 @@
 package graft.data
 
+import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -14,13 +15,10 @@ import scala.util.Random
   */
 class TextOpsPropertySpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("textops-property-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Tables.session, NOT a bare builder: getOrCreate would otherwise let
+  // this suite win the JVM-wide session race WITHOUT GraftExtensions,
+  // breaking any concurrently-run suite that needs the native functions
+  private lazy val spark = Tables.session("textops-property-spec", "4")
 
   private val LineWords = 8
   private val MinDf = 2

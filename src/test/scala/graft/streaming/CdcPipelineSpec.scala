@@ -14,14 +14,10 @@ import java.nio.file.Files
   */
 class CdcPipelineSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("cdc-pipeline-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Tables.session, NOT a bare builder: getOrCreate would otherwise let
+  // this suite win the JVM-wide session race WITHOUT GraftExtensions,
+  // breaking any concurrently-run suite that needs the native functions
+  private lazy val spark = Tables.session("cdc-pipeline-spec", "4")
 
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -402,5 +398,133 @@ class CdcPipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(v400 == Seq((2L, """{"id":4000,"k":2,"c2":4}""")),
       s"post-restart batch must keep the evolved schema: $v400")
+  }
+
+  test("bulk-snapshot bootstrap then incremental: JDBC-shaped ingest feeds the changelog (T4b)") {
+    import spark.implicits._
+    import graft.cdc.JdbcSnapshot
+    // snapshot of a source table (parquet stand-in for the partitioned
+    // JDBC read), bulk-copied through the refresh shadow path — the
+    // FullRefreshRunner analog
+    val src = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+    val snapEnv = JdbcSnapshot.ingest(src, "db0", "t1", "id", "bal")
+    assert(snapEnv.select("message_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("refresh"))
+    assert(snapEnv.count() == 3, "a bulk copy emits each source row exactly once")
+
+    // incremental traffic AFTER the snapshot (next binlog file): an
+    // update of id 2 and a delete of id 3, through the SAME operator
+    // chain the snapshot used
+    val inc = Seq((2L, "update", 21.0), (3L, "delete", 0.0))
+      .toDF("id", "mt", "bal")
+      .select(
+        col("id").as("event_id"),
+        (lit(1700000001000000L) + col("id")).as("ts_us"),
+        col("bal").as("value"),
+        (col("id") * 3).cast("int").as("k"),
+        lit("data").as("kind"),
+        col("mt").as("message_type"),
+        lit("db0").as("database_name"),
+        lit("t1").as("base_table"),
+        lit("t1").as("table_name"),
+        lit(false).as("is_refresh"),
+        lit("binlog.000002").as("log_file"),
+        (col("id") * 4).as("log_pos"))
+    val filtered = CdcOps.blacklistFilter(CdcOps.retarget(CdcOps.whitelist(inc)))
+    val rows = CdcOps.explodeRows(filtered)
+    val incEnv = CdcOps.envelope(CdcOps.typeTransforms(CdcOps.images(
+      CdcOps.enrich(rows, CdcOps.registry(filtered)))))
+
+    // bootstrap-then-follow: union + t13b materialize. The snapshot seeds
+    // every row; incremental wins wherever its binlog position is later.
+    val state = snapEnv.unionByName(incEnv)
+      .groupBy("database_name", "table_name", "payload_id")
+      .agg(expr("max_by(message_type, pos_key)").as("last_type"),
+        expr("max_by(payload_value, pos_key)").as("v"))
+      .filter(col("last_type") =!= "delete")
+    val got = state.select(col("payload_id"), col("v")).as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(10L -> 10.0, 20L -> 21.0),
+      s"id1 from the snapshot, id2 from the update, id3 deleted: $got")
+  }
+
+  test("wire mode: interleaved Debezium data + schema-change events across a restart") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdc-wire").toString
+    val wireDir = s"$root/wire"; val outDir = s"$root/out"
+    val ckDir = s"$root/ck"; val stDir = s"$root/state"
+    val cluster = "dbzcluster"
+
+    def src(pos: Long, tbl: String) =
+      s""""source":{"version":"2.6","connector":"mysql","name":"$cluster","ts_ms":1700000000000,"db":"inventory","table":"$tbl","server_id":1,"gtid":null,"file":"binlog.000001","pos":$pos,"row":0}"""
+
+    def dataEvent(tbl: String, pos: Long, op: String, after: String,
+        before: String = "null") =
+      (s"$cluster.inventory.$tbl",
+        s"""{"payload":{"before":$before,"after":$after,${src(pos, tbl)},"op":"$op","ts_ms":1700000000000}}""")
+
+    def schemaEvent(pos: Long, ddl: String, typ: String) =
+      (cluster,
+        s"""{"payload":{${src(pos, "customers")},"ts_ms":1700000000000,"databaseName":"inventory","schemaName":null,"ddl":"$ddl","tableChanges":[{"type":"$typ","id":"\\"inventory\\".\\"customers\\""}]}}""")
+
+    def writeSeg(events: Seq[(String, String)]): Unit = {
+      events.toDF("topic", "json")
+        .select(col("topic"), lit(null).cast("binary").as("key"),
+          col("json").cast("binary").as("value"),
+          array().cast("array<struct<key:string,value:binary>>").as("headers"))
+        .coalesce(1).write.mode("append").parquet(wireDir)
+      Thread.sleep(100) // distinct mtimes → the file source preserves order
+    }
+
+    // segment 1: CREATE + two inserts, plus one row for a table the
+    // schema-change topic never created (quarantine path)
+    writeSeg(Seq(
+      schemaEvent(100,
+        "CREATE TABLE `customers` (id INT PRIMARY KEY, name VARCHAR(64))",
+        "CREATE"),
+      dataEvent("customers", 200, "c", """{"id":"1","name":"bob"}"""),
+      dataEvent("customers", 300, "c", """{"id":"2","name":"amy"}"""),
+      dataEvent("orders", 350, "c", """{"id":"9"}""")))
+    CdcPipeline.startWire(spark, wireDir, cluster, outDir, ckDir, stDir)
+      .awaitTermination()
+    val b0 = spark.read.parquet(s"$outDir/batch=0")
+    val cust0 = b0.filter(col("topic") === "inventory.customers")
+      .orderBy("pos_key").select("schema_version", "payload_json")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(cust0 == Seq(
+      (1L, """{"id":1,"name":"bob"}"""), (1L, """{"id":2,"name":"amy"}""")),
+      s"wire rows must type under the schema-change topic's CREATE: $cust0")
+    assert(b0.filter(col("topic") === "__unregistered").count() == 1,
+      "rows for never-created tables are quarantined, not dropped")
+
+    // segment 2 after a shutdown: ALTER + a post-ALTER insert + an
+    // update. The restarted consumer restores the catalog from the state
+    // mirror, applies the new DDL, and types new rows under the evolved
+    // schema — no custom glue between the topics and the catalog.
+    writeSeg(Seq(
+      schemaEvent(400, "ALTER TABLE `customers` ADD email VARCHAR(128)",
+        "ALTER"),
+      dataEvent("customers", 500, "c",
+        """{"id":"3","name":"joe","email":"joe@x.io"}"""),
+      dataEvent("customers", 600, "u",
+        """{"id":"1","name":"bob","email":"bob@x.io"}""",
+        """{"id":"1","name":"bob","email":null}""")))
+    CdcPipeline.startWire(spark, wireDir, cluster, outDir, ckDir, stDir)
+      .awaitTermination()
+    val b1 = spark.read.parquet(s"$outDir/batch=1")
+      .filter(col("topic") === "inventory.customers")
+      .orderBy("pos_key")
+      .select("schema_version", "message_type", "payload_json")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(b1 == Seq(
+      (2L, "create", """{"id":3,"name":"joe","email":"joe@x.io"}"""),
+      (2L, "update", """{"id":1,"name":"bob","email":"bob@x.io"}""")),
+      s"post-ALTER wire rows must carry the evolved column set: $b1")
+    // batch 0 output untouched by the restart (idempotent sink + dedupe)
+    assert(spark.read.parquet(s"$outDir/batch=0")
+      .filter(col("topic") === "inventory.customers").count() == 2)
+    // state mirror advanced to the wire's max binlog coordinate
+    val st = CdcPipeline.loadState(stDir).get
+    assert(st.lastBatchId == 1L && st.position("log_pos") == "600")
   }
 }
