@@ -96,6 +96,14 @@ def pandas_gate(name, con, sql, out_dir):
              for row in wdf.itertuples(index=False, name=None)]
     grows = [tuple(norm_pandas(v) for v in row)
              for row in gdf.itertuples(index=False, name=None)]
+    # the driver HASHES the normalized rows; a bytearray (DuckDB BLOB via
+    # .df()) is unhashable and crashes its gate even when sort_values
+    # survives — mirror that crash class here
+    try:
+        for r in wrows + grows:
+            hash(r)
+    except TypeError as e:
+        return f"row hash crashed (driver would err): {e}"
     if wrows == grows:
         return None
     bad = [(i, w, g) for i, (w, g) in enumerate(zip(wrows, grows)) if w != g]
@@ -104,7 +112,82 @@ def pandas_gate(name, con, sql, out_dir):
             f"first row {i}:\n    oracle: {w}\n    spark:  {g}")
 
 
+def selftest_gate():
+    """Pin the driver-gate REPRESENTATION contract (the r4 house rules).
+
+    The three live wire types that are arrow-exact but break the driver's
+    pandas-based hash gate must keep FAILING this mirror, and their
+    gate-safe re-projections (unscaled BIGINT, digit-string for the
+    DECIMAL(20,0) boundary, exact f32→f64 widening, upper-hex binary)
+    must keep PASSING. If a pandas/duckdb upgrade flips any verdict, the
+    mirror no longer predicts the driver — recalibrate before trusting a
+    local PASS. Usage: verify_local.py --selftest"""
+    import decimal
+    import os
+    import tempfile
+    import pyarrow as pa
+    import numpy as np
+    D = decimal.Decimal
+    cases = [
+        # (name, oracle SQL (DuckDB), spark-side arrow table, must_detect)
+        ("live_decimal20",  # >15-16 significant digits: str(float64) goes
+                            # scientific, str(Decimal) does not → hash-fail
+         "SELECT CAST('18446744073709551615' AS DECIMAL(20,0)) AS v "
+         "UNION ALL SELECT CAST('18446744073709551614' AS DECIMAL(20,0))",
+         pa.table({"v": pa.array(
+             [D("18446744073709551615"), D("18446744073709551614")],
+             pa.decimal128(20, 0))}),
+         True),
+        ("live_binary",  # DuckDB BLOB → bytearray → driver hash crash
+         "SELECT '\\x01\\x02'::BLOB AS v UNION ALL SELECT '\\x01\\x03'::BLOB",
+         pa.table({"v": pa.array([b"\x01\x02", b"\x01\x03"], pa.binary())}),
+         True),
+        ("gate_digit_string",
+         "SELECT CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) AS STRING) AS v",
+         pa.table({"v": pa.array(["18446744073709551615"])}),
+         False),
+        ("gate_unscaled_bigint",
+         "SELECT CAST(123456789012345 AS BIGINT) AS v",
+         pa.table({"v": pa.array([123456789012345], pa.int64())}),
+         False),
+        ("gate_hex",
+         "SELECT upper(hex('\\x01\\x02'::BLOB)) AS v",
+         pa.table({"v": pa.array(["0102"])}),
+         False),
+        ("gate_f32_widen",  # widening is exact: both engines land on the
+                            # same float64, so str() agrees
+         "SELECT CAST(CAST(0.1 AS FLOAT) AS DOUBLE) AS v",
+         pa.table({"v": pa.array([np.float64(np.float32(0.1))], pa.float64())}),
+         False),
+    ]
+    con = duckdb.connect()
+    n_bad = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, sql, spark_tbl, must_detect in cases:
+            d = os.path.join(tmp, name)
+            os.makedirs(d)
+            pq.write_table(spark_tbl, os.path.join(d, "part-0.parquet"))
+            err = pandas_gate(name, con, sql, tmp)
+            detected = err is not None
+            if detected == must_detect:
+                verdict = "detected" if detected else "clean pass"
+                print(f"PIN  {name}: {verdict} (as calibrated)")
+            else:
+                n_bad += 1
+                if must_detect:
+                    print(f"DRIFT {name}: gate no longer detects this live "
+                          f"type — driver behavior may have diverged")
+                else:
+                    print(f"DRIFT {name}: gate-safe projection now fails "
+                          f"the mirror: {err}")
+    print(f"== selftest: {len(cases) - n_bad}/{len(cases)} pins hold")
+    sys.exit(1 if n_bad else 0)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest_gate()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
