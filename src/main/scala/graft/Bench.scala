@@ -28,7 +28,7 @@ object Bench {
     * relational joins/windows, the dedup family, ANN, text analysis. */
   val headline: Seq[String] = Seq(
     "t12_envelope", "t12b_avro_roundtrip", "t13b_materialize", "t31_replay_dedupe",
-    "t04b_snapshot_ingest",
+    "t04b_snapshot_ingest", "t04c_bootstrap_materialize",
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_revenue_forecast", "q07_supplier_running_revenue",

@@ -100,6 +100,31 @@ object CdcQueries {
           "db0", "t1", "c_custkey", "c_acctbal")
         .select(envelopeCols.map(col): _*)
         .orderBy("event_id", "row_idx")),
+    // T4c — the bootstrap COMPLETION: snapshot envelope ∪ incremental
+    // changelog, materialized t13b-style. The snapshot seeds every source
+    // row; any incremental change to the same (db, table, payload_id)
+    // with a later pos_key wins; deletes tombstone. Cross-stream pos_key
+    // ties are impossible by construction (snapshot pos = 4·key in file
+    // binlog.000001; replay pos = 4·(event_id % 1000) + 4 in file
+    // binlog.⌊event_id/1000⌋ — equal (file, pos) has no solution), so
+    // max_by is deterministic.
+    "t04c_bootstrap_materialize" -> ((spark: SparkSession, sfDir: String) => {
+      val snap = JdbcSnapshot.ingest(Tables.load(spark, sfDir, "customer"),
+          "db0", "t1", "c_custkey", "c_acctbal")
+        .select(envelopeCols.map(col): _*)
+      val env = new CdcChain(spark, sfDir).env
+        .select(envelopeCols.map(col): _*)
+      snap.unionByName(env)
+        .groupBy("database_name", "table_name", "payload_id")
+        .agg(
+          max("pos_key").as("last_pos"),
+          expr("max_by(message_type, pos_key)").as("last_type"),
+          expr("max_by(payload_value, pos_key)").as("payload_value"),
+          expr("max_by(payload_k, pos_key)").as("payload_k"),
+          count(lit(1)).as("n_versions"))
+        .filter(col("last_type") =!= "delete")
+        .orderBy("database_name", "table_name", "payload_id")
+    }),
     "t05_heartbeat_beacons" -> c(_.cdc
       .filter(col("kind") === "heartbeat")
       .select(col("event_id").as("serial"), col("ts_us").as("hb_ts_us"),
@@ -284,6 +309,44 @@ FROM rws ORDER BY event_id, row_idx""",
                   max_by(payload_k, pos_key) AS payload_k,
                   CAST(count(*) AS BIGINT) AS n_versions
            FROM envelope GROUP BY 1, 2, 3) m
+         WHERE last_type <> 'delete'
+         ORDER BY database_name, table_name, payload_id"""),
+    // t04c continues the prologue's WITH chain (leading comma): snapshot
+    // envelope rebuilt from customer, unioned with the replay changelog,
+    // materialized exactly like t13b.
+    "t04c_bootstrap_materialize" -> q(
+      """, snap04 AS (
+           SELECT CAST(c_custkey AS BIGINT) AS event_id,
+                  CAST(c_acctbal AS DOUBLE) AS value,
+                  CAST(c_custkey * 3 AS INT) AS k,
+                  'binlog.000001' AS log_file,
+                  CAST(c_custkey AS BIGINT) * 4 AS log_pos
+           FROM customer
+         ), snaprows04 AS (
+           SELECT s.*, unnest(generate_series(0, s.k % 3)) AS ridx FROM snap04 s
+         ), snapenv04 AS (
+           SELECT 'db0' AS database_name, 't1' AS table_name,
+                  event_id * 10 + CAST(ridx AS INT) AS payload_id,
+                  'refresh' AS message_type,
+                  value + CAST(ridx AS INT) AS payload_value,
+                  k + CAST(ridx AS INT) AS payload_k,
+                  log_file || ':' || lpad(CAST(log_pos AS STRING), 10, '0') || ':' || lpad(CAST(ridx AS STRING), 4, '0') AS pos_key
+           FROM snaprows04
+         ), boot04 AS (
+           SELECT database_name, table_name, payload_id, message_type,
+                  payload_value, payload_k, pos_key FROM snapenv04
+           UNION ALL
+           SELECT database_name, table_name, payload_id, message_type,
+                  payload_value, payload_k, pos_key FROM envelope
+         )
+         SELECT * FROM (
+           SELECT database_name, table_name, payload_id,
+                  max(pos_key) AS last_pos,
+                  max_by(message_type, pos_key) AS last_type,
+                  max_by(payload_value, pos_key) AS payload_value,
+                  max_by(payload_k, pos_key) AS payload_k,
+                  CAST(count(*) AS BIGINT) AS n_versions
+           FROM boot04 GROUP BY 1, 2, 3) m
          WHERE last_type <> 'delete'
          ORDER BY database_name, table_name, payload_id"""),
     "t14_transaction_id" -> q(
