@@ -66,7 +66,7 @@ object JdbcSnapshot {
 
   /** The FullRefreshRunner analog end-to-end: snapshot rows → refresh
     * envelopes THROUGH THE REAL CHAIN (whitelist → T4 retarget →
-    * blacklist → explode → registry → enrich → images → transforms →
+    * blacklist → explode → degenerate registry → images → transforms →
     * envelope). Snapshot traffic is not a parallel code path — it is the
     * same declarative operator chain incremental traffic runs, entered
     * one stage earlier; a consumer unions this with the incremental
@@ -78,7 +78,18 @@ object JdbcSnapshot {
     val filtered =
       CdcOps.blacklistFilter(CdcOps.retarget(CdcOps.whitelist(frame)))
     val rows = CdcOps.explodeRows(filtered)
-    val enriched = CdcOps.enrich(rows, CdcOps.registry(filtered))
+    // The registry of a SINGLE-table snapshot is degenerate — one row,
+    // (schema_id 1, pii-by-table) — so it attaches as literals. Running
+    // the generic registry+enrich here instead builds a window over one
+    // row and a join whose keys are both constants, which Catalyst
+    // degrades to a BroadcastNestedLoopJoin (caught by the t04c
+    // PlanSpec audit); same values, worse plan. A multi-table bootstrap
+    // is one `ingest` call per table, exactly like the reference runs
+    // one FullRefreshRunner per table.
+    val enriched = rows
+      .withColumn("schema_id", lit(1))
+      .withColumn("contains_pii",
+        lit(CdcSqlFragments.PII_TABLES.contains(baseTable)))
     CdcOps.envelope(CdcOps.typeTransforms(CdcOps.images(enriched)))
   }
 }

@@ -308,6 +308,21 @@ class PlanSpec extends AnyFunSuite {
       "x31 vocab join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
   }
 
+  test("t04c bootstrap materialize: no cartesian/nested-loop, one keyed agg over the union") {
+    // snapshot ∪ changelog → materialize: the only honest shuffle is the
+    // (db, table, payload_id) aggregation (plus the memoized envelope's
+    // checkpoint scan partitioning); both registry joins broadcast
+    val (s, p) = planOf("t04c_bootstrap_materialize")
+    // the snapshot side attaches its degenerate 1-table registry as
+    // literals (see JdbcSnapshot.ingest) — a constant-keyed join here
+    // degrades to a nested loop, which this pin caught once already
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "bootstrap must not nested-loop:\n" + s.linesIterator.take(30).mkString("\n"))
+    assert(countShuffles(p) <= 3,
+      s"bootstrap materialize grew extra shuffles (${countShuffles(p)}):\n" +
+        s.linesIterator.take(40).mkString("\n"))
+  }
+
   test("d10/d3/x22 carry no broadcast hints — pair/line frames scale with the corpus") {
     // the candidate-pair / common-count / estimate frames grow ~O(N) with
     // the corpus, and x22's boilerplate set at the default minDf = 2 is
