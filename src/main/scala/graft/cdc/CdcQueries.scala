@@ -250,9 +250,9 @@ WITH snap AS (
   SELECT CAST(c_custkey AS BIGINT) AS event_id,
          1700000000000000 + CAST(c_custkey AS BIGINT) AS ts_us,
          CAST(c_acctbal AS DOUBLE) AS value,
-         CAST(c_custkey * 3 AS INT) AS k,
+         CAST((CAST(c_custkey AS BIGINT) % 100000) * 3 AS INT) AS k,
          'binlog.000001' AS log_file,
-         CAST(c_custkey AS BIGINT) * 4 AS log_pos
+         (CAST(c_custkey AS BIGINT) % 1000000000) * 4 AS log_pos
   FROM customer
 ), rows0 AS (
   SELECT s.*, unnest(generate_series(0, s.k % 3)) AS ridx FROM snap s
@@ -318,9 +318,9 @@ FROM rws ORDER BY event_id, row_idx""",
       """, snap04 AS (
            SELECT CAST(c_custkey AS BIGINT) AS event_id,
                   CAST(c_acctbal AS DOUBLE) AS value,
-                  CAST(c_custkey * 3 AS INT) AS k,
+                  CAST((CAST(c_custkey AS BIGINT) % 100000) * 3 AS INT) AS k,
                   'binlog.000001' AS log_file,
-                  CAST(c_custkey AS BIGINT) * 4 AS log_pos
+                  (CAST(c_custkey AS BIGINT) % 1000000000) * 4 AS log_pos
            FROM customer
          ), snaprows04 AS (
            SELECT s.*, unnest(generate_series(0, s.k % 3)) AS ridx FROM snap04 s

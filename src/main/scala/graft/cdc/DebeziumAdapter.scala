@@ -165,6 +165,14 @@ object DebeziumAdapter {
   private def filePosAsEventId(file: Column, pos: Column): Column =
     regexp_extract(file, "([0-9]+)$", 1).cast("bigint") * (1L << 40) + pos
 
+  /** The packed (file_seq, pos) event position, public: wire-mode
+    * consumers place DATA rows on the same monotone axis the catalog's
+    * ALTER intervals use, so a row types under the schema active at its
+    * own binlog position (T22b) even when it shares a batch with the
+    * ALTER. */
+  def packedEventId(file: Column, pos: Column): Column =
+    filePosAsEventId(file, pos)
+
   /** kafka-source-shaped frame (binary `value` carrying Debezium
     * schema-change JSON) → the engine's DDL-stream contract: one row per
     * statement with the coordinates the catalog records ALTER intervals

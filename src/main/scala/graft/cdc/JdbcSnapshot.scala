@@ -40,12 +40,18 @@ object JdbcSnapshot {
     * precisely what the reference's copy loop makes the binlog emit. All
     * derivations are deterministic functions of the key/value columns so
     * a DuckDB oracle can replay them:
-    *   - `event_id` = key; `log_pos` = key * 4 in the given snapshot
-    *     binlog file (positions are synthetic but strictly monotone in
-    *     key, preserving the copy order);
-    *   - `k` = 3 * key — `k % 3 == 0`, so [[CdcOps.explodeRows]] emits
-    *     EXACTLY ONE row image per source row (a bulk copy must not
-    *     duplicate rows), while `k % 4` still varies for the SET column;
+    *   - `event_id` = key; `log_pos` = (key mod 10^9) * 4 in the given
+    *     snapshot binlog file — the modulus keeps the position inside
+    *     pos_key's 10-digit pad (Spark's lpad TRUNCATES overlong input,
+    *     which would corrupt the total order) for ANY key; snapshot rows
+    *     appear once per payload_id, so intra-snapshot position aliasing
+    *     above 10^9 keys never affects a max_by winner;
+    *   - `k` = 3 * (key mod 10^5) — the modulus keeps the Int from
+    *     overflowing on production-scale keys (a negative k would make
+    *     explodeRows' `sequence(0, k % 3)` DESCEND and duplicate rows);
+    *     `k % 3 == 0`, so [[CdcOps.explodeRows]] emits EXACTLY ONE row
+    *     image per source row (a bulk copy must not duplicate rows),
+    *     while `k % 4` still varies for the SET column;
     *   - `message_type` = 'create' (WriteRows), retargeted to 'refresh'
     *     by the standard T4 path. */
   def refreshFrame(snapshot: DataFrame, database: String, baseTable: String,
@@ -54,7 +60,7 @@ object JdbcSnapshot {
       col(keyCol).cast("bigint").as("event_id"),
       (lit(1700000000000000L) + col(keyCol).cast("bigint")).as("ts_us"),
       col(valueCol).cast("double").as("value"),
-      (col(keyCol) * 3).cast("int").as("k"),
+      ((col(keyCol).cast("bigint") % 100000L) * 3).cast("int").as("k"),
       lit("data").as("kind"),
       lit("create").as("message_type"),
       lit(database).as("database_name"),
@@ -62,7 +68,7 @@ object JdbcSnapshot {
       lit(baseTable + CdcSqlFragments.REFRESH_SUFFIX).as("table_name"),
       lit(true).as("is_refresh"),
       lit(f"binlog.$fileSeq%06d").as("log_file"),
-      (col(keyCol).cast("bigint") * 4).as("log_pos"))
+      ((col(keyCol).cast("bigint") % 1000000000L) * 4).as("log_pos"))
 
   /** The FullRefreshRunner analog end-to-end: snapshot rows → refresh
     * envelopes THROUGH THE REAL CHAIN (whitelist → T4 retarget →

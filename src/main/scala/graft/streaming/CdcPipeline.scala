@@ -232,10 +232,6 @@ object CdcPipeline {
     var lastCommitted = saved.map(_.lastBatchId).getOrElse(-1L)
     var lastPosition = saved.map(_.position).getOrElse(Map.empty[String, String])
 
-    // provisional lock token; swapped for the streaming runId once known
-    val token = java.util.UUID.randomUUID().toString
-    acquireLock(spark, stateDir, token)
-
     val stream = spark.readStream
       .schema(replaySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -257,20 +253,56 @@ object CdcPipeline {
     val cdcStream = CdcOps.admit(CdcReplay.fromEvents(stream))
       .observe("cdc", observeCols.head, observeCols.tail: _*)
 
+    withStreamLifecycle(spark, stateDir, onProgress = e => {
+      val m = e.progress.observedMetrics.get("cdc")
+      if (m != null) statsSink(BatchStats(
+        e.progress.batchId,
+        m.getAs[Long]("events"),
+        m.getAs[Long]("heartbeats"),
+        Option(m.getAs[java.lang.Long]("hb_max_ts_us")).map(_.longValue),
+        CdcSqlFragments.WHITELIST.map(t => t -> m.getAs[Long](s"n_$t")).toMap))
+    }) {
+      cdcStream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId <= lastCommitted) {
+            // T31: replayed batch after restart — side effects already
+            // committed; skip (offset-dedupe parity).
+          } else {
+            val position = processBatch(spark, batch, batchId, catalog, outDir,
+              materializeDir)
+            lastPosition = mergePosition(lastPosition, position)
+            saveState(stateDir, batchId, catalog, clean = false, lastPosition)
+            lastCommitted = batchId
+          }
+          ()
+        }
+        .start()
+    }
+  }
+
+  /** Shared [[start]]/[[startWire]] lifecycle: acquire the instance lock
+    * (T35) under a provisional token, install the termination listener
+    * (T34 clean-shutdown flag + lock release + progress fan-out), build
+    * the query, then swap the token for the real runId — but ONLY if we
+    * still hold the lock (never clobber a token another process placed).
+    * The check-then-write swap is safe because the provisional token is
+    * registered in heldTokens (same-JVM checkers see it live) and a
+    * cross-process steal requires this pid to be dead. Factored so a
+    * locking-protocol fix can never drift between the two entry points. */
+  private def withStreamLifecycle(
+      spark: SparkSession, stateDir: String,
+      onProgress: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent => Unit = _ => ())(
+      mk: => StreamingQuery): StreamingQuery = {
+    val token = java.util.UUID.randomUUID().toString
+    acquireLock(spark, stateDir, token)
     @volatile var runId: String = token
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.runId.toString == runId) {
-          val m = e.progress.observedMetrics.get("cdc")
-          if (m != null) statsSink(BatchStats(
-            e.progress.batchId,
-            m.getAs[Long]("events"),
-            m.getAs[Long]("heartbeats"),
-            Option(m.getAs[java.lang.Long]("hb_max_ts_us")).map(_.longValue),
-            CdcSqlFragments.WHITELIST.map(t => t -> m.getAs[Long](s"n_$t")).toMap))
-        }
+        if (e.progress.runId.toString == runId) onProgress(e)
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.runId.toString == runId) {
           if (e.exception.isEmpty) markCleanShutdown(stateDir) // T34
@@ -279,30 +311,8 @@ object CdcPipeline {
         }
     }
     spark.streams.addListener(listener)
-
-    val query = cdcStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId <= lastCommitted) {
-          // T31: replayed batch after restart — side effects already
-          // committed; skip (offset-dedupe parity).
-        } else {
-          val position = processBatch(spark, batch, batchId, catalog, outDir,
-            materializeDir)
-          lastPosition = mergePosition(lastPosition, position)
-          saveState(stateDir, batchId, catalog, clean = false, lastPosition)
-          lastCommitted = batchId
-        }
-        ()
-      }
-      .start()
+    val query = mk
     runId = query.runId.toString
-    // swap the provisional token for the real runId — but ONLY if we still
-    // hold the lock (never clobber a token another process placed). Safe
-    // as check-then-write because the provisional token is registered in
-    // heldTokens (same-JVM checkers see it live) and a cross-process steal
-    // requires this pid to be dead.
     heldTokens.add(runId)
     val f = lockFile(stateDir)
     if (Files.exists(f) && Files.readString(f).trim == lockToken(token))
@@ -326,21 +336,24 @@ object CdcPipeline {
     * data topics (`<cluster>.<db>.<table>`) and its schema-change topic
     * (named exactly `<cluster>` — Debezium's `topic.prefix` convention).
     * A Kafka-sourced deployment needs no custom glue: per batch the
-    * schema-change events drive the catalog FIRST
-    * ([[graft.cdc.DebeziumAdapter.applySchemaChanges]] — the T24
-    * flush-barrier; the connector emits an ALTER before the rows that
-    * follow it, so those rows type under the post-DDL schema), then data
-    * events are typed by the catalog's CURRENT per-table StructType and
-    * written per-topic-ordered + idempotent, exactly like
-    * [[processBatch]]'s sink. Rows for tables the schema-change topic has
-    * not yet created are quarantined under `topic=__unregistered` rather
-    * than dropped or guessed (the reference fetches SHOW CREATE on a
-    * cache miss — that needs a live MySQL, so the wire path records
-    * instead). State mirror (lastBatchId + catalog snapshot incl. ALTER
-    * positions + binlog position) and the batchId dedupe give the same
-    * crash/restart contract as [[start]]; the catalog restore means a
-    * restarted consumer types replayed rows under the same schema
-    * versions (T22b/T30).
+    * schema-change statements and the data rows are interleaved on the
+    * PACKED BINLOG POSITION axis ([[graft.cdc.DebeziumAdapter.packedEventId]])
+    * — each data row types under the catalog state at its OWN position,
+    * with DDL applied between position segments (the T24 flush-barrier
+    * made real inside the batch: a row BEFORE an in-batch ALTER keeps
+    * the pre-ALTER column set and version, T22b parity with the replay
+    * path's intervals) — then written per-topic-ordered + idempotent,
+    * exactly like [[processBatch]]'s sink. Debezium delete TOMBSTONES
+    * (null Kafka value) are dropped by contract; unparseable records are
+    * quarantined under `topic=__unparsed`; rows for tables the
+    * schema-change topic has not yet created are quarantined under
+    * `topic=__unregistered` rather than dropped or guessed (the
+    * reference fetches SHOW CREATE on a cache miss — that needs a live
+    * MySQL, so the wire path records instead). State mirror (lastBatchId
+    * + catalog snapshot incl. ALTER positions + binlog position) and the
+    * batchId dedupe give the same crash/restart contract as [[start]];
+    * the catalog restore means a restarted consumer types replayed rows
+    * under the same schema versions (T22b/T30).
     *
     * Scale: the per-table loop is control-plane-bounded (#tables in the
     * batch); each table's projection is one narrow codegen'd pass, the
@@ -360,124 +373,157 @@ object CdcPipeline {
     var lastCommitted = saved.map(_.lastBatchId).getOrElse(-1L)
     var lastPosition = saved.map(_.position).getOrElse(Map.empty[String, String])
 
-    val token = java.util.UUID.randomUUID().toString
-    acquireLock(spark, stateDir, token)
-
     val stream = spark.readStream
       .schema(wireSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(wireDir)
 
-    @volatile var runId: String = token
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.runId.toString == runId) {
-          if (e.exception.isEmpty) markCleanShutdown(stateDir) // T34
-          releaseLock(stateDir, runId)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(listener)
-
     val posKeyCol = concat_ws(":", col("log_file"),
       lpad(col("log_pos").cast("string"), 10, "0"),
       lpad(col("row_idx").cast("string"), 4, "0")).as("pos_key")
 
-    val query = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId <= lastCommitted) {
-          // T31: replayed batch after restart — already committed; skip.
-        } else {
-          val cached = batch.persist()
-          try {
-            // ---- DDL branch (T19 routing by TOPIC on the wire): the
-            // schema-change topic drives the catalog before any of this
-            // batch's data is typed (T24 flush-barrier parity).
-            val changes = DebeziumAdapter.fromSchemaChange(
-              cached.filter(col("topic") === cluster))
-            DebeziumAdapter.applySchemaChanges(catalog, changes)
-
-            // ---- data branch: parse once; one control-plane pass per
-            // table (the reference's per-table handler shape) types the
-            // row image by the catalog's current StructType.
-            val data = DebeziumAdapter.fromDebezium(
-              cached.filter(col("topic") =!= cluster)).persist()
+    withStreamLifecycle(spark, stateDir) {
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId <= lastCommitted) {
+            // T31: replayed batch after restart — already committed; skip.
+          } else {
+            val cached = batch.persist()
             try {
-              val present = data.select("database_name", "table_name")
-                .distinct().collect()
-                .map(r => (r.getString(0), r.getString(1))).sorted
-              val outs = present.toSeq.map { case (db, tbl) =>
-                val slice = data.filter(col("database_name") === db &&
-                  col("table_name") === tbl)
+              // ---- schema-change events, collected in binlog order
+              // (control-plane-tiny: one row per DDL statement).
+              val changes = DebeziumAdapter.fromSchemaChange(
+                cached.filter(col("topic") === cluster))
+              val changeRows = changes
+                .select("cluster_name", "database_name", "ddl", "event_id")
+                .collect().sortBy(_.getLong(3))
+
+              // ---- data events. A null Kafka value is a Debezium delete
+              // TOMBSTONE (compaction hint, no image, no coordinates) —
+              // dropped by contract, the delete event itself already
+              // carried the row. Anything else must parse; records whose
+              // payload does not (null db/table after from_json) are
+              // QUARANTINED under topic=__unparsed rather than crashing
+              // the control-plane loop on unsortable null keys.
+              val parsed = DebeziumAdapter.fromDebezium(
+                cached.filter(col("topic") =!= cluster &&
+                  col("value").isNotNull)).persist()
+              try {
+                val data = parsed
+                  .filter(col("database_name").isNotNull &&
+                    col("table_name").isNotNull)
+                  .withColumn("__pos", DebeziumAdapter.packedEventId(
+                    col("log_file"), col("log_pos")))
                 // delete carries its image in `before` (Debezium op 'd')
                 val img = when(col("message_type") === "delete",
                   col("before")).otherwise(col("after"))
                 val meta = Seq(col("message_type"), col("log_file"),
                   col("log_pos"), col("row_idx"), col("ts_us"),
                   col("transaction_id"), posKeyCol)
-                catalog.lookup(TableId(cluster, db, tbl)) match {
-                  case Some(ts) =>
-                    val version = 1L + catalog.alterEvents.count(_._1 ==
-                      TableId(cluster, db, tbl))
-                    slice.select(Seq(
-                      concat_ws(".", lit(db), lit(tbl)).as("topic"),
-                      lit(ts.schemaId).as("schema_id"),
-                      lit(ts.containsPii).as("contains_pii"),
-                      lit(version).as("schema_version"),
-                      to_json(struct(ts.struct.fields.toSeq.map(f =>
-                        img.getItem(f.name).cast(f.dataType).as(f.name)): _*))
-                        .as("payload_json")) ++ meta: _*)
-                  case None =>
-                    slice.select(Seq(
-                      lit("__unregistered").as("topic"),
-                      lit(-1).as("schema_id"),
-                      lit(false).as("contains_pii"),
-                      lit(0L).as("schema_version"),
-                      to_json(img).as("payload_json")) ++ meta: _*)
-                }
-              }
-              outs.reduceOption(_ unionByName _).foreach(env =>
-                env.repartition(col("topic"))
-                  .sortWithinPartitions("pos_key")
-                  .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId"))
 
-              // ---- position mirror: the max binlog coordinate across
-              // data AND schema-change events (a DDL-only batch still
-              // advances the position, as the reference's QueryEvent
-              // handling does).
-              val posRow = data.select("log_file", "log_pos")
-                .unionByName(changes.select("log_file", "log_pos"))
-                .agg(max(struct(col("log_file"), col("log_pos"))).as("p"))
-                .collect()(0)
-              val position =
-                if (posRow.isNullAt(0)) Map.empty[String, String]
-                else {
-                  val p = posRow.getStruct(0)
-                  graft.cdc.LogPosition(
-                    logPos = Some(p.getLong(1)), logFile = Some(p.getString(0)),
-                    offset = Some(0)).toDict
+                // one control-plane pass per table present in a slice,
+                // typing the row image by the catalog's CURRENT per-table
+                // StructType (the reference's per-table handler shape)
+                def typedSlices(seg: DataFrame): Seq[DataFrame] = {
+                  val present = seg.select("database_name", "table_name")
+                    .distinct().collect()
+                    .map(r => (r.getString(0), r.getString(1))).sorted
+                  present.toSeq.map { case (db, tbl) =>
+                    val slice = seg.filter(col("database_name") === db &&
+                      col("table_name") === tbl)
+                    catalog.lookup(TableId(cluster, db, tbl)) match {
+                      case Some(ts) =>
+                        val version = 1L + catalog.alterEvents.count(_._1 ==
+                          TableId(cluster, db, tbl))
+                        slice.select(Seq(
+                          concat_ws(".", lit(db), lit(tbl)).as("topic"),
+                          lit(ts.schemaId).as("schema_id"),
+                          lit(ts.containsPii).as("contains_pii"),
+                          lit(version).as("schema_version"),
+                          to_json(struct(ts.struct.fields.toSeq.map(f =>
+                            img.getItem(f.name).cast(f.dataType).as(f.name)): _*))
+                            .as("payload_json")) ++ meta: _*)
+                      case None =>
+                        // never-created table: the reference fetches SHOW
+                        // CREATE on a miss (needs live MySQL) — record,
+                        // don't guess
+                        slice.select(Seq(
+                          lit("__unregistered").as("topic"),
+                          lit(-1).as("schema_id"),
+                          lit(false).as("contains_pii"),
+                          lit(0L).as("schema_version"),
+                          to_json(img).as("payload_json")) ++ meta: _*)
+                    }
+                  }
                 }
-              lastPosition = mergePosition(lastPosition, position)
-              saveState(stateDir, batchId, catalog, clean = false, lastPosition)
-              lastCommitted = batchId
-            } finally data.unpersist()
-          } finally cached.unpersist()
+
+                // ---- the T24 flush-barrier made REAL inside the batch:
+                // data rows type under the catalog state at THEIR OWN
+                // binlog position. Rows between consecutive DDL positions
+                // type first, then the DDL applies — so a row BEFORE an
+                // in-batch ALTER keeps the pre-ALTER column set and
+                // version (T22b), exactly like the replay path's
+                // per-position intervals. Segment count is #DDLs + 1
+                // (control-plane-bounded).
+                val outs = Seq.newBuilder[DataFrame]
+                var lower = Long.MinValue
+                changeRows.foreach { ch =>
+                  val at = ch.getLong(3)
+                  outs ++= typedSlices(data.filter(
+                    col("__pos") >= lower && col("__pos") < at))
+                  catalog.applyDdl(ch.getString(0), ch.getString(1),
+                    ch.getString(2), atEventId = at)
+                  lower = at
+                }
+                outs ++= typedSlices(data.filter(col("__pos") >= lower))
+                outs += parsed
+                  .filter(col("database_name").isNull ||
+                    col("table_name").isNull)
+                  .select(Seq(
+                    lit("__unparsed").as("topic"),
+                    lit(-1).as("schema_id"),
+                    lit(false).as("contains_pii"),
+                    lit(0L).as("schema_version"),
+                    to_json(img).as("payload_json")) ++ meta: _*)
+
+                // the quarantine slice is always present (possibly empty),
+                // so EVERY committed batch has its batch=<id> directory —
+                // the same sink contract as [[processBatch]]; a DDL-only
+                // batch writes an empty one.
+                outs.result().reduce(_ unionByName _)
+                  .repartition(col("topic"))
+                  .sortWithinPartitions("pos_key")
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"$outDir/batch=$batchId")
+
+                // ---- position mirror: the max binlog coordinate across
+                // data AND schema-change events (a DDL-only batch still
+                // advances the position, as the reference's QueryEvent
+                // handling does).
+                val posRow = data.select("log_file", "log_pos")
+                  .unionByName(changes.select("log_file", "log_pos"))
+                  .agg(max(struct(col("log_file"), col("log_pos"))).as("p"))
+                  .collect()(0)
+                val position =
+                  if (posRow.isNullAt(0)) Map.empty[String, String]
+                  else {
+                    val p = posRow.getStruct(0)
+                    graft.cdc.LogPosition(
+                      logPos = Some(p.getLong(1)), logFile = Some(p.getString(0)),
+                      offset = Some(0)).toDict
+                  }
+                lastPosition = mergePosition(lastPosition, position)
+                saveState(stateDir, batchId, catalog, clean = false, lastPosition)
+                lastCommitted = batchId
+              } finally parsed.unpersist()
+            } finally cached.unpersist()
+          }
+          ()
         }
-        ()
-      }
-      .start()
-    runId = query.runId.toString
-    heldTokens.add(runId)
-    val f = lockFile(stateDir)
-    if (Files.exists(f) && Files.readString(f).trim == lockToken(token))
-      Files.writeString(f, lockToken(runId))
-    heldTokens.remove(token)
-    query
+        .start()
+    }
   }
 
   /** Test injection point: runs after the DDL branch of a batch has been

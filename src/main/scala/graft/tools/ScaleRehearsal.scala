@@ -87,15 +87,20 @@ object ScaleRehearsal {
     // flagged for in r3; after the de-broadcast fix AQE only promotes
     // frames it measured small).
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val t0 = System.nanoTime()
     val raw = graft.data.TextOps.dedupMinhashLsh(spark.read.parquet(docsPath))
     execute(raw)
     val rawSecs = (System.nanoTime() - t0) / 1e9
+    // QueryStageExec is a LEAF wrapping the materialized exchange — under
+    // AQE every executed Broadcast/ShuffleExchange hides inside one, so a
+    // walk that only descends `children` reports zero broadcasts on any
+    // executed plan (exactly the blind spot this audit exists to close).
     def walk(p: SparkPlan): Seq[SparkPlan] =
       p +: (p.children.flatMap(walk) ++ (p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
         case _ => Nil
       }))
     val nodes = walk(raw.queryExecution.executedPlan)

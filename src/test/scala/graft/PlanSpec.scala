@@ -33,8 +33,13 @@ class PlanSpec extends AnyFunSuite {
         case _ => 0
       }
       val kids = n.children.map(walk).sum
+      // on an EXECUTED AQE plan every exchange hides inside a leaf
+      // QueryStageExec — without descending into it this count is 0 for
+      // any post-collect plan and every <= bound is vacuous
       val aqe = n match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
         case _ => 0
       }
       self + kids + aqe

@@ -463,9 +463,10 @@ class CdcPipelineSpec extends AnyFunSuite {
       (s"$cluster.inventory.$tbl",
         s"""{"payload":{"before":$before,"after":$after,${src(pos, tbl)},"op":"$op","ts_ms":1700000000000}}""")
 
-    def schemaEvent(pos: Long, ddl: String, typ: String) =
+    def schemaEvent(pos: Long, ddl: String, typ: String,
+        tbl: String = "customers") =
       (cluster,
-        s"""{"payload":{${src(pos, "customers")},"ts_ms":1700000000000,"databaseName":"inventory","schemaName":null,"ddl":"$ddl","tableChanges":[{"type":"$typ","id":"\\"inventory\\".\\"customers\\""}]}}""")
+        s"""{"payload":{${src(pos, tbl)},"ts_ms":1700000000000,"databaseName":"inventory","schemaName":null,"ddl":"$ddl","tableChanges":[{"type":"$typ","id":"\\"inventory\\".\\"$tbl\\""}]}}""")
 
     def writeSeg(events: Seq[(String, String)]): Unit = {
       events.toDF("topic", "json")
@@ -497,34 +498,55 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(b0.filter(col("topic") === "__unregistered").count() == 1,
       "rows for never-created tables are quarantined, not dropped")
 
-    // segment 2 after a shutdown: ALTER + a post-ALTER insert + an
-    // update. The restarted consumer restores the catalog from the state
-    // mirror, applies the new DDL, and types new rows under the evolved
-    // schema — no custom glue between the topics and the catalog.
+    // segment 2 after a shutdown: a PRE-ALTER row, the ALTER, two
+    // post-ALTER rows, a Debezium delete tombstone (null value), and a
+    // corrupt record — all in ONE batch. The restarted consumer restores
+    // the catalog from the state mirror, and each row types under the
+    // schema active at its OWN binlog position (T22b): the pos-380 row
+    // stays version 1 without email even though the batch also carries
+    // the ALTER.
     writeSeg(Seq(
+      dataEvent("customers", 380, "c", """{"id":"4","name":"dan"}"""),
       schemaEvent(400, "ALTER TABLE `customers` ADD email VARCHAR(128)",
         "ALTER"),
       dataEvent("customers", 500, "c",
         """{"id":"3","name":"joe","email":"joe@x.io"}"""),
       dataEvent("customers", 600, "u",
         """{"id":"1","name":"bob","email":"bob@x.io"}""",
-        """{"id":"1","name":"bob","email":null}""")))
+        """{"id":"1","name":"bob","email":null}"""),
+      (s"$cluster.inventory.customers", null), // delete tombstone: dropped
+      (s"$cluster.inventory.customers", "{corrupt"))) // quarantined
     CdcPipeline.startWire(spark, wireDir, cluster, outDir, ckDir, stDir)
       .awaitTermination()
-    val b1 = spark.read.parquet(s"$outDir/batch=1")
-      .filter(col("topic") === "inventory.customers")
+    val b1all = spark.read.parquet(s"$outDir/batch=1")
+    val b1 = b1all.filter(col("topic") === "inventory.customers")
       .orderBy("pos_key")
       .select("schema_version", "message_type", "payload_json")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(b1 == Seq(
+      (1L, "create", """{"id":4,"name":"dan"}"""),
       (2L, "create", """{"id":3,"name":"joe","email":"joe@x.io"}"""),
       (2L, "update", """{"id":1,"name":"bob","email":"bob@x.io"}""")),
-      s"post-ALTER wire rows must carry the evolved column set: $b1")
+      s"rows must type under the schema at their own position: $b1")
+    assert(b1all.filter(col("topic") === "__unparsed").count() == 1,
+      "corrupt wire records are quarantined; tombstones are dropped")
     // batch 0 output untouched by the restart (idempotent sink + dedupe)
     assert(spark.read.parquet(s"$outDir/batch=0")
       .filter(col("topic") === "inventory.customers").count() == 2)
     // state mirror advanced to the wire's max binlog coordinate
     val st = CdcPipeline.loadState(stDir).get
     assert(st.lastBatchId == 1L && st.position("log_pos") == "600")
+
+    // segment 3: a DDL-only batch — the sink contract still writes the
+    // (empty) batch=<id> directory, and the position still advances off
+    // the schema-change coordinates
+    writeSeg(Seq(schemaEvent(700,
+      "CREATE TABLE `orders` (id INT PRIMARY KEY)", "CREATE", "orders")))
+    CdcPipeline.startWire(spark, wireDir, cluster, outDir, ckDir, stDir)
+      .awaitTermination()
+    assert(Files.exists(java.nio.file.Paths.get(s"$outDir/batch=2")),
+      "a DDL-only batch must still write its batch directory")
+    val st2 = CdcPipeline.loadState(stDir).get
+    assert(st2.lastBatchId == 2L && st2.position("log_pos") == "700")
   }
 }
