@@ -411,9 +411,14 @@ object CdcPipeline {
                 cached.filter(col("topic") =!= cluster &&
                   col("value").isNotNull)).persist()
               try {
+                // a row needs identity AND coordinates to be typed: a
+                // null log_file/log_pos would give a null __pos that
+                // every position-segment filter silently drops
+                val wellFormed = col("database_name").isNotNull &&
+                  col("table_name").isNotNull &&
+                  col("log_file").isNotNull && col("log_pos").isNotNull
                 val data = parsed
-                  .filter(col("database_name").isNotNull &&
-                    col("table_name").isNotNull)
+                  .filter(wellFormed)
                   .withColumn("__pos", DebeziumAdapter.packedEventId(
                     col("log_file"), col("log_pos")))
                 // delete carries its image in `before` (Debezium op 'd')
@@ -479,8 +484,7 @@ object CdcPipeline {
                 }
                 outs ++= typedSlices(data.filter(col("__pos") >= lower))
                 outs += parsed
-                  .filter(col("database_name").isNull ||
-                    col("table_name").isNull)
+                  .filter(!wellFormed)
                   .select(Seq(
                     lit("__unparsed").as("topic"),
                     lit(-1).as("schema_id"),
