@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   *
   *  - filters and projections sit directly on the scan (parquet pushdown,
   *    `PushedFilters` visible in explain),
-  *  - dimension joins are explicit `broadcast()` (region/nation/customer/
-  *    supplier are orders of magnitude smaller than lineitem at any SF),
+  *  - join-side sizing is left to AQE for every SF-scaled relation
+  *    (orders/customer/part/supplier grow linearly with the corpus — a
+  *    hard `broadcast()` hint on them is a driver OOM at cluster scale);
+  *    explicit `broadcast()` appears ONLY on truly fixed-cardinality
+  *    frames: nation/region (25/5 rows at every SF) and 1-row scalar
+  *    aggregates. At small SF AQE promotes the measured-small sides to
+  *    broadcast joins anyway, so local plans are unchanged,
   *  - money math is engine-rounding-proof: raw doubles are quantized to
   *    integer units per row (`floor(x*100 + 0.5)` — IEEE double ops are
   *    bit-deterministic across engines), summed as BIGINT (exact and
@@ -61,8 +66,8 @@ object RelationalQueries {
         .filter(expr("CAST(o_orderdate AS DATE) < DATE '1998-03-15'"))
       val li = Tables.lineitem(spark, dir)
         .filter(expr("CAST(l_shipdate AS DATE) > DATE '1998-03-15'"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           expr("CAST(CAST(o_orderdate AS DATE) AS STRING)").as("o_orderdate"),
           col("o_orderpriority"))
@@ -82,9 +87,9 @@ object RelationalQueries {
       val supp = Tables.supplier(spark, dir)
       val nat = Tables.nation(spark, dir)
       val reg = Tables.region(spark, dir)
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -119,7 +124,7 @@ object RelationalQueries {
     "q08_top_parts_per_brand" -> t { (spark, dir) =>
       val li = Tables.lineitem(spark, dir)
       val part = Tables.part(spark, dir)
-      val byPart = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      val byPart = li.join(part, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(expr(s"CAST(sum($revU) AS DOUBLE) / 10000").as("revenue"))
       byPart
@@ -134,8 +139,8 @@ object RelationalQueries {
       val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
       val ord = Tables.orders(spark, dir)
       val cust = Tables.customer(spark, dir)
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         // house rule: unit sum + one terminal DOUBLE scaling — see q03 note
         .agg(expr(s"CAST(sum($revU) AS DOUBLE) / 10000").as("revenue"),
@@ -181,7 +186,7 @@ object RelationalQueries {
       val ord = Tables.orders(spark, dir)
       val cust = Tables.customer(spark, dir)
       big.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
           expr("CAST(CAST(o_orderdate AS DATE) AS STRING)").as("o_orderdate"),
           expr("CAST(qty_c AS DOUBLE) / 100").as("total_qty"))
@@ -226,7 +231,7 @@ object RelationalQueries {
       val li = Tables.lineitem(spark, dir)
       val perPart = li.groupBy("l_partkey")
         .agg(expr(s"sum($qtyC)").as("sum_qty_c"), count(lit(1)).as("n_li"))
-      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      li.join(parts, col("l_partkey") === col("p_partkey"))
         .join(perPart, "l_partkey")
         .filter(expr(s"$qtyC * 5 * n_li < sum_qty_c"))
         .agg(expr(s"CAST(sum($priceC) AS DOUBLE) / 100").as("revenue"),
@@ -239,7 +244,7 @@ object RelationalQueries {
       // (qty <= 30) pushes to the lineitem scan.
       val li = Tables.lineitem(spark, dir).filter(col("l_quantity") <= 30)
       val part = Tables.part(spark, dir)
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
             col("l_quantity").between(1, 11)) ||
@@ -263,7 +268,7 @@ object RelationalQueries {
         .filter(col("n_supp") >= 2 && col("n_ret") === 1)
       flags.filter(col("ret") === 1)
         .join(ordStats, "l_orderkey")
-        .join(broadcast(Tables.supplier(spark, dir)),
+        .join(Tables.supplier(spark, dir),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
@@ -308,8 +313,8 @@ object RelationalQueries {
         .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
         .select("p_partkey", "p_name")
       winners
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(Tables.supplier(spark, dir)),
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(spark, dir),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, dir)),
           col("s_nationkey") === col("n_nationkey"))
