@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Canonical loaders for the driver testdata (TESTDATA.md).
   *
-  * `events.parquet` carries a parquet TIMESTAMP(NANOS) column, which Spark
-  * rejects by default ([PARQUET_TYPE_ILLEGAL]). Every session we build sets
-  * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as a
-  * LONG of nanoseconds; [[Tables.events]] normalizes it to `ts_us`
-  * (microseconds since epoch, integer division == DuckDB's ns→µs
-  * truncation) so engine code and the DuckDB oracle see identical values.
+  * `events.parquet` has shipped with two encodings of its `ts` column over
+  * time: parquet TIMESTAMP(NANOS) (which Spark rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as a LONG of
+  * nanoseconds) and parquet TIMESTAMP_MICROS with isAdjustedToUTC=0
+  * (arriving as TIMESTAMP_NTZ). [[Tables.events]] branches on the loaded
+  * dtype and normalizes either to `ts_us` (microseconds since epoch) so
+  * engine code and the DuckDB oracle (`epoch_us(ts)`) see identical values.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -42,14 +43,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with `ts` (ns long) replaced by `ts_us` (µs long).
-    * `ts DIV 1000` floors like DuckDB's read-time ns→µs conversion; plain
-    * `/` would go through Double and lose precision above 2^53.
+  /** events with `ts` replaced by `ts_us` (µs since epoch, LONG).
+    *
+    * Encoding branch (see object scaladoc):
+    *   - LONG (legacy nanos-as-long): `ts DIV 1000` — integer division
+    *     floors like DuckDB's read-time ns→µs conversion; plain `/` would
+    *     go through Double and lose precision above 2^53.
+    *   - TIMESTAMP / TIMESTAMP_NTZ (current TIMESTAMP_MICROS files):
+    *     `unix_micros` after a cast to TIMESTAMP. The session timezone is
+    *     pinned to UTC ([[session]]), so the NTZ→TZ cast is identity on the
+    *     wall-clock value and matches DuckDB's `epoch_us(ts)` exactly.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .drop("ts")
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -3,8 +3,10 @@ package graft.cdc
 /** DuckDB-dialect oracle for the CDC operator chain. The WITH-prologue
   * mirrors [[CdcReplay]]/[[CdcOps]] stage by stage; scalar mappings are the
   * SAME strings ([[CdcSqlFragments]]) the Spark side compiles via expr().
-  * DuckDB reads the parquet TIMESTAMP(NANOS) column truncated to µs, so
-  * `epoch_us(ts)` equals the Spark side's `ts DIV 1000`.
+  * `epoch_us(ts)` accepts either historical encoding of `events.ts`
+  * (TIMESTAMP(NANOS) truncated to µs at read, or native TIMESTAMP_MICROS)
+  * and equals the Spark side's dtype-branched `ts_us` — see
+  * [[graft.Tables.events]].
   */
 object CdcOracle {
   import CdcSqlFragments._

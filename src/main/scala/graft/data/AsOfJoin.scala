@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. bucket both sides by `floor(ts / bucketUs)`;
   *   2. per-bucket right maximum + a running "max of all earlier buckets"
-  *      — computed over the tiny per-bucket frame (#buckets rows, not
-  *      #rows) and broadcast;
+  *      — computed over the small per-bucket frame (one row per occupied
+  *      (key, bucket), not per data row) and joined back AQE-sized: the
+  *      frame grows with #keys × time-span, so the code does not force a
+  *      broadcast (AQE promotes it at runtime whenever measured small);
   *   3. equi-join left↔right on bucket (hash join, linear) to resolve
   *      within-bucket candidates, then `greatest(inBucket, prevBuckets)`.
   *
@@ -96,7 +98,7 @@ object AsOfJoin {
       .agg(max(col("__cand")).as("__in"))
 
     l.join(inBucket, Seq(leftKey))
-      .join(broadcast(prevCum), grpCols, "left")
+      .join(prevCum, grpCols, "left")
       .withColumn("__best", greatest(col("__in"), col("__prev")))
       .withColumn("asof_ts", col("__best.__rts"))
       .withColumn("asof_val", col("__best.__rval"))

@@ -178,7 +178,7 @@ object RelationalQueries {
     },
     "q18_large_volume_customer" -> t { (spark, dir) =>
       // HAVING over a big aggregation: one shuffle keyed by orderkey with
-      // map-side partials, then a broadcast join back to the dimensions.
+      // map-side partials, then AQE-sized joins back to the dimensions.
       val big = Tables.lineitem(spark, dir)
         .groupBy("l_orderkey")
         .agg(expr(s"sum($qtyC)").as("qty_c"))
@@ -259,7 +259,7 @@ object RelationalQueries {
       // TPC-H Q21 shape (exists + not-exists against the same fact table)
       // decorrelated into ONE pass: per (order, supplier) return flags,
       // then per-order stats — the double correlated subquery becomes two
-      // keyed aggregations and a broadcast dimension join.
+      // keyed aggregations and a dimension join (AQE-sized).
       val li = Tables.lineitem(spark, dir)
       val flags = li.groupBy("l_orderkey", "l_suppkey")
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
@@ -327,15 +327,16 @@ object RelationalQueries {
       // name-filtered part set. Supply cost is proxied by the part's
       // retail price (no partsupp). amount stays in exact 1e-4 currency
       // units: revU (cents × percent) minus retailC·qtyC (cents × cents
-      // of quantity). Dimension joins broadcast; the orders join is the
-      // one honest fact-fact shuffle (orderkey-keyed, AQE-planned).
+      // of quantity). part/supplier joins are AQE-sized (sf-scaled, so no
+      // forced broadcast); the orders join is the one honest fact-fact
+      // shuffle (orderkey-keyed, AQE-planned).
       val parts = Tables.part(spark, dir)
         .filter(col("p_name").like("%widget%"))
         .select("p_partkey", "p_retailprice")
         .withColumn("retail_c", expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"))
       Tables.lineitem(spark, dir)
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(Tables.supplier(spark, dir)),
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(spark, dir),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, dir)),
           col("s_nationkey") === col("n_nationkey"))
@@ -349,9 +350,10 @@ object RelationalQueries {
     },
     "q16_supplier_parts_count" -> t { (spark, dir) =>
       // TPC-H Q16 shape: distinct-supplier counts per part attribute
-      // group, excluding a supplier denylist (NOT IN → broadcast anti
-      // join). The part-supplier relation reduces to DISTINCT pairs
-      // before any join — no row multiplication downstream.
+      // group, excluding a supplier denylist (NOT IN → anti join,
+      // AQE-sized since both sides scale with SF). The part-supplier
+      // relation reduces to DISTINCT pairs before any join — no row
+      // multiplication downstream.
       val pairs = Tables.lineitem(spark, dir)
         .select("l_partkey", "l_suppkey").distinct()
       val excl = Tables.supplier(spark, dir)
@@ -361,8 +363,8 @@ object RelationalQueries {
           col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
         .select("p_partkey", "p_brand", "p_type", "p_size")
       pairs
-        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -373,8 +375,8 @@ object RelationalQueries {
       // part in 1996. The correlated availqty comparison decorrelates
       // into per-(part,supplier) sums, a per-part re-aggregation of that
       // SAME small frame (sum-of-sums is exact in integers), and a
-      // cross-multiplied threshold — then two broadcast semi/equi joins
-      // out to the dimensions.
+      // cross-multiplied threshold — then semi/equi joins out to the
+      // dimensions (AQE-sized; only the fixed-25-row nation keeps a hint).
       val shipped = Tables.lineitem(spark, dir)
         .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'"))
         .groupBy("l_partkey", "l_suppkey")
@@ -385,10 +387,10 @@ object RelationalQueries {
         .filter(col("p_name").like("red%")).select("p_partkey")
       val promo = shipped.join(totals, "l_partkey")
         .filter(col("pair_qty_c") * 2 > col("total_qty_c") && col("n_supp") >= 3)
-        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .select("l_suppkey").distinct()
       promo
-        .join(broadcast(Tables.supplier(spark, dir)),
+        .join(Tables.supplier(spark, dir),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, dir)),
           col("s_nationkey") === col("n_nationkey"))
@@ -514,10 +516,12 @@ object RelationalQueries {
         .orderBy("l_suppkey", "rn")
     },
     "q13_semi_anti_join" -> t { (spark, dir) =>
-      // existence tests as leftsemi/leftanti — no row multiplication, the
-      // orders side reduces to a broadcast hash-set probe.
+      // existence tests as leftsemi/leftanti — no row multiplication; the
+      // orders side is a single-column key projection, shuffled on custkey
+      // (AQE-sized: at SF the key set scales with orders, so no forced
+      // broadcast — at 100 TB that projection is ~10^11 rows).
       val cust = Tables.customer(spark, dir)
-      val ordKeys = broadcast(Tables.orders(spark, dir).select("o_custkey"))
+      val ordKeys = Tables.orders(spark, dir).select("o_custkey")
       val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
       val withoutO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")

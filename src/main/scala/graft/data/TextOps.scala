@@ -1195,9 +1195,11 @@ object TextOps {
     * sensitive; contributions are signed, so ordering would matter).
     *
     * Plan shape: ONE keyed agg onto (source, word) — map-side
-    * combinable, output is O(sources·vocab), control-plane-sized at any
-    * corpus size — then corpus/word and per-source totals derive from
-    * THAT frame (never a second corpus scan) and broadcast back. */
+    * combinable, output is O(sources·vocab) — then corpus/word and
+    * per-source totals derive from THAT frame (never a second corpus
+    * scan) and join back AQE-sized: vocabulary grows with the corpus
+    * (Heaps' law), so the code never forces a broadcast of it; only the
+    * 1-row grand total keeps a hint. */
   def sourceDrift(documents: DataFrame): DataFrame = {
     val sw = documents
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -1206,8 +1208,8 @@ object TextOps {
     val corpus = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
     val totals = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
     val tot = sw.agg(sum("c_sw").as("n_tot"))
-    sw.join(broadcast(corpus), "w")
-      .join(broadcast(totals), "source")
+    sw.join(corpus, "w")
+      .join(totals, "source")
       .crossJoin(broadcast(tot))
       .withColumn("term_q", expr(
         """CAST(floor(CAST(c_sw AS DOUBLE) / n_s
@@ -1446,9 +1448,12 @@ object TextOps {
     * table back to the corpus and report per-document token counts — the
     * train→encode lifecycle completion (as s6 is to s4's k-means). A
     * word's token count is the length of its merged symbol sequence, so
-    * encoding is ONE broadcast join of the vocab-sized (word → n_sym)
-    * model onto the exploded token stream plus a doc-keyed agg — the
-    * corpus is never re-tokenized per merge. Reports per doc: words,
+    * encoding is ONE join of the (word → n_sym) model onto the exploded
+    * token stream plus a doc-keyed agg — the corpus is never
+    * re-tokenized per merge. The model is vocab-sized (grows with the
+    * corpus, Heaps' law) so the join is AQE-sized, not force-broadcast;
+    * at test SF AQE promotes it to a broadcast at runtime. Reports per
+    * doc: words,
     * characters, tokens, and the chars/token compression the tokenizer
     * achieves — exact integers throughout.
     */
@@ -1459,7 +1464,7 @@ object TextOps {
       length(col("w")).cast("long").as("n_chr"))
     val out = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(sizes), "w")
+      .join(sizes, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_chr").as("n_chars"),

@@ -431,38 +431,8 @@ object CdcPipeline {
                 // one control-plane pass per table present in a slice,
                 // typing the row image by the catalog's CURRENT per-table
                 // StructType (the reference's per-table handler shape)
-                def typedSlices(seg: DataFrame): Seq[DataFrame] = {
-                  val present = seg.select("database_name", "table_name")
-                    .distinct().collect()
-                    .map(r => (r.getString(0), r.getString(1))).sorted
-                  present.toSeq.map { case (db, tbl) =>
-                    val slice = seg.filter(col("database_name") === db &&
-                      col("table_name") === tbl)
-                    catalog.lookup(TableId(cluster, db, tbl)) match {
-                      case Some(ts) =>
-                        val version = 1L + catalog.alterEvents.count(_._1 ==
-                          TableId(cluster, db, tbl))
-                        slice.select(Seq(
-                          concat_ws(".", lit(db), lit(tbl)).as("topic"),
-                          lit(ts.schemaId).as("schema_id"),
-                          lit(ts.containsPii).as("contains_pii"),
-                          lit(version).as("schema_version"),
-                          to_json(struct(ts.struct.fields.toSeq.map(f =>
-                            img.getItem(f.name).cast(f.dataType).as(f.name)): _*))
-                            .as("payload_json")) ++ meta: _*)
-                      case None =>
-                        // never-created table: the reference fetches SHOW
-                        // CREATE on a miss (needs live MySQL) — record,
-                        // don't guess
-                        slice.select(Seq(
-                          lit("__unregistered").as("topic"),
-                          lit(-1).as("schema_id"),
-                          lit(false).as("contains_pii"),
-                          lit(0L).as("schema_version"),
-                          to_json(img).as("payload_json")) ++ meta: _*)
-                    }
-                  }
-                }
+                def typedSlices(seg: DataFrame): Seq[DataFrame] =
+                  typedSlicesFor(catalog, cluster, seg, img, meta)
 
                 // ---- the T24 flush-barrier made REAL inside the batch:
                 // data rows type under the catalog state at THEIR OWN
@@ -527,6 +497,50 @@ object CdcPipeline {
           ()
         }
         .start()
+    }
+  }
+
+  /** One typed projection per (db, table) present in `seg`, using the
+    * catalog's CURRENT per-table StructType — the reference's per-table
+    * handler shape, extracted from [[startWire]] so the wide-deployment
+    * rehearsal ([[graft.tools.WireRehearsal]]) can measure its plan-build
+    * cost at ~200 tables without a live stream. The `present` collect is
+    * control-plane-bounded (#distinct tables in the batch slice).
+    */
+  private[graft] def typedSlicesFor(
+      catalog: SchemaCatalog,
+      cluster: String,
+      seg: DataFrame,
+      img: org.apache.spark.sql.Column,
+      meta: Seq[org.apache.spark.sql.Column]): Seq[DataFrame] = {
+    val present = seg.select("database_name", "table_name")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    present.toSeq.map { case (db, tbl) =>
+      val slice = seg.filter(col("database_name") === db &&
+        col("table_name") === tbl)
+      catalog.lookup(TableId(cluster, db, tbl)) match {
+        case Some(ts) =>
+          val version = 1L + catalog.alterEvents.count(_._1 ==
+            TableId(cluster, db, tbl))
+          slice.select(Seq(
+            concat_ws(".", lit(db), lit(tbl)).as("topic"),
+            lit(ts.schemaId).as("schema_id"),
+            lit(ts.containsPii).as("contains_pii"),
+            lit(version).as("schema_version"),
+            to_json(struct(ts.struct.fields.toSeq.map(f =>
+              img.getItem(f.name).cast(f.dataType).as(f.name)): _*))
+              .as("payload_json")) ++ meta: _*)
+        case None =>
+          // never-created table: the reference fetches SHOW CREATE on a
+          // miss (needs live MySQL) — record, don't guess
+          slice.select(Seq(
+            lit("__unregistered").as("topic"),
+            lit(-1).as("schema_id"),
+            lit(false).as("contains_pii"),
+            lit(0L).as("schema_version"),
+            to_json(img).as("payload_json")) ++ meta: _*)
+      }
     }
   }
 

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * story is argued from plan shapes everywhere else; this anchors it with
   * a measured point.
   *
+  * A second section (r6 prescription #6) does the same for the de-hinted
+  * relational family: a ~10× key-shifted customer/orders/lineitem slice
+  * with verbatim dimensions, then q03/q05/q13 with an executed-plan walk
+  * asserting no cartesian/nested-loop flips and that every realized
+  * broadcast carries a measured runtime size (AQE promotion, not a hint).
+  *
   * Usage: runMain graft.tools.ScaleRehearsal [srcSfDir] [workDir] [outJson]
   * Writes one JSON line to stdout AND to outJson (default BENCH_sf1.json).
   */
@@ -79,7 +85,7 @@ object ScaleRehearsal {
 
     // ---- raw-plan audit ----------------------------------------------
     // The five queries above read SharedFrames checkpoints, so their
-    // executed plans are scans (see .claude/skills/verify gotcha r3) —
+    // executed plans are scans —
     // the joins that COULD flip live in the raw pair pipeline. Run the
     // un-memoized d3 builder once more and inspect what AQE actually
     // chose, including the realized size of every broadcast it built
@@ -110,21 +116,87 @@ object ScaleRehearsal {
       b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
     }
 
+    // ---- relational-family rehearsal (VERDICT r6 prescription #6) -----
+    // Build a ~10× TPC-H-ish slice with join integrity preserved: per
+    // copy i, customer keys shift by i·C_OFF and order keys by i·O_OFF
+    // (both > any real key), orders.o_custkey follows its copy's
+    // customers, lineitem.l_orderkey follows its copy's orders.
+    // part/supplier/nation/region stay verbatim — dimensions don't grow
+    // 10× when the fact stream does, which is exactly the 100 TB shape.
+    // Then run the freshly de-hinted q03/q05/q13 and audit the EXECUTED
+    // plans: no cartesian/nested-loop flips, and every broadcast AQE
+    // realized must carry a measured (runtime) size — proof the
+    // promotions are AQE decisions on measured-small frames, not hints.
+    val C_OFF = 1000000000L
+    val O_OFF = 1000000000L
+    val relDir = s"$workDir/rel"
+    if (!new java.io.File(s"$relDir/lineitem.parquet").exists()) {
+      new java.io.File(relDir).mkdirs()
+      for (t <- Seq("nation", "region", "part", "supplier"))
+        Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$relDir/$t.parquet")
+      val cust = Tables.customer(spark, src)
+      (0 until copies).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * C_OFF))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$relDir/customer.parquet")
+      val ord = Tables.orders(spark, src)
+      (0 until copies).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * O_OFF))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * C_OFF))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$relDir/orders.parquet")
+      val li = Tables.lineitem(spark, src)
+      (0 until copies).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * O_OFF))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$relDir/lineitem.parquet")
+    }
+    val nLineitem = spark.read.parquet(s"$relDir/lineitem.parquet").count()
+
+    val relRehearsed = Seq("q03_shipping_priority", "q05_local_supplier_volume",
+      "q13_semi_anti_join")
+    val relResults = relRehearsed.map { name =>
+      val t0r = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, relDir)
+      execute(df)
+      val secs = (System.nanoTime() - t0r) / 1e9
+      val nodes = walk(df.queryExecution.executedPlan)
+      val qFlips = nodes.map(_.nodeName).filter(n =>
+        n.contains("CartesianProduct") || n.contains("BroadcastNestedLoop"))
+      // every realized broadcast must have a measured dataSize metric —
+      // -1 would mean an exchange that never populated its runtime size
+      val qBcast = nodes.collect { case b: BroadcastExchangeExec =>
+        b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+      }
+      (name, secs, qFlips, qBcast)
+    }
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val relBcast = relResults.map { case (k, _, _, bs) =>
+      "\"" + k + "\":[" + bs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val flips = results.flatMap { case (k, _, ks) => ks.map(x => s"$k:$x") } ++
-      rawFlips.map(x => s"d3_raw:$x")
+      rawFlips.map(x => s"d3_raw:$x") ++
+      relResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") }
+    val unmeasured = relResults.flatMap { case (k, _, _, bs) =>
+      if (bs.contains(-1L)) Seq(k) else Nil
+    }
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"sf1_rehearsal","value":$total,"unit":"sec","queries":$qs,""" +
         s""""n_docs":$nDocs,"copies":$copies,"src":"$src",""" +
         s""""d3_raw_build_sec":$rawSecs,""" +
         s""""aqe_broadcast_bytes":[${bcastBytes.mkString(",")}],""" +
+        s""""rel_queries":$relQs,"n_lineitem":$nLineitem,""" +
+        s""""rel_broadcast_bytes":$relBcast,""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()
-    if (flips.nonEmpty) {
-      System.err.println(s"[sf1] SCALE-KILLER plan flips: ${flips.mkString(", ")}")
+    if (flips.nonEmpty || unmeasured.nonEmpty) {
+      System.err.println(s"[sf1] SCALE-KILLER plan flips: ${flips.mkString(", ")}" +
+        (if (unmeasured.nonEmpty) s"; unmeasured broadcasts: ${unmeasured.mkString(", ")}" else ""))
       sys.exit(1)
     }
   }

@@ -1,0 +1,125 @@
+package graft.tools
+
+import graft.Tables
+import graft.catalog.{SchemaCatalog, TableId}
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wide-deployment rehearsal for the wire path (VERDICT r6 prescription
+  * #8): a production Debezium firehose covers ~hundreds of tables, so a
+  * single micro-batch fans out into one typed projection per (table,
+  * DDL-segment). The per-batch LOGICAL PLAN therefore has
+  * O(#tables × #segments) union branches, and the thing that would break
+  * first at wide deployment is not the data volume (each branch is one
+  * narrow codegen'd pass) but Catalyst analysis/planning time on that
+  * union — a super-linear plan build would stall the driver between
+  * batches no matter how fast the executors are.
+  *
+  * This tool measures exactly that, against the real
+  * [[CdcPipeline.typedSlicesFor]] used by `startWire`: synthesize a
+  * parsed-shape batch spanning N tables (N = 25/50/100/200) × 4 DDL
+  * segments, register every table through the real DDL path, then time
+  * (a) plan build+analysis+AQE-finalization of the union-then-repartition
+  * frame and (b) the actual per-topic write. Emits one JSON line to
+  * stdout and BENCH_wire.json with per-N seconds and the N=200/N=25
+  * per-table ratio — ~1 means linear batch-plan time (the pass bar),
+  * >2 means the union plan is super-linear and the sink must switch to
+  * per-table writes.
+  *
+  * Usage: runMain graft.tools.WireRehearsal [outJson] [workDir]
+  */
+object WireRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.lift(0).getOrElse("BENCH_wire.json")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_wire_rehearsal")
+    val spark = Tables.session("graft-wire-rehearsal")
+    val cluster = "clusterA"
+    val nSegments = 4
+    val rowsPerTable = 50L
+
+    val posKeyCol = concat_ws(":", col("log_file"),
+      lpad(col("log_pos").cast("string"), 10, "0"),
+      lpad(col("row_idx").cast("string"), 4, "0")).as("pos_key")
+
+    val sizes = Seq(25, 50, 100, 200)
+    val results = sizes.map { nTables =>
+      val catalog = new SchemaCatalog()
+      (0 until nTables).foreach { i =>
+        catalog.applyDdl(cluster, "db0",
+          s"CREATE TABLE t$i (id BIGINT NOT NULL, v DOUBLE, s VARCHAR(32), k INT, PRIMARY KEY (id))",
+          atEventId = i.toLong)
+      }
+
+      // parsed-shape frame: the columns DebeziumAdapter.fromDebezium
+      // produces, with rows striped across the N tables and 4 position
+      // segments (the segment boundaries mimic in-batch DDL positions)
+      val n = nTables * rowsPerTable
+      val seg = spark.range(n)
+        .withColumn("database_name", lit("db0"))
+        .withColumn("table_name", concat(lit("t"), (col("id") % nTables).cast("string")))
+        .withColumn("message_type", lit("insert"))
+        .withColumn("after", map(
+          lit("id"), col("id").cast("string"),
+          lit("v"), (col("id") * 0.5).cast("string"),
+          lit("s"), concat(lit("s"), col("id").cast("string")),
+          lit("k"), (col("id") % 7).cast("string")))
+        .withColumn("before", lit(null).cast(MapType(StringType, StringType)))
+        .withColumn("log_file", lit("binlog.000001"))
+        .withColumn("log_pos", col("id") * 4L)
+        .withColumn("row_idx", lit(0))
+        .withColumn("ts_us", lit(1700000000000000L) + col("id"))
+        .withColumn("transaction_id", concat(lit("tx"), col("id").cast("string")))
+        .withColumn("__pos", col("id") % nSegments) // 4 position segments
+
+      val img = when(col("message_type") === "delete",
+        col("before")).otherwise(col("after"))
+      val meta = Seq(col("message_type"), col("log_file"),
+        col("log_pos"), col("row_idx"), col("ts_us"),
+        col("transaction_id"), posKeyCol)
+
+      // ---- (a) plan build: segments × typedSlices → union → repartition.
+      // executedPlan forces analysis + optimization + physical planning on
+      // the driver — the wide-deployment cost being measured.
+      val t0 = System.nanoTime()
+      val outs = (0 until nSegments).flatMap { s =>
+        CdcPipeline.typedSlicesFor(catalog, cluster,
+          seg.filter(col("__pos") === s), img, meta)
+      }
+      val unioned = outs.reduce(_ unionByName _)
+        .repartition(col("topic"))
+        .sortWithinPartitions("pos_key")
+      unioned.queryExecution.executedPlan // force plan build
+      val planSecs = (System.nanoTime() - t0) / 1e9
+
+      // ---- (b) the write itself (same sink contract as startWire)
+      val t1 = System.nanoTime()
+      unioned.write.mode("overwrite").parquet(s"$workDir/n$nTables")
+      val writeSecs = (System.nanoTime() - t1) / 1e9
+      val written = spark.read.parquet(s"$workDir/n$nTables").count()
+      assert(written == n, s"wire rehearsal lost rows: $written != $n")
+      (nTables, planSecs, writeSecs)
+    }
+
+    // per-table plan cost at the widest vs narrowest point: ~1 == linear
+    val perTable = results.map { case (nt, p, _) => p / nt }
+    val ratio = perTable.last / perTable.head
+    val qs = results.map { case (nt, p, w) =>
+      s""""n$nt":{"plan_sec":$p,"write_sec":$w}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"wire_rehearsal","value":${results.map(_._2).sum},""" +
+        s""""unit":"sec","sizes":$qs,"segments":$nSegments,""" +
+        s""""rows_per_table":$rowsPerTable,""" +
+        s""""per_table_plan_ratio_200_vs_25":$ratio}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
+    spark.stop()
+    if (ratio > 2.0) {
+      System.err.println(f"[wire] batch-plan time is SUPER-LINEAR in #tables " +
+        f"(per-table ratio $ratio%.2f at 200 vs 25) — switch the sink to per-table writes")
+      sys.exit(1)
+    }
+  }
+}

@@ -188,14 +188,31 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
         selftest_gate()
         return
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional: --json PATH writes a driver-format sidecar
+    # (rows/schema/hash_match per query, CORRECTNESS_r{N}.json shape) so a
+    # full sf0.1 local run leaves a checked artifact in the repo
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, rows=False, schema=False, hashm=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": hashm, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -203,6 +220,7 @@ def main():
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, err=f"oracle error: {e}")
             n_fail += 1
             continue
         try:
@@ -211,15 +229,22 @@ def main():
             ).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            record(name, oracle_rows=want.num_rows,
+                   err=f"spark output missing: {e}")
             n_fail += 1
             continue
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             print(f"FAIL {name}: columns differ\n  oracle: {wcols}\n  spark:  {gcols}")
+            record(name, rows=want.num_rows == got.num_rows,
+                   spark_rows=got.num_rows, oracle_rows=want.num_rows,
+                   err="columns differ")
             n_fail += 1
             continue
         if want.num_rows != got.num_rows:
             print(f"FAIL {name}: rows {want.num_rows} (oracle) vs {got.num_rows} (spark)")
+            record(name, schema=True, spark_rows=got.num_rows,
+                   oracle_rows=want.num_rows, err="row count mismatch")
             n_fail += 1
             continue
         wrows = [tuple(norm(row[c]) for c in wcols) for row in want.to_pylist()]
@@ -233,16 +258,26 @@ def main():
             print(f"FAIL {name}: {len([1 for w, g in zip(wrows, grows) if w != g])} mismatched rows, first:")
             for i, w, g in bad:
                 print(f"  row {i}:\n    oracle: {w}\n    spark:  {g}")
+            record(name, rows=True, schema=True, spark_rows=got.num_rows,
+                   oracle_rows=want.num_rows, err="value mismatch")
             n_fail += 1
             continue
         perr = pandas_gate(name, con, sql, out_dir)
         if perr is not None:
             print(f"FAIL {name} [pandas gate]: {perr}")
+            record(name, rows=True, schema=True, spark_rows=got.num_rows,
+                   oracle_rows=want.num_rows, err=f"pandas gate: {perr}")
             n_fail += 1
             continue
         print(f"PASS {name} ({want.num_rows} rows; arrow+pandas{order_note})")
+        record(name, rows=True, schema=True, hashm=True,
+               spark_rows=got.num_rows, oracle_rows=want.num_rows)
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"== wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
