@@ -154,7 +154,11 @@ object ScaleRehearsal {
     val nLineitem = spark.read.parquet(s"$relDir/lineitem.parquet").count()
 
     val relRehearsed = Seq("q03_shipping_priority", "q05_local_supplier_volume",
-      "q13_semi_anti_join")
+      "q13_semi_anti_join",
+      // r7: every other query whose forced broadcast was removed, plus the
+      // decorrelated-window q02 — the full de-hinted family at 10×
+      "q09_product_type_profit", "q16_supplier_parts_count",
+      "q20_part_promotion", "q02_min_cost_supplier")
     val relResults = relRehearsed.map { name =>
       val t0r = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, relDir)

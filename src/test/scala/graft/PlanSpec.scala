@@ -375,9 +375,10 @@ class PlanSpec extends AnyFunSuite {
     // duplicated-LINE set; x30's unigram distribution and x31's merge
     // model are vocab-sized (Heaps' law). AQE may still broadcast at
     // runtime when genuinely small — what this pins is that the CODE
-    // never forces it. (x31 is excluded here only because its model
-    // build runs the multi-round BPE trainer; its sibling x30 plus the
-    // source-level hint grep below cover the same policy.)
+    // never forces it. (x31 is excluded here only because building its
+    // plan runs the multi-round BPE trainer; its vocab join sits in the
+    // same bpeEncode function x30's policy fix covered, so a regression
+    // there would be a deliberate code change, not drift.)
     for (q <- Seq("d10_minhash_calibration", "x22_boilerplate_lines", "x30_source_drift")) {
       val bad = offendingHints(SparkEntry.queries(q)(spark, sfDir))
       assert(bad.isEmpty, s"$q must not force SF-scaled broadcasts:\n${bad.mkString("\n")}")
