@@ -55,10 +55,18 @@ object Tables {
     *     wall-clock value and matches DuckDB's `epoch_us(ts)` exactly.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, sfDir, "events")
     val tsUs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case LongType => expr("ts DIV 1000")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("ts").cast(TimestampType))
+      case other =>
+        // fail FAST on an unrecognized regeneration of the testdata: a
+        // silent cast here would corrupt ts_us for all 44 events-dependent
+        // queries at once (the r6 failure mode) instead of erroring at load
+        sys.error(s"events.ts has unsupported type $other — " +
+          "extend Tables.events for the new encoding")
     }
     raw.withColumn("ts_us", tsUs).drop("ts")
   }

@@ -50,9 +50,24 @@ object ScaleRehearsal {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SF1_COPIES", "10").toInt
     val spark = Tables.session("graft-scale-rehearsal")
 
-    // ---- build the scaled corpus (idempotent: reuse if present) -------
+    // A bare directory-exists guard reuses PARTIAL output from a killed
+    // run (Spark creates the dir at job start) or a slice built with
+    // different copies/src, silently mislabeling the bench artifact. The
+    // meta file is written only AFTER all writes commit and pins the
+    // build parameters; any mismatch rebuilds.
+    def sliceIsCurrent(metaPath: String, fingerprint: String): Boolean = {
+      val f = java.nio.file.Paths.get(metaPath)
+      java.nio.file.Files.exists(f) &&
+        java.nio.file.Files.readString(f).trim == fingerprint
+    }
+    def commitSlice(metaPath: String, fingerprint: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), fingerprint)
+
+    // ---- build the scaled corpus (idempotent: reuse iff same src+copies)
     val docsPath = s"$workDir/documents.parquet"
-    if (!new java.io.File(docsPath).exists()) {
+    val docsMeta = s"$workDir/docs_meta.txt"
+    val docsFp = s"src=$src copies=$copies"
+    if (!sliceIsCurrent(docsMeta, docsFp)) {
       val base = Tables.documents(spark, src)
       val scaled = (0 until copies).map { i =>
         val d = base
@@ -66,6 +81,7 @@ object ScaleRehearsal {
           concat(col("text"), lit(s" uniq$i "), (col("doc_id") % 97).cast("string")))
       }.reduce(_ unionByName _)
       scaled.repartition(32).write.mode("overwrite").parquet(docsPath)
+      commitSlice(docsMeta, docsFp)
     }
     val nDocs = spark.read.parquet(docsPath).count()
 
@@ -130,7 +146,9 @@ object ScaleRehearsal {
     val C_OFF = 1000000000L
     val O_OFF = 1000000000L
     val relDir = s"$workDir/rel"
-    if (!new java.io.File(s"$relDir/lineitem.parquet").exists()) {
+    val relMeta = s"$workDir/rel_meta.txt"
+    val relFp = s"src=$src copies=$copies"
+    if (!sliceIsCurrent(relMeta, relFp)) {
       new java.io.File(relDir).mkdirs()
       for (t <- Seq("nation", "region", "part", "supplier"))
         Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$relDir/$t.parquet")
@@ -150,6 +168,7 @@ object ScaleRehearsal {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i * O_OFF))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$relDir/lineitem.parquet")
+      commitSlice(relMeta, relFp)
     }
     val nLineitem = spark.read.parquet(s"$relDir/lineitem.parquet").count()
 

@@ -308,7 +308,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x31 BPE encode joins the vocab-sized model by broadcast — no corpus re-tokenization") {
-    val (s, _) = planOf("x31_bpe_encode")
+    // the broadcast must be an AQE RUNTIME promotion, never a code hint:
+    // the vocab grows with the corpus (Heaps' law), so a forced broadcast
+    // is the driver-OOM shape. This doubles as x31's policy pin — its plan
+    // is already built here (the build runs the BPE trainer, so the
+    // no-hint suite below skips it rather than pay the loop twice).
+    val df = SparkEntry.queries("x31_bpe_encode")(spark, sfDir)
+    val bad = offendingHints(df)
+    assert(bad.isEmpty, s"x31 must not force SF-scaled broadcasts:\n${bad.mkString("\n")}")
+    df.collect()
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(s.contains("BroadcastHashJoin"),
       "x31 vocab join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
   }
@@ -342,11 +352,18 @@ class PlanSpec extends AnyFunSuite {
 
   private def offendingHints(
       df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.catalyst.plans.logical.ResolvedHint] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
+    // a hint is "scalar" only when the group-less Aggregate IS the hinted
+    // frame (modulo projections/aliases) — an SF-scaled frame that merely
+    // CONTAINS a scalar agg somewhere below (fact.crossJoin(tot)) must
+    // still be flagged, so no deep collect here
+    def scalarRoot(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case pr: Project => scalarRoot(pr.child)
+      case s: SubqueryAlias => scalarRoot(s.child)
+      case _ => false
+    }
     df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.filterNot { h =>
-      val scalar = h.child.collect {
-        case a: Aggregate if a.groupingExpressions.isEmpty => a
-      }.nonEmpty
       val fixedDim = {
         val leaves = h.child.collectLeaves()
         leaves.nonEmpty && leaves.forall { l =>
@@ -354,7 +371,7 @@ class PlanSpec extends AnyFunSuite {
           cols.nonEmpty && cols.forall(c => c.startsWith("n_") || c.startsWith("r_"))
         }
       }
-      scalar || fixedDim
+      scalarRoot(h.child) || fixedDim
     }
   }
 
@@ -372,13 +389,11 @@ class PlanSpec extends AnyFunSuite {
   test("d10/d3/x22/x30 carry no SF-scaled broadcast hints — pair/line/vocab frames grow with the corpus") {
     // the candidate-pair / common-count / estimate frames grow ~O(N) with
     // the corpus; x22's boilerplate set at the default minDf = 2 is the
-    // duplicated-LINE set; x30's unigram distribution and x31's merge
-    // model are vocab-sized (Heaps' law). AQE may still broadcast at
-    // runtime when genuinely small — what this pins is that the CODE
-    // never forces it. (x31 is excluded here only because building its
-    // plan runs the multi-round BPE trainer; its vocab join sits in the
-    // same bpeEncode function x30's policy fix covered, so a regression
-    // there would be a deliberate code change, not drift.)
+    // duplicated-LINE set; x30's unigram distribution is vocab-sized
+    // (Heaps' law). AQE may still broadcast at runtime when genuinely
+    // small — what this pins is that the CODE never forces it. x31 gets
+    // the same pin inside its own broadcast test above (building its plan
+    // runs the multi-round BPE trainer, so it isn't re-built here).
     for (q <- Seq("d10_minhash_calibration", "x22_boilerplate_lines", "x30_source_drift")) {
       val bad = offendingHints(SparkEntry.queries(q)(spark, sfDir))
       assert(bad.isEmpty, s"$q must not force SF-scaled broadcasts:\n${bad.mkString("\n")}")

@@ -195,8 +195,12 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: verify_local.py <sfDir> <outDir> [--json PATH] [query ...]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit("usage: verify_local.py <sfDir> <outDir> [--json PATH] [query ...]")
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
