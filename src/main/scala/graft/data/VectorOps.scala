@@ -372,6 +372,46 @@ object VectorOps {
     } finally v.unpersist()
   }
 
+  /** The IVF layout at 100 TB: the cell assignment becomes a WRITE-TIME
+    * partition column, so search-time cell pruning is partition pruning at
+    * the parquet scan — the probe never opens a file outside its cell's
+    * directory. s2/s6 compute the same pruning as a join predicate over an
+    * in-memory assignment; this is the storage-layout form the scaladoc of
+    * [[annIvfTrained]] promises ("at 100 TB the assignment is a write-time
+    * column"), made concrete: train (first-k centroids, as s6), assign
+    * (exact integer argmin against broadcast centroids), write
+    * `partitionBy(cell)`.
+    *
+    * Partition-count sizing at scale mirrors [[graft.data.Bucketing]]:
+    * #cells ≈ corpus / target-partition-bytes, bounded by the directory
+    * fan-out the store tolerates; a probe with nProbe cells reads
+    * nProbe/#cells of the data — the scan cost drops linearly with the
+    * cell count instead of rescanning the corpus per query. */
+  def writeCellPartitioned(embeddings: DataFrame, path: String, k: Int = 4): Unit = {
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe one cell of a [[writeCellPartitioned]] layout with an explicit
+    * query vector: the literal `cell = n` predicate is a static partition
+    * filter, so the scan's file list is the one cell directory (asserted
+    * by `IvfLayoutSpec`). At nProbe > 1 the filter becomes `cell IN (...)`
+    * — still static pruning. */
+  def probeCell(spark: SparkSession, path: String, cells: Seq[Long],
+      queryId: Long, topK: Int = 3): DataFrame = {
+    val assigned = spark.read.parquet(path)
+    // the query row is fetched by vec_id — also pruned when its cell is known
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    rankTopK(
+      q.join(assigned.filter(col("cell").isInCollection(cells)),
+        col("vec_id") =!= col("query_id")), topK)
+  }
+
   /** Scored candidate pairs within a (label, LSH-bucket) cell — the ONE
     * definition of the near-dup candidate set, shared by [[dedupEmbedding]]
     * (rank-1 per vector, `ordered = false`) and [[nearPairs]] (each pair

@@ -404,4 +404,53 @@ class PlanSpec extends AnyFunSuite {
     val d3bad = offendingHints(d3)
     assert(d3bad.isEmpty, s"d3 must not force SF-scaled broadcasts:\n${d3bad.mkString("\n")}")
   }
+
+  // ------------------------------------------------------------------
+  // Registry-wide hint budget. The q-family pin above enforces ZERO
+  // non-whitelisted hints on relational queries; this pin extends the
+  // policy to EVERY registry entry with an audited per-query budget
+  // (tools.HintAudit measured the counts). A nonzero budget is a hint on
+  // a frame whose cardinality is bounded by something that does NOT grow
+  // with the corpus:
+  //   __pid/__off offsets        — per-partition prefix sums: O(#partitions)
+  //   saved_*/kafka_pos/target_* — checkpoint positions: O(1) or O(#topics)
+  //   c_*/q_* frames             — k-means centroids, PQ codebooks, the
+  //                                query set: O(k) / O(#queries)
+  //   schema registry/intervals  — O(#tables × #schema versions)
+  //   bh (x12)                   — fixed 10-doc benchmark shingle set
+  //   bucket,w_q / w,idf_q       — O(#buckets) / O(#query terms)
+  // Adding a NEW hint anywhere — even to a query that already has some —
+  // fails here and forces a fresh boundedness argument in this table.
+  // ------------------------------------------------------------------
+  test("registry-wide hint budget: no query grows a broadcast hint beyond its audited bounded set") {
+    val budget: Map[String, Int] = Map(
+      "m4_pack_multimodal" -> 1,   // packing offsets: O(#partitions)
+      "s4_kmeans_step" -> 1,       // centroids: O(k)
+      "s5_ann_int8" -> 2,          // int8 top-k candidates: O(#queries × k)
+      "s6_ann_ivf_trained" -> 4,   // trained centroids ×3 + query cells
+      "s7_ann_pq" -> 4,            // codebook ×2 + query codes + rerank queries
+      "t10_before_image" -> 1,     // schema registry: O(#tables)
+      "t11_type_transforms" -> 1,  // schema registry: O(#tables)
+      "t22b_evolved_payload" -> 1, // evolution intervals: O(#tables × versions)
+      "t28_position_resume" -> 3,  // saved position (O(1)) + offsets ×2
+      "t28b_gtid_resume" -> 3,     // saved GTID (O(1)) + offsets ×2
+      "t29_offset_seek" -> 3,      // saved position + offsets ×2
+      "t31_replay_dedupe" -> 7,    // saved+kafka positions, per-topic counts, offsets ×4
+      "t32_catchup_bound" -> 3,    // saved position + offsets ×2
+      "t33_heartbeat_search" -> 6, // target serial ×2 + heartbeat offsets ×4
+      "x12_decontaminate" -> 1,    // benchmark shingles: fixed 10-doc eval set
+      "x15_pack_sequences" -> 1,   // packing offsets: O(#partitions)
+      "x28_dsir_importance" -> 1,  // bucket weights: O(#buckets)
+      "x29_bm25_topk" -> 1         // query-term idf: O(#query terms)
+    ).withDefaultValue(0)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 120, s"registry shrank to ${names.size} entries")
+    for (name <- names) {
+      val bad = offendingHints(SparkEntry.queries(name)(spark, sfDir))
+      assert(bad.size <= budget(name),
+        s"$name carries ${bad.size} non-whitelisted broadcast hints (budget ${budget(name)}) — " +
+          "a new hint needs a boundedness argument in the budget table:\n" +
+          bad.map(_.child.output.map(_.name).mkString("[", ",", "]")).mkString("\n"))
+    }
+  }
 }
