@@ -68,6 +68,7 @@ object DataQueries {
     "s4_kmeans_step" -> embs(VectorOps.kmeansStep(_)),
     "s4b_kmeans_converged" -> embs(VectorOps.kmeansConverged(_)),
     "s7_ann_pq" -> embs(VectorOps.annPq(_)),
+    "s8_ann_ivf_multiprobe" -> embs(VectorOps.annIvfMultiprobe(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
@@ -956,6 +957,41 @@ WHERE rnk <= 5 ORDER BY query_id, rnk"""),
   FROM s6
 )
 SELECT query_id, neighbor_id, rnk, dot, cos, cell FROM r6
+WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+    // multi-probe IVF: data-side assignment is rn=1 (each vector lives in
+    // exactly one cell); the QUERY side keeps its nProbe nearest cells, so
+    // candidates span several cells but each (query, neighbor) pair occurs
+    // once — mirrors VectorOps.annIvfMultiprobe exactly (same integer
+    // algebra, same (dist2, c_id) probe order, same (cos DESC, vec_id)
+    // rank ties)
+    "s8_ann_ivf_multiprobe" -> (vecProlog + s"""
+, c8m AS (
+  SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4
+), a8mp AS (
+  SELECT v.vec_id, v.qv, v.nn, c.c_id,
+         v.nn - 2 * ${pairDot("v", "c")} + c.c_nn AS dist2,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           v.nn - 2 * ${pairDot("v", "c")} + c.c_nn, c.c_id) AS rn
+  FROM qn v, c8m c
+), a8m AS (
+  SELECT vec_id, qv, nn, c_id AS cell FROM a8mp WHERE rn = 1
+), q8m AS (
+  SELECT vec_id AS query_id, qv, nn, c_id AS cell
+  FROM a8mp WHERE vec_id % 50 = 0 AND rn <= 2
+), p8m AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, b.cell,
+         ${pairDot("q", "b")} AS dot, q.nn AS na, b.nn AS nb
+  FROM q8m q JOIN a8m b
+    ON q.cell = b.cell AND b.vec_id <> q.query_id
+), s8m AS (
+  SELECT query_id, neighbor_id, cell, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM p8m
+), r8m AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM s8m
+)
+SELECT query_id, neighbor_id, rnk, dot, cos, cell FROM r8m
 WHERE rnk <= 3 ORDER BY query_id, rnk"""),
     "s5_ann_int8" -> (vecProlog + s"""
 , e8r AS (

@@ -283,6 +283,47 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s8 — multi-probe IVF: each query scans its `nProbe` NEAREST cells
+    * instead of only its own — the standard recall knob of IVF search
+    * (nProbe=1 is s6; nProbe=#cells degenerates to s1's brute force).
+    * A vector straddling a cell boundary is found by the second probe
+    * even when quantization put it in the "wrong" cell.
+    *
+    * Scale: the probe list is O(#queries × nProbe) (a window over the
+    * query×centroid cross — both k-bounded); candidates are one hash
+    * join on the cell key, and each (query, neighbor) pair appears at
+    * most once because cells PARTITION the vectors. Over a
+    * [[writeCellPartitioned]] layout the cell list becomes a static
+    * `cell IN (...)` partition filter, so probe cost is nProbe/#cells
+    * of the scan. */
+  def annIvfMultiprobe(embeddings: DataFrame, k: Int = 4, everyNth: Int = 50,
+      nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val assigned = assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
+    val probes = v.filter(col("vec_id") % everyNth === 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("c_id").as("cell"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("dot"), col("cos"), col("cell"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** s4 — one distributed k-means step (assign + update) over quantized
     * embeddings: the distance argmin uses exact integer algebra
     * (|x|² − 2x·c + |c|², native codegen'd dot products against a

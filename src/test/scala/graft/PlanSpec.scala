@@ -429,6 +429,7 @@ class PlanSpec extends AnyFunSuite {
       "s5_ann_int8" -> 2,          // int8 top-k candidates: O(#queries × k)
       "s6_ann_ivf_trained" -> 4,   // trained centroids ×3 + query cells
       "s7_ann_pq" -> 4,            // codebook ×2 + query codes + rerank queries
+      "s8_ann_ivf_multiprobe" -> 2, // centroids ×2 (assign + probe ranking): O(k)
       "t10_before_image" -> 1,     // schema registry: O(#tables)
       "t11_type_transforms" -> 1,  // schema registry: O(#tables)
       "t22b_evolved_payload" -> 1, // evolution intervals: O(#tables × versions)
