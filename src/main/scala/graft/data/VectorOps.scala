@@ -437,20 +437,24 @@ object VectorOps {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
-  /** Probe one cell of a [[writeCellPartitioned]] layout with an explicit
-    * query vector: the literal `cell = n` predicate is a static partition
-    * filter, so the scan's file list is the one cell directory (asserted
-    * by `IvfLayoutSpec`). At nProbe > 1 the filter becomes `cell IN (...)`
-    * — still static pruning. */
+  /** Probe the cells of a [[writeCellPartitioned]] layout with an explicit
+    * query vector: the literal `cell IN (...)` predicate is a static
+    * partition filter, so BOTH scans' file lists are the probed cell
+    * directories only (asserted by `IvfLayoutSpec`; re-measured at 10× by
+    * `tools.ScaleRehearsal`).
+    *
+    * Contract: `cells` must contain the query's own cell — true for every
+    * nProbe ≥ 1 probe list, whose first element IS the query's nearest
+    * cell. The query-row fetch goes through the same cell filter; without
+    * it the lookup scans every cell directory, which the 10× rehearsal
+    * flagged as an unpruned full-layout read (ivf:probe_unpruned). */
   def probeCell(spark: SparkSession, path: String, cells: Seq[Long],
       queryId: Long, topK: Int = 3): DataFrame = {
     val assigned = spark.read.parquet(path)
-    // the query row is fetched by vec_id — also pruned when its cell is known
+      .filter(col("cell").isInCollection(cells))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
-    rankTopK(
-      q.join(assigned.filter(col("cell").isInCollection(cells)),
-        col("vec_id") =!= col("query_id")), topK)
+    rankTopK(q.join(assigned, col("vec_id") =!= col("query_id")), topK)
   }
 
   /** Scored candidate pairs within a (label, LSH-bucket) cell — the ONE

@@ -85,17 +85,58 @@ object ScaleRehearsal {
     }
     val nDocs = spark.read.parquet(docsPath).count()
 
+    // ---- plan walking + killer audit, shared by every section ---------
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // QueryStageExec is a LEAF wrapping the materialized exchange — under
+    // AQE every executed Broadcast/ShuffleExchange hides inside one, so a
+    // walk that only descends `children` reports zero broadcasts on any
+    // executed plan (exactly the blind spot this audit exists to close).
+    // ReusedExchangeExec is a LEAF pointing back at an exchange built
+    // elsewhere in the plan — without descending through it, a
+    // nested-loop join whose build side is a REUSED broadcast audits as
+    // "no broadcast found" and the size gate can't run.
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+        case _ => Nil
+      }))
+    def broadcastSizes(nodes: Seq[SparkPlan]): Seq[Long] =
+      nodes.collect { case b: BroadcastExchangeExec =>
+        b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+      }
+    // Scale-killer audit. CartesianProduct is always fatal. A
+    // BroadcastNestedLoopJoin is the PHYSICAL form of every
+    // crossJoin(broadcast(bounded-frame)) — centroid assignment, scalar
+    // attach — so it is fatal only when its build side is UNMEASURED or
+    // measured large: a corpus-scaled build frame is the driver-OOM shape
+    // regardless of the loop itself.
+    val BNLJ_BUILD_CAP = 16L << 20
+    def planKillers(nodes: Seq[SparkPlan]): Seq[String] = {
+      val cart = nodes.map(_.nodeName).filter(_.contains("CartesianProduct"))
+      val bnlj = nodes.filter(_.nodeName.contains("BroadcastNestedLoop")).flatMap { n =>
+        val sizes = walk(n).collect { case b: BroadcastExchangeExec =>
+          b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+        }
+        if (sizes.isEmpty || sizes.exists(s => s < 0 || s > BNLJ_BUILD_CAP))
+          Seq(s"BroadcastNestedLoopJoin(build=${sizes.mkString("/")}B)")
+        else Nil
+      }
+      cart ++ bnlj
+    }
+
     // ---- run each family member once, timed, with a plan audit --------
     val results = rehearsed.map { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, workDir)
       execute(df)
       val secs = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
       // scale-killer audit: AQE must not have flipped any pair-scaled
-      // join to a cartesian/nested-loop at the bigger size
-      val killers = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-        .filter(plan.contains)
+      // join to a cartesian/unbounded-nested-loop at the bigger size
+      val killers = planKillers(walk(df.queryExecution.executedPlan))
       (name, secs, killers)
     }
 
@@ -108,29 +149,13 @@ object ScaleRehearsal {
     // (a corpus-scaled broadcast is the driver-OOM shape d10 was
     // flagged for in r3; after the de-broadcast fix AQE only promotes
     // frames it measured small).
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val t0 = System.nanoTime()
     val raw = graft.data.TextOps.dedupMinhashLsh(spark.read.parquet(docsPath))
     execute(raw)
     val rawSecs = (System.nanoTime() - t0) / 1e9
-    // QueryStageExec is a LEAF wrapping the materialized exchange — under
-    // AQE every executed Broadcast/ShuffleExchange hides inside one, so a
-    // walk that only descends `children` reports zero broadcasts on any
-    // executed plan (exactly the blind spot this audit exists to close).
-    def walk(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children.flatMap(walk) ++ (p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case s: QueryStageExec => walk(s.plan)
-        case _ => Nil
-      }))
     val nodes = walk(raw.queryExecution.executedPlan)
-    val rawFlips = nodes.map(_.nodeName).filter(n =>
-      n.contains("CartesianProduct") || n.contains("BroadcastNestedLoop"))
-    val bcastBytes = nodes.collect { case b: BroadcastExchangeExec =>
-      b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
-    }
+    val rawFlips = planKillers(nodes)
+    val bcastBytes = broadcastSizes(nodes)
 
     // ---- relational-family rehearsal (VERDICT r6 prescription #6) -----
     // Build a ~10× TPC-H-ish slice with join integrity preserved: per
@@ -184,15 +209,60 @@ object ScaleRehearsal {
       execute(df)
       val secs = (System.nanoTime() - t0r) / 1e9
       val nodes = walk(df.queryExecution.executedPlan)
-      val qFlips = nodes.map(_.nodeName).filter(n =>
-        n.contains("CartesianProduct") || n.contains("BroadcastNestedLoop"))
+      val qFlips = planKillers(nodes)
       // every realized broadcast must have a measured dataSize metric —
       // -1 would mean an exchange that never populated its runtime size
-      val qBcast = nodes.collect { case b: BroadcastExchangeExec =>
-        b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
-      }
+      val qBcast = broadcastSizes(nodes)
       (name, secs, qFlips, qBcast)
     }
+
+    // ---- vector-family rehearsal (r7) --------------------------------
+    // A 10× embeddings slice: vec_id shifts per copy, vectors stay
+    // verbatim — the corpus grows, the trained centroid count (first k
+    // ids, all in copy 0) doesn't, which is the 100 TB shape. Two
+    // measurements: s8 multi-probe at 10× through the same flip/broadcast
+    // audit as the other families, and the cell-partitioned layout's
+    // probe pruning — files opened by a one-cell probe vs the layout's
+    // total — the claim IvfLayoutSpec proves at sf0.001, re-measured at
+    // 10× sf0.1.
+    val V_OFF = 10000000L
+    val vecDir = s"$workDir/vec"
+    val vecMeta = s"$workDir/vec_meta.txt"
+    if (!sliceIsCurrent(vecMeta, relFp)) {
+      new java.io.File(vecDir).mkdirs()
+      val emb = Tables.embeddings(spark, src)
+      (0 until copies).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * V_OFF))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$vecDir/embeddings.parquet")
+      commitSlice(vecMeta, relFp)
+    }
+    val nVecs = spark.read.parquet(s"$vecDir/embeddings.parquet").count()
+
+    val t0v = System.nanoTime()
+    val s8df = SparkEntry.queries("s8_ann_ivf_multiprobe")(spark, vecDir)
+    execute(s8df)
+    val s8Secs = (System.nanoTime() - t0v) / 1e9
+    val s8Nodes = walk(s8df.queryExecution.executedPlan)
+    val s8Flips = planKillers(s8Nodes)
+    val s8Bcast = broadcastSizes(s8Nodes)
+
+    val layoutDir = s"$vecDir/ivf_cells"
+    graft.data.VectorOps.writeCellPartitioned(
+      spark.read.parquet(s"$vecDir/embeddings.parquet"), layoutDir, k = 4)
+    val layout = spark.read.parquet(layoutDir)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      execute(df)
+      walk(df.queryExecution.executedPlan)
+        .filter(_.children.isEmpty)
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    val probeRow = layout.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "cell").orderBy("vec_id").limit(1).collect()(0)
+    val probeDf = graft.data.VectorOps.probeCell(spark, layoutDir,
+      Seq(probeRow.getAs[Number]("cell").longValue()), probeRow.getLong(0))
+    val ivfFilesProbe = filesRead(probeDf)
+    val ivfFilesTotal = filesRead(layout)
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -201,10 +271,14 @@ object ScaleRehearsal {
     }.mkString("{", ",", "}")
     val flips = results.flatMap { case (k, _, ks) => ks.map(x => s"$k:$x") } ++
       rawFlips.map(x => s"d3_raw:$x") ++
-      relResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") }
+      relResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
+      s8Flips.map(x => s"s8:$x") ++
+      // an unpruned probe is the vector family's scale-killer: the layout
+      // exists precisely so a probe never scans the whole corpus
+      (if (ivfFilesProbe >= ivfFilesTotal) Seq("ivf:probe_unpruned") else Nil)
     val unmeasured = relResults.flatMap { case (k, _, _, bs) =>
       if (bs.contains(-1L)) Seq(k) else Nil
-    }
+    } ++ (if (s8Bcast.contains(-1L)) Seq("s8_ann_ivf_multiprobe") else Nil)
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"sf1_rehearsal","value":$total,"unit":"sec","queries":$qs,""" +
@@ -213,6 +287,9 @@ object ScaleRehearsal {
         s""""aqe_broadcast_bytes":[${bcastBytes.mkString(",")}],""" +
         s""""rel_queries":$relQs,"n_lineitem":$nLineitem,""" +
         s""""rel_broadcast_bytes":$relBcast,""" +
+        s""""vec_queries":{"s8_ann_ivf_multiprobe":$s8Secs},"n_vecs":$nVecs,""" +
+        s""""s8_broadcast_bytes":[${s8Bcast.mkString(",")}],""" +
+        s""""ivf_files_probe":$ivfFilesProbe,"ivf_files_total":$ivfFilesTotal,""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

@@ -18,13 +18,21 @@ class IvfLayoutSpec extends AnyFunSuite {
   private lazy val spark = Tables.session("ivf-layout-spec", "4")
   private val sfDir = "/root/testdata/sf0.001"
 
+  // descends into AQE query stages — an executed plan hides every scan
+  // behind QueryStageExec leaves, so a plain collectLeaves undercounts
   private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collectLeaves().flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case _ => Nil
+      }))
+    walk(df.queryExecution.executedPlan)
+      .filter(_.children.isEmpty)
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
   }
 
   test("cell-partitioned probe prunes to its cell and matches the in-memory IVF plan") {
