@@ -59,6 +59,7 @@ object DataQueries {
     "x32_span_scrub" -> docs(TextOps.spanScrub(_)),
     "x33_perplexity_buckets" -> docs(TextOps.perplexityBuckets),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
+    "x34_shard_export" -> docs(TextOps.shardExport(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
@@ -348,6 +349,21 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
           ' ' ORDER BY l.idx), '')) AS clean_md5
       FROM linesx l LEFT JOIN boiler b ON l.line = b.line
       GROUP BY 1 ORDER BY 1""",
+    // seeded shuffle-shard export: the oracle computes the in-shard rank
+    // with one global window — the semantics the Spark side's two-phase
+    // (partition-local rank + offset join) prefix sum must reproduce
+    // exactly, permutation and all
+    "x34_shard_export" -> s"""
+      WITH sk AS (
+        SELECT doc_id,
+               ${TextOps.hex13NumFragment("md5('graft:' || CAST(doc_id AS STRING))")} AS skey
+        FROM documents
+      ), shx AS (
+        SELECT doc_id, skey, skey % 8 AS shard FROM sk
+      )
+      SELECT doc_id, skey, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+      FROM shx ORDER BY shard, pos""",
     // 16-word stride-1 windows; a window in >=2 distinct docs is a
     // duplicated span; per-doc instance counts + fraction
     "x27_duplicated_spans" -> """

@@ -321,6 +321,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x34 — deterministic seeded shuffle + shard assignment: the training
+    * EXPORT step every LLM pipeline ends with. Each document draws a
+    * reproducible pseudo-random key from md5(seed ':' doc_id) (13 hex
+    * digits → exact 52-bit BIGINT, the x11/x21 trick), its shard is
+    * key % nShards, and its in-shard position is the EXACT rank of
+    * (key, doc_id) within the shard. Same seed → the same permutation
+    * bit-for-bit on any cluster size; a new seed reshuffles; a
+    * downstream trainer reads shard s in pos order and sees a stable
+    * pseudo-random document order with no coordination.
+    *
+    * The rank is x15's two-phase prefix sum, generalized per shard:
+    * range-repartition by (shard, key), rank locally in parallel, then
+    * add per-(partition, shard) count offsets from a
+    * #partitions×#shards-row frame broadcast back — never a global
+    * window over the corpus. */
+  def shardExport(documents: DataFrame, nShards: Int = 8, seed: String = "graft"): DataFrame = {
+    val keyed = documents.select(col("doc_id"))
+      .withColumn("skey", expr(hex13Num(s"md5(concat('$seed:', CAST(doc_id AS STRING)))")))
+      .withColumn("shard", expr(s"skey % $nShards"))
+    val local = keyed
+      .repartitionByRange(col("shard"), col("skey"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrank", row_number()
+        .over(Window.partitionBy("__pid", "shard").orderBy("skey", "doc_id"))
+        .cast("long"))
+      .persist() // un-materialized range shuffles can resample bounds per branch
+    val offsets = local.groupBy("__pid", "shard").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.partitionBy("shard").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "shard", "__off")
+    local.join(broadcast(offsets), Seq("__pid", "shard"))
+      .select(col("doc_id"), col("skey"), col("shard"),
+        (col("__lrank") + col("__off") - 1).as("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** x16 — composite quality filter with an audit trail: every heuristic
     * is a named boolean column, so rejected documents are attributable to
     * specific rules (the filter-transparency requirement of a curated

@@ -442,6 +442,7 @@ class PlanSpec extends AnyFunSuite {
       "x12_decontaminate" -> 1,    // benchmark shingles: fixed 10-doc eval set
       "x15_pack_sequences" -> 1,   // packing offsets: O(#partitions)
       "x28_dsir_importance" -> 1,  // bucket weights: O(#buckets)
+      "x34_shard_export" -> 1,     // rank offsets: O(#partitions × #shards)
       "x29_bm25_topk" -> 1         // query-term idf: O(#query terms)
     ).withDefaultValue(0)
     val names = SparkEntry.queries.keys.toSeq.sorted
