@@ -48,6 +48,12 @@ object ScaleRehearsal {
     val workDir = args.lift(1).getOrElse("/tmp/graft_sf1")
     val outJson = args.lift(2).getOrElse("BENCH_sf1.json")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SF1_COPIES", "10").toInt
+    // the relational slice can scale independently of the doc/vector ones
+    // (SPARK_GRAFT_SF1_REL_COPIES=100 gives a second, 100× point on the
+    // fact-table scaling curve without exploding the quadratic-ish doc
+    // families to 500k docs)
+    val relCopies = sys.env.get("SPARK_GRAFT_SF1_REL_COPIES")
+      .map(_.toInt).getOrElse(copies)
     val spark = Tables.session("graft-scale-rehearsal")
 
     // A bare directory-exists guard reuses PARTIAL output from a killed
@@ -172,24 +178,24 @@ object ScaleRehearsal {
     val O_OFF = 1000000000L
     val relDir = s"$workDir/rel"
     val relMeta = s"$workDir/rel_meta.txt"
-    val relFp = s"src=$src copies=$copies"
+    val relFp = s"src=$src copies=$relCopies"
     if (!sliceIsCurrent(relMeta, relFp)) {
       new java.io.File(relDir).mkdirs()
       for (t <- Seq("nation", "region", "part", "supplier"))
         Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$relDir/$t.parquet")
       val cust = Tables.customer(spark, src)
-      (0 until copies).map { i =>
+      (0 until relCopies).map { i =>
         cust.withColumn("c_custkey", col("c_custkey") + lit(i * C_OFF))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$relDir/customer.parquet")
       val ord = Tables.orders(spark, src)
-      (0 until copies).map { i =>
+      (0 until relCopies).map { i =>
         ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * O_OFF))
           .withColumn("o_custkey", col("o_custkey") + lit(i * C_OFF))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$relDir/orders.parquet")
       val li = Tables.lineitem(spark, src)
-      (0 until copies).map { i =>
+      (0 until relCopies).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i * O_OFF))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$relDir/lineitem.parquet")
@@ -228,14 +234,15 @@ object ScaleRehearsal {
     val V_OFF = 10000000L
     val vecDir = s"$workDir/vec"
     val vecMeta = s"$workDir/vec_meta.txt"
-    if (!sliceIsCurrent(vecMeta, relFp)) {
+    val vecFp = s"src=$src copies=$copies"
+    if (!sliceIsCurrent(vecMeta, vecFp)) {
       new java.io.File(vecDir).mkdirs()
       val emb = Tables.embeddings(spark, src)
       (0 until copies).map { i =>
         emb.withColumn("vec_id", col("vec_id") + lit(i * V_OFF))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$vecDir/embeddings.parquet")
-      commitSlice(vecMeta, relFp)
+      commitSlice(vecMeta, vecFp)
     }
     val nVecs = spark.read.parquet(s"$vecDir/embeddings.parquet").count()
 
