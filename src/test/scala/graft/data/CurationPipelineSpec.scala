@@ -1,0 +1,80 @@
+package graft.data
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed curation pipeline a library user actually runs end to end:
+  * quality filter (x16) → exact dedup keeper selection (d1) →
+  * benchmark decontamination (x12) → seeded shuffle-shard export (x34) →
+  * shard-partitioned parquet write → read-back.
+  *
+  * Each stage is oracle-checked individually; what this spec pins is the
+  * COMPOSITION: the stages connect on doc_id without schema friction, the
+  * exported shards are internally consistent (contiguous positions,
+  * disjoint docs, nothing lost), and the whole run is deterministic —
+  * a re-run writes byte-identical shard content, which is what makes a
+  * 100 TB export resumable and auditable.
+  */
+class CurationPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = Tables.session("curation-pipeline-spec", "4")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def runPipeline(outDir: String): (Long, Long, Long, Seq[org.apache.spark.sql.Row]) = {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+
+    // x16: quality gate
+    val kept = docs.join(
+      TextOps.filterAudit(docs).filter(col("keep")).select("doc_id"), "doc_id")
+
+    // d1: one keeper per exact-duplicate group
+    val keepers = TextOps.dedupExact(kept).select(col("keeper").as("doc_id"))
+    val deduped = kept.join(keepers, "doc_id")
+
+    // x12: drop contaminated (overlap with the 10-doc benchmark set)
+    val clean = deduped.join(
+      TextOps.decontaminate(deduped).filter(!col("is_contaminated")).select("doc_id"),
+      "doc_id")
+    val nClean = clean.count()
+
+    // x34: seeded shard assignment, then the export write itself
+    val sharded = TextOps.shardExport(clean, nShards = 4)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+    val back = spark.read.parquet(outDir)
+    val rows = back.orderBy("shard", "pos").collect().toSeq
+    (total, nClean, back.count(), rows)
+  }
+
+  test("filter → dedup → decontaminate → shard export composes losslessly and deterministically") {
+    val dir1 = java.nio.file.Files.createTempDirectory("curation1").toString
+    val (total, nClean, nExported, rows1) = runPipeline(dir1)
+
+    // the gates actually gate (corpus has short/duplicate/contaminated docs)
+    assert(nClean < total, s"no document was filtered ($nClean of $total)")
+    assert(nClean > 0, "pipeline filtered everything — vacuous")
+    // nothing lost or duplicated between assignment and the written shards
+    assert(nExported == nClean, s"export wrote $nExported of $nClean docs")
+    val back = spark.read.parquet(dir1)
+    assert(back.select("doc_id").distinct().count() == nClean, "duplicate doc in shards")
+
+    // per-shard positions are contiguous 0..n-1 — the contract a trainer
+    // reading shard files in pos order depends on
+    val perShard = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .collect()
+    assert(perShard.length > 1, "all docs landed in one shard")
+    for (r <- perShard) {
+      val (n, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mn == 0L && mx == n - 1, s"shard ${r.get(0)} positions not contiguous: n=$n range=[$mn,$mx]")
+    }
+
+    // determinism: a second full run reproduces the exact export
+    val dir2 = java.nio.file.Files.createTempDirectory("curation2").toString
+    val (_, _, _, rows2) = runPipeline(dir2)
+    assert(rows1.map(_.toString) == rows2.map(_.toString),
+      "re-run diverged — the export is not reproducible")
+  }
+}
