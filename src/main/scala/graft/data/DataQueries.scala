@@ -32,6 +32,7 @@ object DataQueries {
       Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))),
     "d9_dedup_savings" -> docs(TextOps.dedupSavings),
     "d10_minhash_calibration" -> docs(TextOps.minhashCalibration(_)),
+    "d11_dedup_incremental" -> docs(TextOps.dedupIncremental(_)),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
@@ -605,6 +606,13 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT c.doc_a, c.doc_b, j.jac
       FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
       WHERE j.jac >= 0.5 ORDER BY c.doc_a, c.doc_b"""),
+    // incremental: d3's pair set restricted to pairs whose LARGER member
+    // is new (doc_id >= 250) — base×base pairs settled in previous
+    // increments never reappear; is_cross marks new-duplicates-of-base
+    "d11_dedup_incremental" -> (docProlog + """
+      SELECT c.doc_a, c.doc_b, j.jac, c.doc_a < 250 AS is_cross
+      FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+      WHERE j.jac >= 0.5 AND c.doc_b >= 250 ORDER BY c.doc_a, c.doc_b"""),
     // transitive closure of the dup-pair graph; WITH RECURSIVE is needed
     // for the walk CTE, so the shared prologue's WITH is upgraded
     "d6_dedup_clusters" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + """

@@ -682,6 +682,50 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d11 — incremental (new-vs-base) MinHash dedup: the crawl-increment
+    * shape. Documents below `baseMaxId` are the EXISTING corpus; documents
+    * at/above it are the NEW batch. Band-collision candidates are pruned
+    * to pairs whose larger member is new BEFORE any verification — since
+    * doc_b is the pair maximum, one predicate drops every base×base pair,
+    * which previous increments already settled. Per-increment verification
+    * work is O(collisions involving new docs), not O(corpus²) and not even
+    * O(collisions(corpus)).
+    *
+    * At 100 TB the base side's signatures/bands are PRECOMPUTED and stored
+    * (they are deterministic functions of the text, exactly what
+    * [[minhashOf]]/[[lshBands]] emit), so an increment shingles only the
+    * new batch and hash-joins its bands against the stored band table;
+    * this method recomputes both sides from one frame because the
+    * testdata ships as one table, with the same plan shape from the
+    * candidate join on. `is_cross` distinguishes new-duplicates-of-base
+    * (drop the new doc) from new-internal duplicates (keep one). */
+  def dedupIncremental(documents: DataFrame, baseMaxId: Long = 250,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(documents).cache()
+    val bands = lshBands(minhashOf(sh)).persist()
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_b") >= baseMaxId)
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("doc_a"), xxhash64(col("sh")).as("h"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), xxhash64(col("sh")).as("h_b"))
+    val common = shA
+      .join(cands, "doc_a")
+      .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common.join(sizes.toDF("doc_a", "sa"), "doc_a")
+      .join(sizes.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("jac", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"),
+        (col("doc_a") < baseMaxId).as("is_cross"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d10 — MinHash calibration audit: for every LSH candidate pair,
     * the signature-estimated jaccard (matching minima / 12) against the
     * exact shingle-set jaccard — the measurement that justifies (or
