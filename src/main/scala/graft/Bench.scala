@@ -57,7 +57,7 @@ object Bench {
     "x24_cluster_reps", "x25_unigram_surprisal", "x26_bpe_merges",
     "x27_duplicated_spans", "x28_dsir_importance", "x29_bm25_topk",
     "x30_source_drift", "x31_bpe_encode", "x32_span_scrub",
-    "x33_perplexity_buckets", "x34_shard_export",
+    "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal")
 

@@ -61,6 +61,7 @@ object DataQueries {
     "x33_perplexity_buckets" -> docs(TextOps.perplexityBuckets),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
     "x34_shard_export" -> docs(TextOps.shardExport(_)),
+    "x35_budget_cap" -> docs(TextOps.budgetCap(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
@@ -365,6 +366,26 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT doc_id, skey, shard,
              CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
       FROM shx ORDER BY shard, pos""",
+    // per-source budget enforcement in the seeded order; the oracle's
+    // exclusive window cumsum states what the Spark side's per-source
+    // two-phase prefix sum must equal
+    "x35_budget_cap" -> s"""
+      WITH tkx AS (
+        SELECT d.doc_id, d.source,
+               CAST(list_sum(list_transform(string_split(d.text, ' '),
+                 w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+               ${TextOps.hex13NumFragment("md5('graft:' || CAST(d.doc_id AS STRING))")} AS skey
+        FROM documents d
+      ), cum AS (
+        SELECT doc_id, source, bpe_tokens, skey,
+               CAST(coalesce(sum(bpe_tokens) OVER (PARTITION BY source
+                 ORDER BY skey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM tkx
+      )
+      SELECT doc_id, source, bpe_tokens, skey, cum_before,
+             cum_before < 4000 AS keep
+      FROM cum ORDER BY doc_id""",
     // 16-word stride-1 windows; a window in >=2 distinct docs is a
     // duplicated span; per-doc instance counts + fraction
     "x27_duplicated_spans" -> """

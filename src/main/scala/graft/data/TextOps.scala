@@ -358,6 +358,38 @@ object TextOps {
       .orderBy("shard", "pos")
   }
 
+  /** x35 — per-source token-budget cap: APPLY the mixture budgets x17
+    * computes. Within each source, documents are taken in the x34 seeded
+    * hash order until the source's token budget is exhausted: a document
+    * is kept iff the cumulative token count of everything BEFORE it
+    * (seeded order, same source) is under the budget — so the kept set is
+    * deterministic, seed-reproducible, independent of physical layout,
+    * and every source lands within one document of its cap. The exclusive
+    * cumulative sum is the x15 two-phase prefix sum keyed per source,
+    * never a global window. */
+  def budgetCap(documents: DataFrame, budgetTokens: Long = 4000L,
+      seed: String = "graft"): DataFrame = {
+    val keyed = documents.select(col("doc_id"), col("source"))
+      .join(tokenCount(documents).select("doc_id", "bpe_tokens"), "doc_id")
+      .withColumn("skey", expr(hex13Num(s"md5(concat('$seed:', CAST(doc_id AS STRING)))")))
+    val local = keyed
+      .repartitionByRange(col("source"), col("skey"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum("bpe_tokens")
+        .over(Window.partitionBy("__pid", "source").orderBy("skey", "doc_id")))
+      .persist() // un-materialized range shuffles can resample bounds per branch
+    val offsets = local.groupBy("__pid", "source").agg(sum("bpe_tokens").as("__pt"))
+      .withColumn("__off", coalesce(
+        sum("__pt").over(Window.partitionBy("source").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "source", "__off")
+    local.join(broadcast(offsets), Seq("__pid", "source"))
+      .withColumn("cum_before", col("__lcum") + col("__off") - col("bpe_tokens"))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("skey"),
+        col("cum_before"), (col("cum_before") < budgetTokens).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** x16 — composite quality filter with an audit trail: every heuristic
     * is a named boolean column, so rejected documents are attributable to
     * specific rules (the filter-transparency requirement of a curated
