@@ -1,0 +1,70 @@
+package graft.data
+
+import graft.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout-independence of the export operators (x34 shard export, x35
+  * budget cap): their scaladoc claims the output is a pure function of
+  * (data, seed, parameters) — NOT of how the input happens to be
+  * partitioned. That claim carries the whole 100 TB story (a re-run on a
+  * different cluster, a repartitioned upstream, or AQE choosing different
+  * splits must reproduce the same export), and it is exactly what the
+  * two-phase prefix sum could silently break if the per-partition ranks
+  * were stitched in the wrong order. Run each operator over adversarial
+  * input layouts and require byte-identical results.
+  */
+class ExportLayoutInvarianceSpec extends AnyFunSuite {
+
+  private lazy val spark = Tables.session("export-invariance-spec", "4")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def layouts = {
+    val docs = Tables.documents(spark, sfDir)
+    Seq(
+      "as-read" -> docs,
+      "one-partition" -> docs.coalesce(1),
+      "seven-random" -> docs.repartition(7),
+      "range-desc" -> docs.repartitionByRange(5, org.apache.spark.sql.functions.col("doc_id").desc))
+  }
+
+  test("x34 shard export is identical under every input layout") {
+    val results = layouts.map { case (name, d) =>
+      name -> TextOps.shardExport(d).collect().map(_.toString).toSeq
+    }
+    val (refName, ref) = results.head
+    for ((name, r) <- results.tail)
+      assert(r == ref, s"x34 under layout '$name' diverged from '$refName'")
+  }
+
+  test("x35 budget cap is identical under every input layout") {
+    val results = layouts.map { case (name, d) =>
+      name -> TextOps.budgetCap(d).collect().map(_.toString).toSeq
+    }
+    val (refName, ref) = results.head
+    for ((name, r) <- results.tail)
+      assert(r == ref, s"x35 under layout '$name' diverged from '$refName'")
+  }
+
+  test("x34/x35 are identical under different shuffle-partition counts") {
+    // the sharper axis: the ops' internal repartitionByRange takes its
+    // partition count from spark.sql.shuffle.partitions, so varying IT
+    // genuinely changes the __pid split the two-phase prefix sum must
+    // stitch back together — a wrong stitch order shows up here even when
+    // input-layout variation normalizes away
+    val docs = Tables.documents(spark, sfDir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): (Seq[String], Seq[String]) = (
+      TextOps.shardExport(docs).collect().map(_.toString).toSeq,
+      TextOps.budgetCap(docs).collect().map(_.toString).toSeq)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val one = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val three = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val thirteen = run()
+      assert(one == three && three == thirteen,
+        "export output depends on the shuffle partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
