@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The composed curation pipeline a library user actually runs end to end:
   * quality filter (x16) → exact dedup keeper selection (d1) →
-  * benchmark decontamination (x12) → seeded shuffle-shard export (x34) →
-  * shard-partitioned parquet write → read-back.
+  * benchmark decontamination (x12) → per-source token-budget cap (x35) →
+  * seeded shuffle-shard export (x34) → shard-partitioned parquet write →
+  * read-back.
   *
   * Each stage is oracle-checked individually; what this spec pins is the
   * COMPOSITION: the stages connect on doc_id without schema friction, the
@@ -34,8 +35,13 @@ class CurationPipelineSpec extends AnyFunSuite {
     val deduped = kept.join(keepers, "doc_id")
 
     // x12: drop contaminated (overlap with the 10-doc benchmark set)
-    val clean = deduped.join(
+    val decon = deduped.join(
       TextOps.decontaminate(deduped).filter(!col("is_contaminated")).select("doc_id"),
+      "doc_id")
+
+    // x35: enforce the per-source token budget in the seeded order
+    val clean = decon.join(
+      TextOps.budgetCap(decon, budgetTokens = 2000L).filter(col("keep")).select("doc_id"),
       "doc_id")
     val nClean = clean.count()
 
