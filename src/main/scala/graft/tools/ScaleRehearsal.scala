@@ -30,7 +30,11 @@ object ScaleRehearsal {
     // df-capped verify member, and boilerplate removal after its
     // de-broadcast fix (the dup-line set is corpus-scaled here by
     // construction: verbatim copies make every line df ≥ 2)
-    "d2_dedup_ngram_jaccard", "x22_boilerplate_lines")
+    "d2_dedup_ngram_jaccard", "x22_boilerplate_lines",
+    // r7: the two-phase prefix-sum export family (global packing
+    // positions, per-shard ranks, per-source budget cumsums) — the
+    // range-shuffle + offsets-broadcast shape at 10×
+    "x15_pack_sequences", "x34_shard_export", "x35_budget_cap")
 
   /** Execute a frame THROUGH ITS OWN QueryExecution (ADVICE r4, medium):
     * `DataFrameWriter.save` wraps the plan in a SEPARATE QueryExecution,
