@@ -33,6 +33,7 @@ object DataQueries {
     "d9_dedup_savings" -> docs(TextOps.dedupSavings),
     "d10_minhash_calibration" -> docs(TextOps.minhashCalibration(_)),
     "d11_dedup_incremental" -> docs(TextOps.dedupIncremental(_)),
+    "d12_semdedup" -> embs(VectorOps.semDedup(_)),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
@@ -202,6 +203,52 @@ WITH qe AS (
          CAST(coalesce(u.n, 0) AS BIGINT) AS n
   FROM k${i - 1} p LEFT JOIN u$i u ON p.c_id = u.c_id
 )"""
+
+  /** d12's oracle: the unrolled k-means chain of [[kmeansConvergedSql]],
+    * then the SemDeDup prefix rule as plain SQL — rank within cluster by
+    * cosine to the centroid, drop a vector iff any earlier-ranked
+    * cluster-mate is ≥ ε cosine-similar. The output assignment `af` is a
+    * FINAL extra argmin against `k$maxIter` (not round $maxIter's own
+    * `a$maxIter`, which was assigned against `k${maxIter - 1}`): the Spark
+    * side re-assigns against the finished centroids, and the two only
+    * coincide once the fixpoint is reached — true at sf0.01, NOT at sf0.1
+    * within the configured rounds. */
+  private def semDedupSql(k: Int, maxIter: Int, dims: Int, eps: Double): String =
+    vecProlog + s"""
+, k0 AS MATERIALIZED (
+  SELECT vec_id AS c_id, qv, CAST(0 AS BIGINT) AS n FROM qn WHERE vec_id < $k
+)""" +
+      (1 to maxIter).map(kmeansRoundSql(_, dims)).mkString + s"""
+, af AS MATERIALIZED (
+  SELECT vec_id, qv, c_id FROM (
+    SELECT v.vec_id, v.qv, c.c_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * ${pairDot("v", "c")}
+               + CAST(list_sum(list_transform(generate_series(1, $dims), d -> c.qv[d] * c.qv[d])) AS BIGINT),
+             c.c_id) AS rn
+    FROM qn v, k$maxIter c) q WHERE rn = 1
+), cn AS (
+  SELECT c_id, qv AS c_qv,
+         CAST(list_sum(list_transform(generate_series(1, $dims), d -> qv[d] * qv[d])) AS BIGINT) AS c_nn
+  FROM k$maxIter
+), scored AS (
+  SELECT a.vec_id, a.c_id, a.qv, v.nn,
+         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), d -> a.qv[d] * c.c_qv[d])) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(v.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) AS cent_cos
+  FROM af a JOIN qn v ON a.vec_id = v.vec_id JOIN cn c ON a.c_id = c.c_id
+), ranked AS MATERIALIZED (
+  SELECT vec_id, c_id, qv, nn, cent_cos,
+         row_number() OVER (PARTITION BY c_id ORDER BY cent_cos DESC, vec_id) AS r
+  FROM scored
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM ranked a JOIN ranked b ON a.c_id = b.c_id AND b.r < a.r
+  WHERE CAST(${pairDot("a", "b")} AS DOUBLE)
+          / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= CAST($eps AS DOUBLE)
+)
+SELECT r.vec_id, r.c_id, r.cent_cos, d.vec_id IS NULL AS keep
+FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+ORDER BY r.vec_id"""
 
   private def kmeansConvergedSql(k: Int, maxIter: Int, dims: Int): String =
     vecProlog + s"""
@@ -1296,6 +1343,7 @@ ORDER BY doc_a, doc_b"""),
     // round 14 (sf0.001) / 18 (sf0.01), so the cap only binds at scales
     // where BOTH sides cap identically
     "s4b_kmeans_converged" -> kmeansConvergedSql(k = 4, maxIter = 24, dims = 64),
+    "d12_semdedup" -> semDedupSql(k = 4, maxIter = 24, dims = 64, eps = 0.35),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

@@ -373,6 +373,21 @@ object VectorOps {
       dims: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    convergedCentroids(embeddings, k, maxIter).flatMap { case (cId, qv, n) =>
+      qv.zipWithIndex.map { case (cq, d) =>
+        (cId, d, n, cq, cq.toDouble / 1048576.0)
+      }
+    }.toDF("c_id", "d", "n", "cq", "mean")
+  }
+
+  /** The driver-side Lloyd's fixpoint loop behind [[kmeansConverged]] (s4b)
+    * and [[semDedup]] (d12): returns (c_id, grid centroid, cluster size).
+    * Only the k×dims centroid table ever reaches the driver — the same
+    * control-plane collect MLlib's KMeans performs every round. */
+  def convergedCentroids(embeddings: DataFrame, k: Int,
+      maxIter: Int): Seq[(Long, Seq[Long], Long)] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val v = quantized(embeddings).persist()
     try {
       val seed: Seq[(Long, Seq[Long])] = v.filter(col("vec_id") < k)
@@ -405,11 +420,7 @@ object VectorOps {
         cent = next
         it += 1
       }
-      cent.flatMap { case (cId, qv) =>
-        qv.zipWithIndex.map { case (cq, d) =>
-          (cId, d, ns(cId), cq, cq.toDouble / 1048576.0)
-        }
-      }.toDF("c_id", "d", "n", "cq", "mean")
+      cent.map { case (cId, qv) => (cId, qv, ns(cId)) }
     } finally v.unpersist()
   }
 
@@ -508,6 +519,58 @@ object VectorOps {
     quantized(embeddings).select("vec_id").join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("nn_id"), col("cos"),
         coalesce(col("cos") >= threshold, lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** d12 — SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then within each
+    * cluster keep a document only if no document before it in the
+    * cluster's scan order is ε-similar. The scan order is the paper's —
+    * descending cosine to the cluster centroid (most-central first, ties
+    * by vec_id) — realized prefix-style: doc i is dropped iff SOME doc
+    * earlier in the order is ≥ ε cosine-similar to it. This differs from
+    * d5 (LSH-cell nearest-neighbor flagging): d12 partitions the corpus by
+    * LEARNED semantic cells and makes a keep/drop decision, the curation
+    * step that removes semantically redundant (not just near-identical)
+    * training data.
+    *
+    * Scale: pair generation is confined to a cluster, and at corpus scale
+    * k grows with n (the paper runs k ≈ n/10⁴), holding per-cluster
+    * candidate counts — and therefore total pair work — linear in n;
+    * nothing here sorts or windows globally (the rank window partitions by
+    * cluster). Only the k×dims centroid table is collected/broadcast
+    * (bounded, same class as s4/s6). Exactness: centroids live on the 2^20
+    * integer grid ([[convergedCentroids]]), dots/norms are exact BIGINT
+    * via the native codegen'd [[graft.functions.LongDotProduct]], and both
+    * cosines are single IEEE double expressions over those integers — so
+    * every column hash-matches the unrolled DuckDB oracle. */
+  def semDedup(embeddings: DataFrame, k: Int = 4, maxIter: Int = 24,
+      eps: Double = 0.35): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = quantized(embeddings)
+    val cdf = convergedCentroids(embeddings, k, maxIter)
+      .map { case (cId, qv, _) => (cId, qv) }.toDF("c_id", "c_qv")
+      .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
+    val ranked = assignToCentroids(v, cdf)
+      .join(broadcast(cdf), "c_id") // k rows: re-attach the centroid vector
+      .withColumn("cent_cos", expr(
+        "CAST(graft_dot_long(qv, c_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(c_nn AS DOUBLE))"))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy("c_id").orderBy(col("cent_cos").desc, col("vec_id")))
+        .cast("long"))
+      .select("vec_id", "c_id", "qv", "nn", "cent_cos", "r")
+    val earlier = ranked.select(col("c_id").as("e_cid"), col("vec_id").as("e_id"),
+      col("qv").as("e_qv"), col("nn").as("e_nn"), col("r").as("e_r"))
+    val dropped = ranked
+      .join(earlier, col("e_cid") === col("c_id") && col("e_r") < col("r"))
+      .withColumn("pcos", expr(
+        "CAST(graft_dot_long(qv, e_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(e_nn AS DOUBLE))"))
+      .filter(col("pcos") >= eps)
+      .select(col("vec_id")).distinct().withColumn("is_dropped", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("cent_cos"),
+        col("is_dropped").isNull.as("keep"))
       .orderBy("vec_id")
   }
 }

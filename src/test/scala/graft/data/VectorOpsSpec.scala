@@ -33,4 +33,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(sizes.size == 4)
     assert(sizes.values.sum == n, s"cluster sizes $sizes must sum to $n")
   }
+
+  test("semDedup covers every vector exactly once and keeps each cluster's most-central") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = VectorOps.semDedup(e).collect()
+    assert(out.length == e.count(), "one verdict per vector")
+    // the rank-1 (most-central) vector of each cluster has no earlier
+    // cluster-mate, so it can never be dropped
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rows) =>
+      val top = rows.maxBy(r => (r.getDouble(2), -r.getLong(0)))
+      assert(top.getBoolean(3), s"cluster $c: most-central vector must be kept")
+    }
+  }
+
+  test("semDedup epsilon sandwich: ε>1 keeps all; ε=-1 keeps exactly one per cluster") {
+    val e = Tables.embeddings(spark, sfDir)
+    val all = VectorOps.semDedup(e, eps = 1.1).collect()
+    assert(all.forall(_.getBoolean(3)), "cosine never exceeds 1: nothing can drop")
+    // with ε = -1 every pair is ε-similar, so only the scan-order head of
+    // each cluster survives — the degenerate one-representative-per-cluster
+    val one = VectorOps.semDedup(e, eps = -1.0).collect()
+    val kept = one.filter(_.getBoolean(3)).map(_.getLong(1))
+    assert(kept.length == kept.distinct.length, "at most one survivor per cluster")
+    assert(kept.toSet == one.map(_.getLong(1)).toSet, "each cluster keeps its head")
+  }
 }
