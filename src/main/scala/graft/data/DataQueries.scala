@@ -73,6 +73,7 @@ object DataQueries {
     "s4b_kmeans_converged" -> embs(VectorOps.kmeansConverged(_)),
     "s7_ann_pq" -> embs(VectorOps.annPq(_)),
     "s8_ann_ivf_multiprobe" -> embs(VectorOps.annIvfMultiprobe(_)),
+    "s9_ann_ivfpq" -> embs(VectorOps.annIvfPq(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
@@ -203,6 +204,91 @@ WITH qe AS (
          CAST(coalesce(u.n, 0) AS BIGINT) AS n
   FROM k${i - 1} p LEFT JOIN u$i u ON p.c_id = u.c_id
 )"""
+
+  /** s9's oracle: IVF-PQ re-expressed as CTEs — coarse assignment (argmin
+    * against the first-k centroids), integer residuals per cell, shared
+    * residual codebook from the first `nCodes` vectors, per-(query, probed
+    * cell) ADC tables, code-match scan confined to probed cells, exact
+    * rerank of the ADC shortlist. */
+  private def annIvfPqSql(k: Int, nCodes: Int, m: Int, subDim: Int,
+      everyNth: Int, nProbe: Int, adcTopK: Int, topK: Int, dims: Int): String = {
+    def subDot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $subDim), j -> $a.sub[j] * $b.c_sub[j])) AS BIGINT)"
+    vecProlog + s"""
+, cent AS (
+  SELECT vec_id AS c_id, qv AS c_qv, nn AS c_nn FROM qn WHERE vec_id < $k
+), asg AS MATERIALIZED (
+  SELECT vec_id, qv, nn, cell FROM (
+    SELECT v.vec_id, v.qv, v.nn, c.c_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * CAST(list_sum(list_transform(generate_series(1, $dims), d -> v.qv[d] * c.c_qv[d])) AS BIGINT) + c.c_nn,
+             c.c_id) AS rn
+    FROM qn v, cent c) q WHERE rn = 1
+), subn AS MATERIALIZED (
+  SELECT vec_id, cell, s,
+         list_transform(generate_series(1, $subDim), j -> rv[s * $subDim + j]) AS sub,
+         CAST(list_sum(list_transform(generate_series(1, $subDim), j -> rv[s * $subDim + j] * rv[s * $subDim + j])) AS BIGINT) AS sub_nn
+  FROM (
+    SELECT a.vec_id, a.cell,
+           list_transform(generate_series(1, $dims), d -> a.qv[d] - c.c_qv[d]) AS rv,
+           unnest(generate_series(0, ${m - 1})) AS s
+    FROM asg a JOIN cent c ON a.cell = c.c_id) q
+), cb AS (
+  SELECT vec_id AS code_id, s AS c_s, sub AS c_sub, sub_nn AS cb_nn
+  FROM subn WHERE vec_id < $nCodes
+), codes AS MATERIALIZED (
+  SELECT vec_id, cell, s, code FROM (
+    SELECT v.vec_id, v.cell, v.s, c.code_id AS code,
+           row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+             v.sub_nn - 2 * ${subDot("v", "c")} + c.cb_nn, c.code_id) AS rn
+    FROM subn v JOIN cb c ON v.s = c.c_s) q WHERE rn = 1
+), probes AS MATERIALIZED (
+  SELECT query_id, q_qv, cell, c_qv FROM (
+    SELECT v.vec_id AS query_id, v.qv AS q_qv, c.c_id AS cell, c.c_qv,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * CAST(list_sum(list_transform(generate_series(1, $dims), d -> v.qv[d] * c.c_qv[d])) AS BIGINT) + c.c_nn,
+             c.c_id) AS prn
+    FROM qn v, cent c WHERE v.vec_id % $everyNth = 0) q WHERE prn <= $nProbe
+), qsubn AS (
+  SELECT query_id, cell, s,
+         list_transform(generate_series(1, $subDim), j -> rv[s * $subDim + j]) AS sub,
+         CAST(list_sum(list_transform(generate_series(1, $subDim), j -> rv[s * $subDim + j] * rv[s * $subDim + j])) AS BIGINT) AS sub_nn
+  FROM (
+    SELECT query_id, cell,
+           list_transform(generate_series(1, $dims), d -> q_qv[d] - c_qv[d]) AS rv,
+           unnest(generate_series(0, ${m - 1})) AS s
+    FROM probes) q
+), qd AS MATERIALIZED (
+  SELECT q.query_id, q.cell AS q_cell, q.s AS q_s, c.code_id AS qcode,
+         q.sub_nn - 2 * ${subDot("q", "c")} + c.cb_nn AS qdist2
+  FROM qsubn q JOIN cb c ON q.s = c.c_s
+), adc AS MATERIALIZED (
+  SELECT d.query_id, v.vec_id, CAST(sum(d.qdist2) AS BIGINT) AS adc_d2,
+         min(v.cell) AS cell
+  FROM codes v JOIN qd d
+    ON v.cell = d.q_cell AND v.s = d.q_s AND v.code = d.qcode
+   AND v.vec_id <> d.query_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, vec_id, adc_d2, cell FROM (
+    SELECT query_id, vec_id, adc_d2, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS crn
+    FROM adc) q WHERE crn <= $adcTopK
+), rer AS (
+  SELECT c.query_id, c.vec_id, c.adc_d2, c.cell,
+         CAST(list_sum(list_transform(generate_series(1, $dims), d -> qq.qv[d] * nv.qv[d])) AS BIGINT) AS dot,
+         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), d -> qq.qv[d] * nv.qv[d])) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qq.nn AS DOUBLE) * CAST(nv.nn AS DOUBLE)) AS cos
+  FROM cand c JOIN qn qq ON c.query_id = qq.vec_id JOIN qn nv ON c.vec_id = nv.vec_id
+)
+SELECT query_id, neighbor_id, rnk, adc_d2, dot, cos, cell FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk,
+         adc_d2, dot, cos, cell
+  FROM rer) q
+WHERE rnk <= $topK
+ORDER BY query_id, rnk"""
+  }
 
   /** d12's oracle: the unrolled k-means chain of [[kmeansConvergedSql]],
     * then the SemDeDup prefix rule as plain SQL — rank within cluster by
@@ -1344,6 +1430,8 @@ ORDER BY doc_a, doc_b"""),
     // where BOTH sides cap identically
     "s4b_kmeans_converged" -> kmeansConvergedSql(k = 4, maxIter = 24, dims = 64),
     "d12_semdedup" -> semDedupSql(k = 4, maxIter = 24, dims = 64, eps = 0.35),
+    "s9_ann_ivfpq" -> annIvfPqSql(k = 4, nCodes = 16, m = 8, subDim = 8,
+      everyNth = 50, nProbe = 2, adcTopK = 10, topK = 5, dims = 64),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

@@ -249,6 +249,97 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s9 — full IVF-PQ (Jégou et al. 2011; FAISS `IVFPQ`): a trained
+    * coarse quantizer prunes the scan to `nProbe` cells (s8's multiprobe),
+    * and candidates are compared by product-quantized RESIDUALS — each
+    * vector is stored as m codes of its offset FROM its cell centroid,
+    * not of the raw vector (s7 encodes raw vectors inside given label
+    * cells). Residual encoding is what makes PQ workable under a coarse
+    * stage: residuals concentrate near 0, so one shared codebook covers
+    * every cell. The query builds one ADC table per PROBED cell (its
+    * residual differs per cell), scans codes in those cells only, and
+    * exactly re-scores the `adcTopK` shortlist.
+    *
+    * Exactness: residuals are integer differences on the 2^20 grid
+    * (entries ≤ 2^22), sub-space dots/norms are exact BIGINT via the
+    * native codegen'd dot (ADC sums ≤ 2^50), so encoding, ADC ranks and
+    * the reranked cosines hash-match the oracle bit-for-bit.
+    *
+    * Scale: this is the memory layout of billion-scale search — per
+    * vector only (cell, m codes): cell is a write-time partition column
+    * ([[writeCellPartitioned]]) so probing is partition pruning, and the
+    * code scan reads m bytes/vector, never floats. Broadcast frames are
+    * all bounded: k centroids, m·nCodes codebook rows,
+    * Q·nProbe·m·nCodes ADC-table rows, Q rerank queries. The encode step
+    * is a broadcast join + map-side-combinable min_by (no window/sort
+    * over the corpus). */
+  def annIvfPq(embeddings: DataFrame, k: Int = 4, nCodes: Int = 16,
+      m: Int = 8, subDim: Int = 8, everyNth: Int = 50, nProbe: Int = 2,
+      adcTopK: Int = 10, topK: Int = 5): DataFrame = {
+    val v = quantized(embeddings).persist()
+    val cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    // residual vs the OWN cell's centroid, sliced into m subspaces
+    val subs = assignToCentroids(v, cent)
+      .join(broadcast(cent), "c_id")
+      .withColumn("rv", expr("zip_with(qv, c_qv, (a, b) -> a - b)"))
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", expr(s"slice(rv, s * $subDim + 1, $subDim)"))
+      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+      .select(col("vec_id"), col("c_id").as("cell"), col("s"), col("sub"), col("sub_nn"))
+      .persist() // feeds the codebook and the encoding
+    val cb = subs.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("code_id"), col("s").as("c_s"),
+        col("sub").as("c_sub"), col("sub_nn").as("cb_nn"))
+    val codes = subs.join(broadcast(cb), col("s") === col("c_s"))
+      .withColumn("dist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + cb_nn"))
+      .groupBy("vec_id", "cell", "s")
+      .agg(expr("min_by(code_id, struct(dist2, code_id))").as("code"))
+    // query probes its nProbe nearest cells; its residual differs per cell
+    val probes = v.filter(col("vec_id") % everyNth === 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("c_id").as("cell"), col("c_qv"))
+    // per-(query, probed cell) ADC table: exact query residual vs codewords
+    val qd = probes
+      .withColumn("q_rv", expr("zip_with(q_qv, c_qv, (a, b) -> a - b)"))
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("q_sub", expr(s"slice(q_rv, s * $subDim + 1, $subDim)"))
+      .withColumn("q_sub_nn", expr("graft_dot_long(q_sub, q_sub)"))
+      .join(broadcast(cb), col("s") === col("c_s"))
+      .withColumn("qdist2",
+        expr("q_sub_nn - 2 * graft_dot_long(q_sub, c_sub) + cb_nn"))
+      .select(col("query_id"), col("cell").as("q_cell"), col("s").as("q_s"),
+        col("code_id").as("qcode"), col("qdist2"))
+    val adc = codes.join(broadcast(qd),
+        col("cell") === col("q_cell") && col("s") === col("q_s") &&
+          col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qdist2").as("adc_d2"), min("cell").as("cell"))
+    val cand = adc
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("crn") <= adcTopK)
+      .select("query_id", "vec_id", "adc_d2", "cell")
+    val qfull = v.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    cand.join(v.select("vec_id", "qv", "nn"), "vec_id")
+      .join(broadcast(qfull), "query_id")
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc_d2"), col("dot"), col("cos"), col("cell"))
+      .orderBy("query_id", "rnk")
+  }
+
   private def assignToCentroids(v: DataFrame, cent: DataFrame): DataFrame =
     v.crossJoin(broadcast(cent))
       .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))

@@ -426,7 +426,8 @@ class PlanSpec extends AnyFunSuite {
     val budget: Map[String, Int] = Map(
       "m4_pack_multimodal" -> 1,   // packing offsets: O(#partitions)
       "s4_kmeans_step" -> 1,       // centroids: O(k)
-      "d12_semdedup" -> 2,         // centroids ×2 (assign + re-attach): O(k)
+      "d12_semdedup" -> 6,         // centroid frame O(k); 2 hints × 3 tree refs (self-join + final)
+      "s9_ann_ivfpq" -> 11,        // centroids/codebook/ADC-table/rerank queries — all k-/Q-bounded
       "s5_ann_int8" -> 2,          // int8 top-k candidates: O(#queries × k)
       "s6_ann_ivf_trained" -> 4,   // trained centroids ×3 + query cells
       "s7_ann_pq" -> 4,            // codebook ×2 + query codes + rerank queries

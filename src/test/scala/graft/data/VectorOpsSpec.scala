@@ -47,6 +47,18 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("annIvfPq degenerates to brute force when every cell is probed and the shortlist is unbounded") {
+    // nProbe = k probes all cells and adcTopK ≥ N shortlists every
+    // candidate, so the exact rerank must reproduce annBrute's top-k —
+    // the recall-loss of IVF-PQ comes ONLY from pruning, never from the
+    // rerank path
+    val e = Tables.embeddings(spark, sfDir)
+    val pq = VectorOps.annIvfPq(e, k = 4, nProbe = 4, adcTopK = 1000)
+      .select("query_id", "neighbor_id", "rnk", "dot", "cos").collect().toSeq
+    val brute = VectorOps.annBrute(e).collect().toSeq
+    assert(pq == brute, "full-probe IVF-PQ must equal the brute-force baseline")
+  }
+
   test("semDedup epsilon sandwich: ε>1 keeps all; ε=-1 keeps exactly one per cluster") {
     val e = Tables.embeddings(spark, sfDir)
     val all = VectorOps.semDedup(e, eps = 1.1).collect()
