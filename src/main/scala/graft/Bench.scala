@@ -46,6 +46,7 @@ object Bench {
     "d10_minhash_calibration", "d11_dedup_incremental", "d12_semdedup",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step", "s5_ann_int8",
     "s6_ann_ivf_trained", "s7_ann_pq", "s8_ann_ivf_multiprobe", "s9_ann_ivfpq",
+    "s10_ivf_drift",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
     "x5_top_terms", "x6_vocab_bigrams", "x7_repetition", "x8_length_quantiles",
     "x9_distinct_kmv", "x10_distinct_by_lang",
@@ -58,6 +59,7 @@ object Bench {
     "x27_duplicated_spans", "x28_dsir_importance", "x29_bm25_topk",
     "x30_source_drift", "x31_bpe_encode", "x32_span_scrub",
     "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",
+    "x36_phrase_search",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal")
 

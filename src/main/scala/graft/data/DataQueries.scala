@@ -74,6 +74,8 @@ object DataQueries {
     "s7_ann_pq" -> embs(VectorOps.annPq(_)),
     "s8_ann_ivf_multiprobe" -> embs(VectorOps.annIvfMultiprobe(_)),
     "s9_ann_ivfpq" -> embs(VectorOps.annIvfPq(_)),
+    "s10_ivf_drift" -> embs(VectorOps.ivfDrift(_)),
+    "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
@@ -288,6 +290,69 @@ SELECT query_id, neighbor_id, rnk, adc_d2, dot, cos, cell FROM (
   FROM rer) q
 WHERE rnk <= $topK
 ORDER BY query_id, rnk"""
+  }
+
+  /** s10's oracle: one argmin assignment against the base-trained
+    * centroids, then per-cell base/new occupancy + mean quantization
+    * error as plain aggregation. */
+  private def ivfDriftSql(k: Int, baseMaxId: Long, dims: Int): String =
+    vecProlog + s"""
+, cent AS (
+  SELECT vec_id AS c_id, qv AS c_qv, nn AS c_nn FROM qn WHERE vec_id < $k
+), asg AS MATERIALIZED (
+  SELECT vec_id, cell, d2, vec_id >= $baseMaxId AS is_new FROM (
+    SELECT v.vec_id, c.c_id AS cell,
+           v.nn - 2 * CAST(list_sum(list_transform(generate_series(1, $dims), d -> v.qv[d] * c.c_qv[d])) AS BIGINT) + c.c_nn AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * CAST(list_sum(list_transform(generate_series(1, $dims), d -> v.qv[d] * c.c_qv[d])) AS BIGINT) + c.c_nn,
+             c.c_id) AS rn
+    FROM qn v, cent c) q WHERE rn = 1
+), per AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN NOT is_new THEN d2 END) AS BIGINT) AS s_base,
+         CAST(sum(CASE WHEN is_new THEN d2 END) AS BIGINT) AS s_new
+  FROM asg GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_base,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+  FROM asg
+)
+SELECT p.cell, p.n_base, p.n_new,
+       CAST(p.n_base AS DOUBLE) / t.t_base AS frac_base,
+       CAST(p.n_new AS DOUBLE) / t.t_new AS frac_new,
+       CASE WHEN p.n_base = 0 THEN NULL ELSE CAST(p.s_base AS DOUBLE) / p.n_base END AS mean_d2_base,
+       CASE WHEN p.n_new = 0 THEN NULL ELSE CAST(p.s_new AS DOUBLE) / p.n_new END AS mean_d2_new,
+       CAST(p.n_new AS DOUBLE) / t.t_new - CAST(p.n_base AS DOUBLE) / t.t_base AS share_shift
+FROM per p, tot t ORDER BY p.cell"""
+
+  /** x36's oracle: the same positional-posting construction in SQL — the
+    * (phrase, term, offset) slot table comes from the SAME Scala constant
+    * as the Spark side, so the two cannot drift. */
+  private def phraseSearchSql(phrases: Seq[String]): String = {
+    val slotRows = phrases.flatMap { p =>
+      val ts = p.split(' ')
+      ts.zipWithIndex.map { case (t, o) => s"('$p', '$t', $o, ${ts.length})" }
+    }.mkString(", ")
+    s"""
+WITH tokp AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+), tok AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, ws[pos] AS w FROM tokp
+), ph(phrase, term, os, plen) AS (VALUES $slotRows
+), hits AS (
+  SELECT phrase, doc_id, start FROM (
+    SELECT p.phrase, t.doc_id, t.pos - p.os AS start,
+           count(*) AS hit, any_value(p.plen) AS plen
+    FROM tok t JOIN ph p ON t.w = p.term
+    GROUP BY 1, 2, 3) q
+  WHERE hit = plen
+)
+SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM hits GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
   /** d12's oracle: the unrolled k-means chain of [[kmeansConvergedSql]],
@@ -1432,6 +1497,8 @@ ORDER BY doc_a, doc_b"""),
     "d12_semdedup" -> semDedupSql(k = 4, maxIter = 24, dims = 64, eps = 0.35),
     "s9_ann_ivfpq" -> annIvfPqSql(k = 4, nCodes = 16, m = 8, subDim = 8,
       everyNth = 50, nProbe = 2, adcTopK = 10, topK = 5, dims = 64),
+    "s10_ivf_drift" -> ivfDriftSql(k = 4, baseMaxId = 250, dims = 64),
+    "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

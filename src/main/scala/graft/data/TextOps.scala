@@ -1589,4 +1589,48 @@ object TextOps {
     // lineage — unpersisting before materialization would strand it)
     out
   }
+
+  /** x36's default phrase set: frequent bigram, two trigrams, and a
+    * repeated-term phrase (the degenerate case a naive adjacency join
+    * double-counts). */
+  val PhraseQueries: Seq[String] =
+    Seq("table hash", "slow hash batch", "row column sort", "table table")
+
+  /** x36 — exact-phrase search over a positional inverted index: how many
+    * times does each multi-word phrase occur in each document? The
+    * corpus-scale `grep -c` behind contamination spot-checks ("is this
+    * benchmark sentence in the training set?") and data inspection, where
+    * x29 answers RANKED keyword queries.
+    *
+    * Shape: tokens explode once with their 1-based positions (the
+    * positional posting list); an IN-filter on the query terms prunes the
+    * stream BEFORE any shuffle (the x29 posting-list discipline — at
+    * 100 TB this is the difference between shuffling the corpus and
+    * shuffling the matched terms); one broadcast join attaches each
+    * term's (phrase, offset) slots; one keyed aggregation on
+    * (phrase, doc, pos − offset) counts matched slots, and a full match
+    * is exactly `count = phrase length` — correct under repeated terms
+    * ("table table"), where each offset slot is satisfied at most once.
+    * A second keyed agg rolls occurrences up per (phrase, doc). Total
+    * work: O(matched postings), no pairwise scan, no window. */
+  def phraseSearch(documents: DataFrame,
+      phrases: Seq[String] = PhraseQueries): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val slots = phrases.flatMap { p =>
+      p.split(' ').zipWithIndex.map { case (t, o) => (p, t, o.toLong, p.split(' ').length.toLong) }
+    }.toDF("phrase", "term", "os", "plen")
+    val terms = phrases.flatMap(_.split(' ')).distinct
+    val postings = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .filter(col("w").isin(terms: _*)) // prunes before the shuffle
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+    postings.join(broadcast(slots), col("w") === col("term"))
+      .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("os")).as("start"))
+      .agg(count(lit(1)).as("hit"), first("plen").as("plen"))
+      .filter(col("hit") === col("plen"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("start").as("first_pos"))
+      .orderBy("phrase", "doc_id")
+  }
 }

@@ -613,6 +613,53 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** s10 — IVF index drift monitor: the MONITOR step of the index
+    * lifecycle (train → assign → write → probe → monitor → retrain).
+    * Vectors after `baseMaxId` are the post-training ingest; both
+    * populations assign to the BASE-trained centroids, and each cell
+    * reports its base/new occupancy shares and mean quantization error.
+    * New data piling into few cells (large `share_shift`) or quantizing
+    * much worse (`mean_d2_new` ≫ `mean_d2_base`) is the retrain signal —
+    * FAISS-style indexes degrade exactly this way under distribution
+    * shift, and at 100 TB retraining is expensive enough that you want
+    * the measurement, not a guess.
+    *
+    * Shape: one broadcast-centroid argmin (no shuffle of the vectors),
+    * one k-row keyed aggregation, one scalar-total attach. Sums of
+    * integer-grid distances stay exact BIGINT; means/shares are terminal
+    * IEEE divisions, so every column hash-matches the oracle. */
+  def ivfDrift(embeddings: DataFrame, k: Int = 4,
+      baseMaxId: Long = 250): DataFrame = {
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < k) // k ≤ baseMaxId: trained on base
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val d = v.crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(struct(c_id, dist2), struct(dist2, c_id))").as("s"))
+      .select(col("vec_id"), col("s.c_id").as("cell"), col("s.dist2").as("d2"))
+      .withColumn("is_new", col("vec_id") >= baseMaxId)
+    val per = d.groupBy("cell").agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(!col("is_new"), col("d2"))).as("s_base"),
+      sum(when(col("is_new"), col("d2"))).as("s_new"))
+    val tot = d.agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("t_base"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("t_new"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        expr("CAST(n_base AS DOUBLE) / t_base").as("frac_base"),
+        expr("CAST(n_new AS DOUBLE) / t_new").as("frac_new"),
+        expr("CASE WHEN n_base = 0 THEN NULL ELSE CAST(s_base AS DOUBLE) / n_base END")
+          .as("mean_d2_base"),
+        expr("CASE WHEN n_new = 0 THEN NULL ELSE CAST(s_new AS DOUBLE) / n_new END")
+          .as("mean_d2_new"),
+        expr("CAST(n_new AS DOUBLE) / t_new - CAST(n_base AS DOUBLE) / t_base")
+          .as("share_shift"))
+      .orderBy("cell")
+  }
+
   /** d12 — SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings, then within each
     * cluster keep a document only if no document before it in the
