@@ -250,13 +250,26 @@ object ScaleRehearsal {
     }
     val nVecs = spark.read.parquet(s"$vecDir/embeddings.parquet").count()
 
-    val t0v = System.nanoTime()
-    val s8df = SparkEntry.queries("s8_ann_ivf_multiprobe")(spark, vecDir)
-    execute(s8df)
-    val s8Secs = (System.nanoTime() - t0v) / 1e9
-    val s8Nodes = walk(s8df.queryExecution.executedPlan)
-    val s8Flips = planKillers(s8Nodes)
-    val s8Bcast = broadcastSizes(s8Nodes)
+    // s8/s9/s10 run at their registry defaults; d12 runs the documented
+    // scale DISCIPLINE instead — k grows with the corpus (k = 4·copies,
+    // the SemDeDup paper's k ∝ n) so per-cluster pair work stays
+    // ~constant while the corpus is 10× — rehearsing the config a 100 TB
+    // deployment would use, not the toy one.
+    val vecRuns: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "s8_ann_ivf_multiprobe" ->
+        (() => SparkEntry.queries("s8_ann_ivf_multiprobe")(spark, vecDir)),
+      "s9_ann_ivfpq" -> (() => SparkEntry.queries("s9_ann_ivfpq")(spark, vecDir)),
+      "s10_ivf_drift" -> (() => SparkEntry.queries("s10_ivf_drift")(spark, vecDir)),
+      "d12_semdedup_kx" -> (() => graft.data.VectorOps.semDedup(
+        Tables.embeddings(spark, vecDir), k = 4 * copies, maxIter = 8)))
+    val vecResults = vecRuns.map { case (name, mk) =>
+      val t0v = System.nanoTime()
+      val df = mk()
+      execute(df)
+      val secs = (System.nanoTime() - t0v) / 1e9
+      val nodes = walk(df.queryExecution.executedPlan)
+      (name, secs, planKillers(nodes), broadcastSizes(nodes))
+    }
 
     val layoutDir = s"$vecDir/ivf_cells"
     graft.data.VectorOps.writeCellPartitioned(
@@ -283,13 +296,13 @@ object ScaleRehearsal {
     val flips = results.flatMap { case (k, _, ks) => ks.map(x => s"$k:$x") } ++
       rawFlips.map(x => s"d3_raw:$x") ++
       relResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
-      s8Flips.map(x => s"s8:$x") ++
+      vecResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
       // an unpruned probe is the vector family's scale-killer: the layout
       // exists precisely so a probe never scans the whole corpus
       (if (ivfFilesProbe >= ivfFilesTotal) Seq("ivf:probe_unpruned") else Nil)
-    val unmeasured = relResults.flatMap { case (k, _, _, bs) =>
+    val unmeasured = (relResults ++ vecResults).flatMap { case (k, _, _, bs) =>
       if (bs.contains(-1L)) Seq(k) else Nil
-    } ++ (if (s8Bcast.contains(-1L)) Seq("s8_ann_ivf_multiprobe") else Nil)
+    }
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"sf1_rehearsal","value":$total,"unit":"sec","queries":$qs,""" +
@@ -298,8 +311,13 @@ object ScaleRehearsal {
         s""""aqe_broadcast_bytes":[${bcastBytes.mkString(",")}],""" +
         s""""rel_queries":$relQs,"n_lineitem":$nLineitem,""" +
         s""""rel_broadcast_bytes":$relBcast,""" +
-        s""""vec_queries":{"s8_ann_ivf_multiprobe":$s8Secs},"n_vecs":$nVecs,""" +
-        s""""s8_broadcast_bytes":[${s8Bcast.mkString(",")}],""" +
+        s""""vec_queries":${
+          vecResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")},"n_vecs":$nVecs,""" +
+        s""""vec_broadcast_bytes":${
+          vecResults.map { case (k, _, _, bs) =>
+            "\"" + k + "\":[" + bs.mkString(",") + "]"
+          }.mkString("{", ",", "}")},""" +
         s""""ivf_files_probe":$ivfFilesProbe,"ivf_files_total":$ivfFilesTotal,""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
