@@ -59,6 +59,25 @@ object SharedFrames {
   /** Number of distinct memoized entries (test observability). */
   def size: Int = cache.size
 
+  private final class MemoizedValue(compute: () => Any) {
+    lazy val value: Any = compute()
+  }
+
+  private val valueCache = TrieMap.empty[(Int, LogicalPlan, String), MemoizedValue]
+
+  /** Driver-side value analogue of [[memo]], for k-bounded training
+    * artifacts a loop collects to the driver (k-means centroids, BPE
+    * merge tables): same key discipline — (session, canonicalized input
+    * plan, tag), tag encoding every non-input parameter. The artifact is
+    * O(k), so holding it for the session is control-plane state, not a
+    * data-plane cache. */
+  def memoValue[T](input: DataFrame, tag: String)(compute: => T): T = {
+    val key = (System.identityHashCode(input.sparkSession),
+      input.queryExecution.analyzed.canonicalized, tag)
+    val fresh = new MemoizedValue(() => compute)
+    valueCache.putIfAbsent(key, fresh).getOrElse(fresh).value.asInstanceOf[T]
+  }
+
   def clear(): Unit = {
     // every holder in the map had `.value` forced by its inserting thread,
     // so this never triggers a fresh compute — at worst it waits for an
@@ -67,5 +86,6 @@ object SharedFrames {
       try h.value.unpersist()
       catch { case _: Throwable => () })
     cache.clear()
+    valueCache.clear()
   }
 }
