@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The composed curation pipeline a library user actually runs end to end:
   * quality filter (x16) → exact dedup keeper selection (d1) →
+  * semantic dedup (d12, embedding-space SemDeDup) →
   * benchmark decontamination (x12) → per-source token-budget cap (x35) →
   * seeded shuffle-shard export (x34) → shard-partitioned parquet write →
   * read-back.
@@ -34,9 +35,19 @@ class CurationPipelineSpec extends AnyFunSuite {
     val keepers = TextOps.dedupExact(kept).select(col("keeper").as("doc_id"))
     val deduped = kept.join(keepers, "doc_id")
 
+    // d12: drop semantically redundant docs (embedding-space SemDeDup);
+    // a doc with no embedding row passes through — curation must not
+    // silently drop data a side table lacks coverage for
+    val sem = deduped.join(
+      VectorOps.semDedup(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep")),
+      Seq("doc_id"), "left")
+      .filter(coalesce(col("sem_keep"), lit(true)))
+      .drop("sem_keep")
+
     // x12: drop contaminated (overlap with the 10-doc benchmark set)
-    val decon = deduped.join(
-      TextOps.decontaminate(deduped).filter(!col("is_contaminated")).select("doc_id"),
+    val decon = sem.join(
+      TextOps.decontaminate(sem).filter(!col("is_contaminated")).select("doc_id"),
       "doc_id")
 
     // x35: enforce the per-source token budget in the seeded order

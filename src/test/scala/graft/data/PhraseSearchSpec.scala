@@ -30,6 +30,30 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a a", 1L, 3L, 1L)))
   }
 
+  test("agrees with an in-memory sliding-window reference on random corpora") {
+    // tiny vocabulary forces heavy term repetition and overlapping
+    // matches — the regime where slot counting could silently miscount
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c")
+    (1 to 5).foreach { trial =>
+      val corpus = (0L until 20L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val phrases = Seq.fill(3)(
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" ")).distinct
+      val expect = (for {
+        p <- phrases; ts = p.split(' ').toSeq
+        (id, t) <- corpus
+        ws = t.split(' ').toSeq
+        starts = ws.indices.filter(i => ws.slice(i, i + ts.size) == ts)
+        if starts.nonEmpty
+      } yield (p, id, starts.size.toLong, starts.min + 1L)).sorted
+      val got = TextOps.phraseSearch(docs(corpus: _*), phrases).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"trial $trial diverged (phrases=$phrases)")
+    }
+  }
+
   test("a phrase matches only full slot coverage, never a partial prefix") {
     val d = docs(1L -> "x y z", 2L -> "x y q z", 3L -> "q x y z q")
     val out = TextOps.phraseSearch(d, Seq("x y z"))
