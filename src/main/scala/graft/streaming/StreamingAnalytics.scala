@@ -140,6 +140,44 @@ object StreamingAnalytics {
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+  /** Streaming IVF ingest monitor — the continuous form of s10's drift
+    * report: batch-train the coarse centroids
+    * ([[graft.data.VectorOps.convergedCentroids]]), then watch the ingest
+    * stream assign against them, emitting per (event-time window, cell)
+    * the arrival count and mean quantization error. A cell whose share or
+    * error drifts is the retrain signal, observed CONTINUOUSLY instead of
+    * by re-running the batch report.
+    *
+    * Shape: the centroids are plan-time literals (k×dims longs — same
+    * discipline as [[graft.data.VectorOps.bucketExpr]]'s hyperplanes), so
+    * assignment is a narrow codegen'd projection: argmin = array_sort
+    * over k (dist², c_id) structs — no join, no shuffle, no state. The
+    * only stateful operator is ONE watermarked windowed aggregation with
+    * k·windows rows of state — append-mode compatible and indefinitely
+    * runnable. Distances are exact BIGINT on the 2^20 grid; the mean is
+    * one terminal IEEE division. */
+  def ivfIngestMonitor(embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Long], Long)],
+      windowLength: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val alts = centroids.map { case (cId, cqv, _) =>
+      val arr = cqv.mkString(", ")
+      val cnn = cqv.map(x => x * x).sum
+      s"struct(nn - 2 * graft_dot_long(qv, CAST(array($arr) AS ARRAY<BIGINT>)) + ${cnn}L AS d2, ${cId}L AS c)"
+    }.mkString(", ")
+    embeddings
+      .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
+      .withColumn("nn", expr("graft_dot_long(qv, qv)"))
+      .withColumn("best", expr(s"array_sort(array($alts))[0]"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("best.c").as("cell"))
+      .agg(count(lit(1)).as("n"), sum("best.d2").as("s_d2"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("cell"), col("n"),
+        expr("CAST(s_d2 AS DOUBLE) / n").as("mean_d2"))
+  }
+
   /** Custom-state sessionization: sessions close after `gapUs` of event-time
     * silence, enforced two ways — in-batch (gap between consecutive events)
     * and across batches (event-time timeout once the watermark passes

@@ -129,6 +129,48 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming IVF ingest monitor matches the batch drift assignment per cell") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.data.VectorOps.convergedCentroids(emb, k = 4, maxIter = 24)
+
+    // stream the embeddings in with synthetic event times, one window
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, e) => (id, e, T0 + id * 1000L) }
+    val input = MemoryStream[(Long, Seq[Float], Long)]
+    val q = StreamingAnalytics.ivfIngestMonitor(
+        input.toDF().toDF("vec_id", "embedding", "ts_us"), cent,
+        windowLength = "60 minutes")
+      .writeStream.format("memory").queryName("ivfmon").outputMode("complete").start()
+    input.addData(rows)
+    q.processAllAvailable()
+
+    val streaming = spark.table("ivfmon")
+      .select("cell", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch reference: the same literal-centroid argmin via ivfDrift's
+    // assignment (everything is "new" past baseMaxId = 0 — counts per cell)
+    val batch = graft.data.VectorOps.ivfDrift(emb, k = 4, baseMaxId = 0L)
+    // ivfDrift trains on first-k; the monitor uses CONVERGED centroids, so
+    // recompute the batch counts with the same converged centroids instead
+    val cdf = cent.map { case (c, qv, _) => (c, qv) }.toDF("c_id", "c_qv")
+      .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
+    val assigned = graft.data.VectorOps.quantized(emb)
+      .crossJoin(broadcast(cdf))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(c_id, struct(dist2, c_id))").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.count() > 0) // the s10 path itself still builds
+    assert(streaming == assigned,
+      s"streaming per-cell counts $streaming != batch $assigned")
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
