@@ -76,6 +76,7 @@ object DataQueries {
     "s9_ann_ivfpq" -> embs(VectorOps.annIvfPq(_)),
     "s10_ivf_drift" -> embs(VectorOps.ivfDrift(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
+    "x37_perceptron_filter" -> docs(TextOps.perceptronFilter(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
@@ -326,6 +327,72 @@ SELECT p.cell, p.n_base, p.n_new,
        CASE WHEN p.n_new = 0 THEN NULL ELSE CAST(p.s_new AS DOUBLE) / p.n_new END AS mean_d2_new,
        CAST(p.n_new AS DOUBLE) / t.t_new - CAST(p.n_base AS DOUBLE) / t.t_base AS share_shift
 FROM per p, tot t ORDER BY p.cell"""
+
+  /** x37's oracle: the batch perceptron unrolled — per round, margins
+    * under w(i-1) and a per-bucket update summed over the misclassified
+    * set; all-integer, so every round (and the final margins) is exact. */
+  private def perceptronSql(buckets: Int, rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { i => s"""
+, m$i AS (
+  SELECT f.doc_id, f.y, CAST(sum(f.x * w.w) AS BIGINT) AS m
+  FROM fx f JOIN w${i - 1} w USING (bucket) GROUP BY 1, 2
+), mis$i AS MATERIALIZED (
+  SELECT doc_id FROM m$i WHERE y * m <= 0
+), w$i AS MATERIALIZED (
+  SELECT w.bucket, CAST(w.w + coalesce(u.d, 0) AS BIGINT) AS w
+  FROM w${i - 1} w LEFT JOIN (
+    SELECT f.bucket,
+           CAST(floor(1024e0 * sum(f.y * f.x)
+                      / ((SELECT count(*) FROM mis$i) * ${i.toLong * i})) AS BIGINT) AS d
+    FROM fx f JOIN mis$i m ON f.doc_id = m.doc_id GROUP BY 1) u ON w.bucket = u.bucket
+)"""
+    }.mkString
+    s"""
+WITH basef AS (
+  SELECT doc_id, text, n_words, n_distinct, n_stop,
+    CASE WHEN NOT (n_words < 20 OR n_words > 88 OR n_stop = 0
+                   OR n_distinct * 100 < n_words * 35)
+         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+  FROM (SELECT doc_id, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop
+        FROM documents) q
+), based AS (
+  SELECT doc_id, text, y FROM basef
+), feats AS (
+  SELECT w.doc_id, b.y,
+    ${TextOps.hex13NumFragment("md5(w.ws[w.i] || ' ' || w.ws[w.i+1])")} % $buckets AS bucket
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) q0) w
+  JOIN based b ON w.doc_id = b.doc_id
+  UNION ALL
+  SELECT doc_id, y, CAST($buckets AS BIGINT) AS bucket FROM based
+), fx AS MATERIALIZED (
+  SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS x FROM feats GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT doc_id, y, CAST(${buckets + 1} AS BIGINT) AS bucket,
+         CAST(CASE WHEN n_words < 20 THEN 1 ELSE 0 END AS BIGINT) AS x FROM basef
+  UNION ALL
+  SELECT doc_id, y, CAST(${buckets + 2} AS BIGINT) AS bucket,
+         CAST(CASE WHEN n_words > 88 THEN 1 ELSE 0 END AS BIGINT) AS x FROM basef
+  UNION ALL
+  SELECT doc_id, y, CAST(${buckets + 3} AS BIGINT) AS bucket,
+         CAST(CASE WHEN n_stop = 0 THEN 1 ELSE 0 END AS BIGINT) AS x FROM basef
+  UNION ALL
+  SELECT doc_id, y, CAST(${buckets + 4} AS BIGINT) AS bucket,
+         CAST(CASE WHEN n_distinct * 100 < n_words * 35 THEN 1 ELSE 0 END AS BIGINT) AS x FROM basef
+), w0 AS (
+  SELECT CAST(unnest(generate_series(0, ${buckets + 4})) AS BIGINT) AS bucket,
+         CAST(0 AS BIGINT) AS w
+)$roundsSql
+SELECT f.doc_id, f.y, CAST(sum(f.x * w.w) AS BIGINT) AS margin,
+       CAST(sum(f.x * w.w) AS BIGINT) > 0 AS pred,
+       (CAST(sum(f.x * w.w) AS BIGINT) > 0) = (f.y > 0) AS correct
+FROM fx f JOIN w$rounds w USING (bucket)
+GROUP BY f.doc_id, f.y
+ORDER BY f.doc_id"""
+  }
 
   /** x36's oracle: the same positional-posting construction in SQL — the
     * (phrase, term, offset) slot table comes from the SAME Scala constant
@@ -1499,6 +1566,7 @@ ORDER BY doc_a, doc_b"""),
       everyNth = 50, nProbe = 2, adcTopK = 10, topK = 5, dims = 64),
     "s10_ivf_drift" -> ivfDriftSql(k = 4, baseMaxId = 250, dims = 64),
     "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
+    "x37_perceptron_filter" -> perceptronSql(buckets = 64, rounds = 16),
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

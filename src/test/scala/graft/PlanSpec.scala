@@ -430,6 +430,7 @@ class PlanSpec extends AnyFunSuite {
       "s9_ann_ivfpq" -> 11,        // centroids/codebook/ADC-table/rerank queries — all k-/Q-bounded
       "s10_ivf_drift" -> 2,        // centroids ×2 tree refs: O(k) (totals hint is scalar-whitelisted)
       "x36_phrase_search" -> 1,    // phrase slot table: O(#query phrase terms)
+      "x37_perceptron_filter" -> 1, // trained weight vector: O(#buckets)
       "s5_ann_int8" -> 2,          // int8 top-k candidates: O(#queries × k)
       "s6_ann_ivf_trained" -> 4,   // trained centroids ×3 + query cells
       "s7_ann_pq" -> 4,            // codebook ×2 + query codes + rerank queries
