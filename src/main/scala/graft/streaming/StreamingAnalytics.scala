@@ -178,6 +178,43 @@ object StreamingAnalytics {
         expr("CAST(s_d2 AS DOUBLE) / n").as("mean_d2"))
   }
 
+  final case class DocTok(doc_id: Long, source: String, n_tokens: Long, ts_us: Long)
+  final case class BudgetState(used: Long)
+  final case class Admission(doc_id: Long, source: String, n_tokens: Long,
+      cum_before: Long, admitted: Boolean)
+
+  /** Streaming per-source token-budget ADMISSION — the continuous
+    * counterpart of x35's batch cap. The batch form computes global
+    * seeded positions first and then cuts; a stream cannot reorder, so
+    * this is the operational admission-controller semantic instead:
+    * documents are considered in (event-time, doc_id) order within each
+    * micro-batch, a document is admitted iff the source's ADMITTED token
+    * count so far is still under budget (x35's exclusive-cumulative
+    * rule), and only admitted tokens accumulate — rejected ones must not
+    * eat the budget.
+    *
+    * State is one counter per source (O(#sources) — bounded by the
+    * catalog, not the corpus), no timeout needed; emission is per
+    * document in Append mode, so the decision is immediately joinable
+    * against the ingest for routing. */
+  def budgetAdmission(docs: Dataset[DocTok],
+      budgetTokens: Long = 4000L): Dataset[Admission] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocTok], state: GroupState[BudgetState]) =>
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          val out = rows.toSeq.sortBy(d => (d.ts_us, d.doc_id)).map { d =>
+            val admit = used < budgetTokens
+            val rec = Admission(d.doc_id, source, d.n_tokens, used, admit)
+            if (admit) used += d.n_tokens
+            rec
+          }
+          state.update(BudgetState(used))
+          out.iterator
+      }
+  }
+
   /** Custom-state sessionization: sessions close after `gapUs` of event-time
     * silence, enforced two ways — in-batch (gap between consecutive events)
     * and across batches (event-time timeout once the watermark passes

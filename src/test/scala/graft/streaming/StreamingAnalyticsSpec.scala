@@ -129,6 +129,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming budget admission caps each source and survives batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingAnalytics.{Admission, DocTok}
+    val budget = 100L
+    // two sources; each doc 30 tokens → budget admits docs while used < 100
+    // (0, 30, 60, 90 admitted; 120 not) = 4 docs per source
+    val mk = (src: String, i: Int) => DocTok(i.toLong * 2 + (if (src == "s0") 0 else 1),
+      src, 30L, T0 + i * 1000L)
+    val wave1 = (0 until 3).flatMap(i => Seq(mk("s0", i), mk("s1", i)))
+    val wave2 = (3 until 6).flatMap(i => Seq(mk("s0", i), mk("s1", i)))
+
+    val input = MemoryStream[DocTok]
+    val q = StreamingAnalytics.budgetAdmission(input.toDS(), budget)
+      .writeStream.format("memory").queryName("adm").outputMode("append").start()
+    input.addData(wave1)
+    q.processAllAvailable()
+    input.addData(wave2) // state must carry the per-source counters across
+    q.processAllAvailable()
+
+    val out = spark.table("adm").as[Admission].collect()
+    assert(out.length == 12)
+    for (src <- Seq("s0", "s1")) {
+      val bySrc = out.filter(_.source == src).sortBy(_.doc_id)
+      assert(bySrc.count(_.admitted) == 4, s"$src admitted ${bySrc.count(_.admitted)}")
+      // admitted prefix in event order; cum_before counts ADMITTED tokens only
+      assert(bySrc.map(_.admitted).toSeq == Seq(true, true, true, true, false, false))
+      assert(bySrc.map(_.cum_before).toSeq == Seq(0L, 30L, 60L, 90L, 120L, 120L))
+    }
+    q.stop()
+  }
+
   test("streaming IVF ingest monitor matches the batch drift assignment per cell") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
