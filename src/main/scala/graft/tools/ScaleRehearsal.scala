@@ -58,6 +58,11 @@ object ScaleRehearsal {
     // families to 500k docs)
     val relCopies = sys.env.get("SPARK_GRAFT_SF1_REL_COPIES")
       .map(_.toInt).getOrElse(copies)
+    // the vector slice scales independently too (SPARK_GRAFT_SF1_VEC_COPIES=100
+    // gives a 100× point on the ANN/semantic-dedup curve — 200k vectors —
+    // without dragging the doc families along)
+    val vecCopies = sys.env.get("SPARK_GRAFT_SF1_VEC_COPIES")
+      .map(_.toInt).getOrElse(copies)
     val spark = Tables.session("graft-scale-rehearsal")
 
     // A bare directory-exists guard reuses PARTIAL output from a killed
@@ -238,11 +243,11 @@ object ScaleRehearsal {
     val V_OFF = 10000000L
     val vecDir = s"$workDir/vec"
     val vecMeta = s"$workDir/vec_meta.txt"
-    val vecFp = s"src=$src copies=$copies"
+    val vecFp = s"src=$src copies=$vecCopies"
     if (!sliceIsCurrent(vecMeta, vecFp)) {
       new java.io.File(vecDir).mkdirs()
       val emb = Tables.embeddings(spark, src)
-      (0 until copies).map { i =>
+      (0 until vecCopies).map { i =>
         emb.withColumn("vec_id", col("vec_id") + lit(i * V_OFF))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$vecDir/embeddings.parquet")
@@ -261,7 +266,7 @@ object ScaleRehearsal {
       "s9_ann_ivfpq" -> (() => SparkEntry.queries("s9_ann_ivfpq")(spark, vecDir)),
       "s10_ivf_drift" -> (() => SparkEntry.queries("s10_ivf_drift")(spark, vecDir)),
       "d12_semdedup_kx" -> (() => graft.data.VectorOps.semDedup(
-        Tables.embeddings(spark, vecDir), k = 4 * copies, maxIter = 8)))
+        Tables.embeddings(spark, vecDir), k = 4 * vecCopies, maxIter = 8)))
     val vecResults = vecRuns.map { case (name, mk) =>
       val t0v = System.nanoTime()
       val df = mk()
