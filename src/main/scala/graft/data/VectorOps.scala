@@ -315,7 +315,10 @@ object VectorOps {
         expr("q_sub_nn - 2 * graft_dot_long(q_sub, c_sub) + cb_nn"))
       .select(col("query_id"), col("cell").as("q_cell"), col("s").as("q_s"),
         col("code_id").as("qcode"), col("qdist2"))
-    val adc = codes.join(broadcast(qd),
+    // qd is O(Q·nProbe·m·nCodes) — it scales with the QUERY set, which the
+    // 100× rehearsal measured at 134 MB under a corpus-scaled Q. No hard
+    // hint: AQE promotes it when measured small and shuffles when not
+    val adc = codes.join(qd,
         col("cell") === col("q_cell") && col("s") === col("q_s") &&
           col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
@@ -328,7 +331,7 @@ object VectorOps {
     val qfull = v.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
     cand.join(v.select("vec_id", "qv", "nn"), "vec_id")
-      .join(broadcast(qfull), "query_id")
+      .join(qfull, "query_id") // Q-scaled: AQE-sized, not force-broadcast
       .withColumn("dot", expr(dotExpr))
       .withColumn("cos", expr(cosExpr))
       .withColumn("rnk", row_number()

@@ -427,7 +427,7 @@ class PlanSpec extends AnyFunSuite {
       "m4_pack_multimodal" -> 1,   // packing offsets: O(#partitions)
       "s4_kmeans_step" -> 1,       // centroids: O(k)
       "d12_semdedup" -> 6,         // centroid frame O(k); 2 hints × 3 tree refs (self-join + final)
-      "s9_ann_ivfpq" -> 11,        // centroids/codebook/ADC-table/rerank queries — all k-/Q-bounded
+      "s9_ann_ivfpq" -> 9,         // centroids ×7 + codebook ×2 tree refs — all k-bounded (Q-scaled frames de-hinted)
       "s10_ivf_drift" -> 2,        // centroids ×2 tree refs: O(k) (totals hint is scalar-whitelisted)
       "x36_phrase_search" -> 1,    // phrase slot table: O(#query phrase terms)
       "x37_perceptron_filter" -> 1, // trained weight vector: O(#buckets)
