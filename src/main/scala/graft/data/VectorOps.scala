@@ -154,13 +154,14 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("dot8"), col("cos8"))
-    // exact rerank of the Q·k winners only — the WINNERS frame is the
-    // broadcast side (Q·k rows); the full-precision vectors stream past it
+    // exact rerank of the Q·k winners only — the winners frame scales
+    // with the QUERY set, so it is AQE-sized, not force-broadcast (the
+    // 100× vector rehearsal measured Q-scaled frames at 100+ MB)
     val exact = quantized(embeddings).persist()
-    val withQ = broadcast(top)
+    val withQ = top
       .join(exact.select(col("vec_id").as("query_id"),
         col("qv").as("q_qv"), col("nn").as("q_nn")), "query_id")
-    broadcast(withQ)
+    withQ
       .join(exact.select(col("vec_id").as("neighbor_id"), col("qv"), col("nn")),
         "neighbor_id")
       .withColumn("cos_exact", expr(
@@ -224,7 +225,8 @@ object VectorOps {
       .withColumn("qdist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("s").as("q_s"), col("c_id").as("qcode"), col("qdist2"))
-    val adc = codes.join(broadcast(qd),
+    // qd is O(Q·m·nCodes) — query-set-scaled, so AQE-sized, not hinted
+    val adc = codes.join(qd,
         col("s") === col("q_s") && col("code") === col("qcode") &&
           col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
@@ -237,7 +239,7 @@ object VectorOps {
     val qfull = v.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
     cand.join(v.select("vec_id", "qv", "nn"), "vec_id")
-      .join(broadcast(qfull), "query_id")
+      .join(qfull, "query_id") // Q-scaled: AQE-sized, not force-broadcast
       .withColumn("dot", expr(dotExpr))
       .withColumn("cos", expr(cosExpr))
       .withColumn("rnk", row_number()
@@ -372,7 +374,7 @@ object VectorOps {
     rankTopK(
         q.join(assigned, col("q_cell") === col("cell") && col("vec_id") =!= col("query_id")),
         topK)
-      .join(broadcast(q.select(col("query_id"), col("q_cell").as("cell"))), "query_id")
+      .join(q.select(col("query_id"), col("q_cell").as("cell")), "query_id") // Q-scaled: AQE-sized
       .select("query_id", "neighbor_id", "rnk", "dot", "cos", "cell")
       .orderBy("query_id", "rnk")
   }

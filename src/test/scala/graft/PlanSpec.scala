@@ -431,9 +431,9 @@ class PlanSpec extends AnyFunSuite {
       "s10_ivf_drift" -> 2,        // centroids ×2 tree refs: O(k) (totals hint is scalar-whitelisted)
       "x36_phrase_search" -> 1,    // phrase slot table: O(#query phrase terms)
       "x37_perceptron_filter" -> 1, // trained weight vector: O(#buckets)
-      "s5_ann_int8" -> 2,          // int8 top-k candidates: O(#queries × k)
-      "s6_ann_ivf_trained" -> 4,   // trained centroids ×3 + query cells
-      "s7_ann_pq" -> 4,            // codebook ×2 + query codes + rerank queries
+      "s5_ann_int8" -> 0,          // Q-scaled winners frames de-hinted (r7): AQE-sized
+      "s6_ann_ivf_trained" -> 3,   // trained centroids ×3 (query-cells frame de-hinted: Q-scaled)
+      "s7_ann_pq" -> 2,            // codebook ×2 (query codes/rerank de-hinted: Q-scaled)
       "s8_ann_ivf_multiprobe" -> 2, // centroids ×2 (assign + probe ranking): O(k)
       "t10_before_image" -> 1,     // schema registry: O(#tables)
       "t11_type_transforms" -> 1,  // schema registry: O(#tables)
