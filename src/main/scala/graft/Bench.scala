@@ -59,7 +59,7 @@ object Bench {
     "x27_duplicated_spans", "x28_dsir_importance", "x29_bm25_topk",
     "x30_source_drift", "x31_bpe_encode", "x32_span_scrub",
     "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",
-    "x36_phrase_search", "x37_perceptron_filter",
+    "x36_phrase_search", "x37_perceptron_filter", "x38_data_card",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal")
 

@@ -77,6 +77,7 @@ object DataQueries {
     "s10_ivf_drift" -> embs(VectorOps.ivfDrift(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x37_perceptron_filter" -> docs(TextOps.perceptronFilter(_)),
+    "x38_data_card" -> docs(TextOps.dataCard),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
@@ -1567,6 +1568,42 @@ ORDER BY doc_a, doc_b"""),
     "s10_ivf_drift" -> ivfDriftSql(k = 4, baseMaxId = 250, dims = 64),
     "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
     "x37_perceptron_filter" -> perceptronSql(buckets = 64, rounds = 16),
+    "x38_data_card" -> s"""
+      WITH pd AS (
+        SELECT doc_id, source, lang, n_words,
+          NOT (n_words < 20 OR n_words > 88 OR n_stop = 0
+               OR n_distinct * 100 < n_words * 35) AS keep,
+          fp
+        FROM (SELECT doc_id, source, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop,
+                md5(text) AS fp
+              FROM documents) q
+      ), fpc AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS fp_n FROM pd GROUP BY 1
+      ), flagged AS (
+        SELECT p.*, c.fp_n >= 2 AS is_dup FROM pd p JOIN fpc c USING (fp)
+      ), by_source AS (
+        SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        FROM flagged GROUP BY 1
+      ), lang_mode AS (
+        SELECT source, lang AS top_lang, ln AS top_lang_n FROM (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS ln,
+                 row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+          FROM flagged GROUP BY source, lang) q WHERE rn = 1
+      )
+      SELECT b.source, b.n_docs, b.n_tokens,
+        CAST(b.n_tokens AS DOUBLE) / b.n_docs AS mean_tokens,
+        b.n_kept, CAST(b.n_kept AS DOUBLE) / b.n_docs AS keep_rate,
+        b.n_dup_docs, CAST(b.n_dup_docs AS DOUBLE) / b.n_docs AS dup_rate,
+        m.top_lang, CAST(m.top_lang_n AS DOUBLE) / b.n_docs AS top_lang_share
+      FROM by_source b JOIN lang_mode m USING (source)
+      ORDER BY b.source""",
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(
         Seq("f_a", "f_e", "f_s", "f_t", "f_sp", "f_r", "f_o", "f_n")).map {

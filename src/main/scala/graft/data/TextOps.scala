@@ -1694,6 +1694,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x38 — the per-source data card: the one-table summary a curated
+    * release ships (and the dashboard a 100 TB ingest is steered by) —
+    * per source: volume (docs, tokens), the x16 quality-gate keep rate,
+    * the d1 exact-duplicate rate, and the dominant language with its
+    * share. One corpus scan builds the per-doc frame; the duplicate flag
+    * is a fingerprint-keyed agg joined back (d1's shape, never pairwise);
+    * the language mode is an exact arg-min on (−count, lang) — no window
+    * over data, all group keys control-plane sized (sources × langs). */
+  def dataCard(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("n_distinct", expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"))
+      .withColumn("n_stop", expr(cntSum(StopwordsEn)).cast("long"))
+      .withColumn("keep", expr(
+        "NOT (n_words < 20 OR n_words > 88 OR n_stop = 0 OR n_distinct * 100 < n_words * 35)"))
+      .withColumn("fp", md5(col("text")))
+      .select("doc_id", "source", "lang", "n_words", "keep", "fp")
+      .persist() // feeds the dup-count agg AND the per-source rollup
+    val fpCounts = perDoc.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+    val flagged = perDoc.join(fpCounts, "fp")
+      .withColumn("is_dup", col("fp_n") >= 2)
+    val bySource = flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_words").as("n_tokens"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+    val langMode = flagged.groupBy("source", "lang").agg(count(lit(1)).as("ln"))
+      .groupBy("source").agg(expr("min_by(struct(lang, ln), struct(-ln, lang))").as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"), col("m.ln").as("top_lang_n"))
+    bySource.join(langMode, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_tokens AS DOUBLE) / n_docs").as("mean_tokens"),
+        col("n_kept"), expr("CAST(n_kept AS DOUBLE) / n_docs").as("keep_rate"),
+        col("n_dup_docs"), expr("CAST(n_dup_docs AS DOUBLE) / n_docs").as("dup_rate"),
+        col("top_lang"), expr("CAST(top_lang_n AS DOUBLE) / n_docs").as("top_lang_share"))
+      .orderBy("source")
+  }
+
   /** x36's default phrase set: frequent bigram, two trigrams, and a
     * repeated-term phrase (the degenerate case a naive adjacency join
     * double-counts). */
