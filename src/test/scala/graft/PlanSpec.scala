@@ -427,13 +427,13 @@ class PlanSpec extends AnyFunSuite {
       "m4_pack_multimodal" -> 1,   // packing offsets: O(#partitions)
       "s4_kmeans_step" -> 1,       // centroids: O(k)
       "d12_semdedup" -> 6,         // centroid frame O(k); 2 hints × 3 tree refs (self-join + final)
-      "s9_ann_ivfpq" -> 9,         // centroids ×7 + codebook ×2 tree refs — all k-bounded (Q-scaled frames de-hinted)
+      "s9_ann_ivfpq" -> 10,        // centroids/codebook + the ADC distance table (query-BATCH-bounded by design)
       "s10_ivf_drift" -> 2,        // centroids ×2 tree refs: O(k) (totals hint is scalar-whitelisted)
       "x36_phrase_search" -> 1,    // phrase slot table: O(#query phrase terms)
       "x37_perceptron_filter" -> 1, // trained weight vector: O(#buckets)
       "s5_ann_int8" -> 0,          // Q-scaled winners frames de-hinted (r7): AQE-sized
       "s6_ann_ivf_trained" -> 3,   // trained centroids ×3 (query-cells frame de-hinted: Q-scaled)
-      "s7_ann_pq" -> 2,            // codebook ×2 (query codes/rerank de-hinted: Q-scaled)
+      "s7_ann_pq" -> 3,            // codebook ×2 + the ADC distance table (query-BATCH-bounded by design)
       "s8_ann_ivf_multiprobe" -> 2, // centroids ×2 (assign + probe ranking): O(k)
       "t10_before_image" -> 1,     // schema registry: O(#tables)
       "t11_type_transforms" -> 1,  // schema registry: O(#tables)
