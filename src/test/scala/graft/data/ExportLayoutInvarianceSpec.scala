@@ -45,6 +45,35 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
       assert(r == ref, s"x35 under layout '$name' diverged from '$refName'")
   }
 
+  test("d12 semantic dedup trains and scores identically under every input layout") {
+    // the trained centroids are memoized by canonicalized input plan, so
+    // each layout TRAINS INDEPENDENTLY — this asserts the whole
+    // train→assign→prune chain is a pure function of the data
+    val emb = Tables.embeddings(spark, sfDir)
+    val layouts = Seq(
+      "as-read" -> emb,
+      "one-partition" -> emb.coalesce(1),
+      "seven-random" -> emb.repartition(7))
+    val results = layouts.map { case (name, d) =>
+      name -> VectorOps.semDedup(d).collect().map(_.toString).toSeq
+    }
+    val (refName, ref) = results.head
+    for ((name, r) <- results.tail)
+      assert(r == ref, s"d12 under layout '$name' diverged from '$refName'")
+  }
+
+  test("x37 perceptron trains and scores identically under every input layout") {
+    // batch (not sequential) updates are the layout-independence claim:
+    // per-round gradients are keyed aggregations, so arrival order and
+    // partition split must not reach the weights
+    val results = layouts.map { case (name, d) =>
+      name -> TextOps.perceptronFilter(d).collect().map(_.toString).toSeq
+    }
+    val (refName, ref) = results.head
+    for ((name, r) <- results.tail)
+      assert(r == ref, s"x37 under layout '$name' diverged from '$refName'")
+  }
+
   test("x34/x35 are identical under different shuffle-partition counts") {
     // the sharper axis: the ops' internal repartitionByRange takes its
     // partition count from spark.sql.shuffle.partitions, so varying IT
