@@ -44,6 +44,7 @@ object Bench {
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "d7_simhash_near", "d8_dedup_agreement", "d9_dedup_savings",
     "d10_minhash_calibration", "d11_dedup_incremental", "d12_semdedup",
+    "d13_pagerank_neardup",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step", "s5_ann_int8",
     "s6_ann_ivf_trained", "s7_ann_pq", "s8_ann_ivf_multiprobe", "s9_ann_ivfpq",
     "s10_ivf_drift",

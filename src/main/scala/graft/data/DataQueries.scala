@@ -34,6 +34,7 @@ object DataQueries {
     "d10_minhash_calibration" -> docs(TextOps.minhashCalibration(_)),
     "d11_dedup_incremental" -> docs(TextOps.dedupIncremental(_)),
     "d12_semdedup" -> embs(VectorOps.semDedup(_)),
+    "d13_pagerank_neardup" -> docs(TextOps.pageRankNearDup(_)),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
@@ -292,6 +293,52 @@ SELECT query_id, neighbor_id, rnk, adc_d2, dot, cos, cell FROM (
   FROM rer) q
 WHERE rnk <= $topK
 ORDER BY query_id, rnk"""
+  }
+
+  /** d13's oracle: d7's probe-pair edge set symmetrized, then `iters`
+    * unrolled power-iteration rounds in exact integer arithmetic (DuckDB
+    * `//` mirrors Spark's `DIV` on the positive operands here). */
+  private def pageRankSql(iters: Int): String = {
+    val q = 1L << 30
+    val roundsSql = (1 to iters).map { i => s"""
+, pc$i AS (
+  SELECT e.dst, CAST(sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS m
+  FROM edg e JOIN degd d ON e.src = d.src JOIN pr${i - 1} r ON e.src = r.doc_id
+  GROUP BY 1
+), pr$i AS MATERIALIZED (
+  SELECT n.doc_id, (SELECT base FROM cnst) + coalesce(c.m, 0) AS r
+  FROM nodesd n LEFT JOIN pc$i c ON n.doc_id = c.dst
+)"""
+    }.mkString
+    docProlog + s"""
+, sprobes AS (
+  SELECT doc_id AS doc_a, simhash AS sig_a,
+         CASE WHEN j = 16 THEN simhash
+              ELSE xor(simhash, (CAST(1 AS BIGINT) << j)) END AS probe
+  FROM (SELECT doc_id, simhash, unnest(generate_series(0, 16)) AS j FROM simh) q
+), spairs AS (
+  SELECT p.doc_a, s.doc_id AS doc_b
+  FROM sprobes p JOIN simh s ON p.probe = s.simhash AND p.doc_a < s.doc_id
+), edg AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM spairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM spairs
+), degd AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edg GROUP BY 1
+), nodesd AS (
+  SELECT doc_id FROM documents
+), cnst AS (
+  SELECT CAST(CAST($q AS BIGINT) // count(*) AS BIGINT) AS init,
+         CAST((15 * CAST($q AS BIGINT)) // (100 * count(*)) AS BIGINT) AS base
+  FROM documents
+), pr0 AS (
+  SELECT doc_id, (SELECT init FROM cnst) AS r FROM nodesd
+)$roundsSql
+SELECT r.doc_id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+       CAST(r.r AS BIGINT) AS rank_q,
+       CAST(r.r AS DOUBLE) / $q AS rank
+FROM pr$iters r LEFT JOIN degd d ON r.doc_id = d.src
+ORDER BY r.doc_id"""
   }
 
   /** s10's oracle: one argmin assignment against the base-trained
@@ -1563,6 +1610,7 @@ ORDER BY doc_a, doc_b"""),
     // where BOTH sides cap identically
     "s4b_kmeans_converged" -> kmeansConvergedSql(k = 4, maxIter = 24, dims = 64),
     "d12_semdedup" -> semDedupSql(k = 4, maxIter = 24, dims = 64, eps = 0.35),
+    "d13_pagerank_neardup" -> pageRankSql(iters = 10),
     "s9_ann_ivfpq" -> annIvfPqSql(k = 4, nCodes = 16, m = 8, subDim = 8,
       everyNth = 50, nProbe = 2, adcTopK = 10, topK = 5, dims = 64),
     "s10_ivf_drift" -> ivfDriftSql(k = 4, baseMaxId = 250, dims = 64),

@@ -992,6 +992,56 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d13 — PageRank over the near-dup graph (nodes = documents, edges =
+    * d7's hamming≤1 SimHash pairs, symmetrized): the authority score for
+    * picking CANONICAL representatives inside duplicate neighborhoods —
+    * the doc most linked-to by near-copies is the one to keep (x24 picks
+    * by quality; this is the graph-centrality alternative), and the rank
+    * distribution is a corpus-health signal (heavy tails = template
+    * farms).
+    *
+    * Power iteration in exact integer arithmetic on a 2^30 grid: each
+    * round, node u sends floor(85·r(u) / (100·deg(u))) along every edge
+    * (the d=0.85 damping as exact rational floor-division — `DIV` here,
+    * `//` in the oracle, identical on positive operands) and every node
+    * restarts from floor(15·2^30 / (100·N)); dangling mass retires to
+    * the teleport term (the standard simplified variant, stated). All
+    * BIGINT, so ranks hash-match the round-unrolled oracle exactly.
+    *
+    * Scale: the Pregel shape — per round ONE hash join of the rank frame
+    * onto the edge list plus ONE keyed sum, lineage truncated per round
+    * (the [[ConnectedComponents]] discipline); ranks never visit the
+    * driver (unlike the k-bounded centroid loops), and nothing sorts or
+    * windows globally. */
+  def pageRankNearDup(documents: DataFrame, iters: Int = 10): DataFrame = {
+    val Q = 1L << 30
+    val pairs = simhashNear(documents).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = documents.select("doc_id").persist()
+    val n = nodes.count()
+    val init = Q / n
+    val base = (15L * Q) / (100L * n)
+    var r = nodes.withColumn("r", lit(init))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "src")
+        .join(r.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"), expr("(85L * r) DIV (100L * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_mass"))
+      r = nodes.join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    r.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("r").as("rank_q"),
+        expr(s"CAST(r AS DOUBLE) / ${Q}e0").as("rank"))
+      .orderBy("doc_id")
+  }
+
   /** x22 — C4-style boilerplate-line removal (the "discard any line seen
     * in N+ documents" rule of the C4/RefinedWeb cleaning recipes,
     * applied corpus-wide): count each line's document frequency, drop
