@@ -1021,7 +1021,10 @@ object TextOps {
       pageRankNearDupUncached(documents, iters)
     }.orderBy("doc_id")
 
-  private def pageRankNearDupUncached(documents: DataFrame, iters: Int): DataFrame = {
+  /** The un-memoized chain, reachable for the 10× scale rehearsal (the
+    * memoized form executes as a checkpoint scan, so the rehearsal's plan
+    * audit must walk THIS). */
+  private[graft] def pageRankNearDupUncached(documents: DataFrame, iters: Int): DataFrame = {
     val Q = 1L << 30
     val pairs = simhashNear(documents).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -34,7 +34,11 @@ object ScaleRehearsal {
     // r7: the two-phase prefix-sum export family (global packing
     // positions, per-shard ranks, per-source budget cumsums) — the
     // range-shuffle + offsets-broadcast shape at 10×
-    "x15_pack_sequences", "x34_shard_export", "x35_budget_cap")
+    "x15_pack_sequences", "x34_shard_export", "x35_budget_cap",
+    // r7: the SimHash bit-flip probe join at 10× — the 17×-probe hash
+    // join whose output feeds d13's edge list; verbatim copies make the
+    // cross-copy pair volume GROW with the corpus, like the d3 bands
+    "d7_simhash_near")
 
   /** Execute a frame THROUGH ITS OWN QueryExecution (ADVICE r4, medium):
     * `DataFrameWriter.save` wraps the plan in a SEPARATE QueryExecution,
@@ -172,6 +176,21 @@ object ScaleRehearsal {
     val rawFlips = planKillers(nodes)
     val bcastBytes = broadcastSizes(nodes)
 
+    // r7: the d13 PageRank chain un-memoized at 10× (the registry entry
+    // executes as a checkpoint scan, SharedFrames discipline). The
+    // per-round localCheckpoints run during construction; the walked
+    // plan is the TERMINAL round's edge-join + keyed sum + degree join —
+    // every round has the identical shape, so one round's audit stands
+    // for all ten.
+    val t0pr = System.nanoTime()
+    val prRaw = graft.data.TextOps.pageRankNearDupUncached(
+      spark.read.parquet(docsPath), 10)
+    execute(prRaw)
+    val prSecs = (System.nanoTime() - t0pr) / 1e9
+    val prNodes = walk(prRaw.queryExecution.executedPlan)
+    val prFlips = planKillers(prNodes)
+    val prBcast = broadcastSizes(prNodes)
+
     // ---- relational-family rehearsal (VERDICT r6 prescription #6) -----
     // Build a ~10× TPC-H-ish slice with join integrity preserved: per
     // copy i, customer keys shift by i·C_OFF and order keys by i·O_OFF
@@ -300,6 +319,7 @@ object ScaleRehearsal {
     }.mkString("{", ",", "}")
     val flips = results.flatMap { case (k, _, ks) => ks.map(x => s"$k:$x") } ++
       rawFlips.map(x => s"d3_raw:$x") ++
+      prFlips.map(x => s"d13_raw:$x") ++
       relResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
       vecResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
       // an unpruned probe is the vector family's scale-killer: the layout
@@ -314,6 +334,8 @@ object ScaleRehearsal {
         s""""n_docs":$nDocs,"copies":$copies,"src":"$src",""" +
         s""""d3_raw_build_sec":$rawSecs,""" +
         s""""aqe_broadcast_bytes":[${bcastBytes.mkString(",")}],""" +
+        s""""d13_raw_build_sec":$prSecs,""" +
+        s""""d13_broadcast_bytes":[${prBcast.mkString(",")}],""" +
         s""""rel_queries":$relQs,"n_lineitem":$nLineitem,""" +
         s""""rel_broadcast_bytes":$relBcast,""" +
         s""""vec_queries":${
