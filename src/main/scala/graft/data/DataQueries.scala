@@ -1609,6 +1609,10 @@ ORDER BY doc_a, doc_b"""),
     // round 14 (sf0.001) / 18 (sf0.01), so the cap only binds at scales
     // where BOTH sides cap identically
     "s4b_kmeans_converged" -> kmeansConvergedSql(k = 4, maxIter = 24, dims = 64),
+    // k = 4 below is the GATE-SCALE FLOOR of the Spark side's auto-derived
+    // cell count (VectorOps.autoCells: max(4, n/target) = 4 at both 500-
+    // and 2000-vector gate corpora), pinned so the static SQL stays
+    // equivalent while the trained-index defaults scale k ∝ n past the gate
     "d12_semdedup" -> semDedupSql(k = 4, maxIter = 24, dims = 64, eps = 0.35),
     "d13_pagerank_neardup" -> pageRankSql(iters = 10),
     "s9_ann_ivfpq" -> annIvfPqSql(k = 4, nCodes = 16, m = 8, subDim = 8,

@@ -56,6 +56,24 @@ object SharedFrames {
     cache.putIfAbsent(key, fresh).getOrElse(fresh).value
   }
 
+  /** [[memo]] variant for computes that pin upstream persists/checkpoints
+    * only the materialization needs: `compute` returns the frame AND a
+    * release thunk; the frame is eagerly checkpointed first, then the
+    * thunk runs — so intermediate persists (edge frames, per-round
+    * checkpoints) are freed the moment the memoized result is
+    * self-contained instead of lingering for the session (the r7 d13
+    * leak). The thunk runs even if the checkpoint fails. */
+  def memoReleasing(input: DataFrame, tag: String)(
+      compute: => (DataFrame, () => Unit)): DataFrame = {
+    val key = (System.identityHashCode(input.sparkSession),
+      input.queryExecution.analyzed.canonicalized, tag)
+    val fresh = new Memoized(() => {
+      val (df, release) = compute
+      try df.localCheckpoint(true) finally release()
+    })
+    cache.putIfAbsent(key, fresh).getOrElse(fresh).value
+  }
+
   /** Number of distinct memoized entries (test observability). */
   def size: Int = cache.size
 

@@ -21,6 +21,64 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Target vectors per coarse cell for the scan-linear ANN family
+    * (s6/s8/s9/s10): cells this size keep a probe's candidate scan
+    * constant as the corpus grows (nProbe·target candidates per query,
+    * regardless of n). 2000 floors [[autoCells]] to `kMin` at both oracle
+    * gate scales (500 and 2000 vectors). */
+  val AnnCellTarget = 2000L
+
+  /** Target vectors per k-means cluster for the pair-quadratic semantic
+    * dedup (d12): per-cluster pair work is O(target²), so holding the
+    * cluster size constant holds TOTAL pair work linear in n — the
+    * SemDeDup paper's k ∝ n discipline (it runs k ≈ n/10⁴; 500 keeps the
+    * gate-scale k at 4 and reproduces the 100× rehearsal's proven
+    * k = 4·copies configuration). */
+  val SemDedupClusterTarget = 500L
+
+  /** Rank-block width for [[semDedup]]'s prefix pair join: a cluster's
+    * scan order splits into blocks this wide and pairs join on
+    * (cluster, earlier-block), so a c-member cluster's O(c²) pair
+    * generation spreads over ~c/width tasks instead of one (the join
+    * previously keyed only on c_id — with k join keys total, one cluster
+    * was one task). Max per-task earlier-side is `width` rows; ≥ the
+    * gate-scale cluster size so block ids are all 0 there and the plan
+    * degenerates to the unblocked join. */
+  val semDedupBlockWidth = 512L
+
+  /** Queries per ADC batch for the PQ scans (s7/s9): a batch's codeword
+    * distance table is batch·nProbe·m·nCodes rows (~34 KB/query at the
+    * s9 defaults), so 256 bounds every realized ADC broadcast under
+    * ~10 MB no matter how large the query set grows — the invariant the
+    * 100× rehearsal measured failing at corpus-scaled Q (134 MB). */
+  val AdcQueryBatchSize = 256L
+
+  /** Memoized corpus count — one control-plane job per (session, input
+    * plan), shared by [[autoCells]] and [[queryBatchCount]] across every
+    * query in a session (same [[SharedFrames.memoValue]] discipline as
+    * the trained centroids). */
+  def corpusCount(embeddings: DataFrame): Long =
+    SharedFrames.memoValue(embeddings, "vector-corpus-count")(embeddings.count())
+
+  /** Auto-derived coarse-cell/cluster count: k = max(kMin, n / target).
+    * The trained-index family defaults to THIS instead of a fixed k, so
+    * cell sizes stay constant as the corpus grows — the fixed-k=4 default
+    * was a measured 100×-scale failure (a 50k-vector cell turns every
+    * probe into a half-corpus scan). Floors to `kMin` (= the oracle's k)
+    * at both gate scales, so the DuckDB oracles keep their static k=4. */
+  def autoCells(embeddings: DataFrame, kMin: Int = 4,
+      targetCellSize: Long = AnnCellTarget): Int =
+    math.max(kMin.toLong, corpusCount(embeddings) / targetCellSize).toInt
+
+  /** Number of query batches so each batch holds ≤ [[AdcQueryBatchSize]]
+    * queries. Q is estimated as n/everyNth (exact for dense ids; an
+    * estimate only re-balances batches, never changes results — batch
+    * membership is a pure partition of the query ids). */
+  def queryBatchCount(embeddings: DataFrame, everyNth: Int,
+      batchSize: Long = AdcQueryBatchSize): Int =
+    math.max(1L,
+      (corpusCount(embeddings) / everyNth + batchSize - 1) / batchSize).toInt
+
   /** Quantized vectors + exact squared norm (norm via the native codegen'd
     * [[graft.functions.LongDotProduct]] of the vector with itself). */
   def quantized(embeddings: DataFrame): DataFrame =
@@ -203,7 +261,12 @@ object VectorOps {
     * floats. */
   def annPq(embeddings: DataFrame, nCodes: Int = 16, m: Int = 8,
       subDim: Int = 8, everyNth: Int = 50, adcTopK: Int = 10,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, queryBatches: Int = 0): DataFrame = {
+    // queryBatches ≤ 0 auto-sizes from the corpus so every per-batch ADC
+    // table stays bounded (the FAISS search loop); 1 at both gate scales,
+    // so the oracle plan is unchanged there
+    val nb = if (queryBatches > 0) queryBatches
+             else queryBatchCount(embeddings, everyNth)
     val v = quantized(embeddings).persist()
     // one row per (vector, subspace): the sliced sub-vector + exact norm
     val subs = v
@@ -215,31 +278,41 @@ object VectorOps {
     val cb = subs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("c_id"), col("s").as("c_s"),
         col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
-    val codes = subs.join(broadcast(cb), col("s") === col("c_s"))
+    val codesRaw = subs.join(broadcast(cb), col("s") === col("c_s"))
       .withColumn("dist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
       .groupBy("vec_id", "label", "s")
       .agg(expr("min_by(c_id, struct(dist2, c_id))").as("code"))
+    // the corpus-scaled codes frame is scanned once per batch
+    val codes = if (nb > 1) codesRaw.persist() else codesRaw
     // per-query ADC table: exact query sub-vector vs every codeword
     val qd = subs.filter(col("vec_id") % everyNth === 0)
       .join(broadcast(cb), col("s") === col("c_s"))
       .withColumn("qdist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("s").as("q_s"), col("c_id").as("qcode"), col("qdist2"))
-    // the ADC distance table broadcasts BY DESIGN (the classic ADC trick:
-    // every scanner holds the query×codeword tables); its Q·m·nCodes size
-    // is bounded by the query BATCH a deployment sizes, and un-hinting it
-    // measurably degrades the 10× plan ~7× (many extra stages around the
-    // scan join) — batch the queries, don't unbroadcast the table
-    val adc = codes.join(broadcast(qd),
-        col("s") === col("q_s") && col("code") === col("qcode") &&
-          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("qdist2").as("adc_d2"))
-    val cand = adc
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
-      .filter(col("crn") <= adcTopK)
-      .select("query_id", "vec_id", "adc_d2")
+    // the PER-BATCH ADC distance table broadcasts BY DESIGN (the classic
+    // ADC trick: every scanner holds the query×codeword tables) — and the
+    // batch loop ENFORCES its bound in code: each batch carries
+    // ≤ [[AdcQueryBatchSize]] queries, so the broadcast is ≤ batch·m·nCodes
+    // rows no matter how large the corpus-scaled query set grows (the
+    // unbatched form was the 100× rehearsal's measured 134 MB failure).
+    // Un-hinting instead measurably degrades the 10× plan ~7×. The per-
+    // query window ranks are batch-independent (each query's rows live in
+    // exactly one batch), so the union is byte-identical to the unbatched
+    // result.
+    val cand = (0 until nb).map { b =>
+      val qdB = if (nb == 1) qd
+        else qd.filter(expr(s"(query_id div $everyNth) % $nb") === b)
+      codes.join(broadcast(qdB),
+          col("s") === col("q_s") && col("code") === col("qcode") &&
+            col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum("qdist2").as("adc_d2"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
+        .filter(col("crn") <= adcTopK)
+        .select("query_id", "vec_id", "adc_d2")
+    }.reduce(_ unionByName _)
     val qfull = v.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
     cand.join(v.select("vec_id", "qv", "nn"), "vec_id")
@@ -279,11 +352,17 @@ object VectorOps {
     * Q·nProbe·m·nCodes ADC-table rows, Q rerank queries. The encode step
     * is a broadcast join + map-side-combinable min_by (no window/sort
     * over the corpus). */
-  def annIvfPq(embeddings: DataFrame, k: Int = 4, nCodes: Int = 16,
+  def annIvfPq(embeddings: DataFrame, k: Int = 0, nCodes: Int = 16,
       m: Int = 8, subDim: Int = 8, everyNth: Int = 50, nProbe: Int = 2,
-      adcTopK: Int = 10, topK: Int = 5): DataFrame = {
+      adcTopK: Int = 10, topK: Int = 5, queryBatches: Int = 0): DataFrame = {
+    // k ≤ 0 auto-sizes the coarse cells from the corpus (k = n/target,
+    // [[autoCells]]) — floors to the oracle's k=4 at gate scale; a fixed
+    // k was the 100× rehearsal's measured failure (50k-vector cells)
+    val kk = if (k > 0) k else autoCells(embeddings)
+    val nb = if (queryBatches > 0) queryBatches
+             else queryBatchCount(embeddings, everyNth)
     val v = quantized(embeddings).persist()
-    val cent = v.filter(col("vec_id") < k)
+    val cent = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
     // residual vs the OWN cell's centroid, sliced into m subspaces
     val subs = assignToCentroids(v, cent)
@@ -297,10 +376,12 @@ object VectorOps {
     val cb = subs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("code_id"), col("s").as("c_s"),
         col("sub").as("c_sub"), col("sub_nn").as("cb_nn"))
-    val codes = subs.join(broadcast(cb), col("s") === col("c_s"))
+    val codesRaw = subs.join(broadcast(cb), col("s") === col("c_s"))
       .withColumn("dist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + cb_nn"))
       .groupBy("vec_id", "cell", "s")
       .agg(expr("min_by(code_id, struct(dist2, code_id))").as("code"))
+    // the corpus-scaled codes frame is scanned once per query batch
+    val codes = if (nb > 1) codesRaw.persist() else codesRaw
     // query probes its nProbe nearest cells; its residual differs per cell
     val probes = v.filter(col("vec_id") % everyNth === 0)
       .crossJoin(broadcast(cent))
@@ -321,21 +402,27 @@ object VectorOps {
         expr("q_sub_nn - 2 * graft_dot_long(q_sub, c_sub) + cb_nn"))
       .select(col("query_id"), col("cell").as("q_cell"), col("s").as("q_s"),
         col("code_id").as("qcode"), col("qdist2"))
-    // the ADC distance table broadcasts BY DESIGN (the classic ADC trick);
-    // its Q·nProbe·m·nCodes size is bounded by the query BATCH, which a
-    // deployment sizes — the 100× rehearsal measured an UNBATCHED
-    // corpus-scaled Q at 134 MB, and the fix is query batching, not
-    // un-broadcasting: the no-hint plan degraded the 10× run 6→42 s
-    val adc = codes.join(broadcast(qd),
-        col("cell") === col("q_cell") && col("s") === col("q_s") &&
-          col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("qdist2").as("adc_d2"), min("cell").as("cell"))
-    val cand = adc
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
-      .filter(col("crn") <= adcTopK)
-      .select("query_id", "vec_id", "adc_d2", "cell")
+    // the PER-BATCH ADC distance table broadcasts BY DESIGN (the classic
+    // ADC trick) — and the batch loop ENFORCES the bound the r7 scaladoc
+    // only documented: each batch holds ≤ [[AdcQueryBatchSize]] queries,
+    // so every realized broadcast is ≤ batch·nProbe·m·nCodes rows however
+    // large the corpus-scaled query set grows. The unbatched form was the
+    // 100× rehearsal's measured 134 MB broadcast; un-hinting instead
+    // degraded the 10× run 6→42 s. Per-query windows make each batch's
+    // shortlist independent, so the union is byte-identical to unbatched.
+    val cand = (0 until nb).map { b =>
+      val qdB = if (nb == 1) qd
+        else qd.filter(expr(s"(query_id div $everyNth) % $nb") === b)
+      codes.join(broadcast(qdB),
+          col("cell") === col("q_cell") && col("s") === col("q_s") &&
+            col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum("qdist2").as("adc_d2"), min("cell").as("cell"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
+        .filter(col("crn") <= adcTopK)
+        .select("query_id", "vec_id", "adc_d2", "cell")
+    }.reduce(_ unionByName _)
     val qfull = v.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
     cand.join(v.select("vec_id", "qv", "nn"), "vec_id")
@@ -366,10 +453,11 @@ object VectorOps {
     * lifecycle — train → assign → prune — where s2 starts from
     * pre-existing cells; at 100 TB the assignment is a write-time column
     * so search-time pruning is partition pruning at the scan. */
-  def annIvfTrained(embeddings: DataFrame, k: Int = 4, everyNth: Int = 50,
+  def annIvfTrained(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
       topK: Int = 3): DataFrame = {
+    val kk = if (k > 0) k else autoCells(embeddings) // cells sized, not counted
     val v = quantized(embeddings)
-    val cent = v.filter(col("vec_id") < k)
+    val cent = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
     val assigned = assignToCentroids(v, cent)
       .withColumnRenamed("c_id", "cell")
@@ -398,10 +486,15 @@ object VectorOps {
     * [[writeCellPartitioned]] layout the cell list becomes a static
     * `cell IN (...)` partition filter, so probe cost is nProbe/#cells
     * of the scan. */
-  def annIvfMultiprobe(embeddings: DataFrame, k: Int = 4, everyNth: Int = 50,
+  def annIvfMultiprobe(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
       nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    // k ≤ 0 auto-sizes cells to [[AnnCellTarget]] vectors: a probe scans
+    // nProbe·target candidates per query REGARDLESS of corpus size — the
+    // fixed k=4 default was s8's measured 416 s failure at 100× (50k-
+    // vector cells turned every probe into a half-corpus scan)
+    val kk = if (k > 0) k else autoCells(embeddings)
     val v = quantized(embeddings)
-    val cent = v.filter(col("vec_id") < k)
+    val cent = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
     val assigned = assignToCentroids(v, cent)
       .withColumnRenamed("c_id", "cell")
@@ -648,10 +741,14 @@ object VectorOps {
     * one k-row keyed aggregation, one scalar-total attach. Sums of
     * integer-grid distances stay exact BIGINT; means/shares are terminal
     * IEEE divisions, so every column hash-matches the oracle. */
-  def ivfDrift(embeddings: DataFrame, k: Int = 4,
+  def ivfDrift(embeddings: DataFrame, k: Int = 0,
       baseMaxId: Long = 250): DataFrame = {
+    // auto-k capped at baseMaxId: the monitor's premise is centroids
+    // trained on the BASE population, so the seed ids must all be base ids
+    val kk = if (k > 0) k
+             else math.min(autoCells(embeddings).toLong, math.max(baseMaxId, 1L)).toInt
     val v = quantized(embeddings)
-    val cent = v.filter(col("vec_id") < k) // k ≤ baseMaxId: trained on base
+    val cent = v.filter(col("vec_id") < kk) // kk ≤ baseMaxId: trained on base
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
     val d = v.crossJoin(broadcast(cent))
       .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
@@ -692,22 +789,43 @@ object VectorOps {
     * step that removes semantically redundant (not just near-identical)
     * training data.
     *
-    * Scale: pair generation is confined to a cluster, and at corpus scale
-    * k grows with n (the paper runs k ≈ n/10⁴), holding per-cluster
-    * candidate counts — and therefore total pair work — linear in n;
-    * nothing here sorts or windows globally (the rank window partitions by
-    * cluster). Only the k×dims centroid table is collected/broadcast
-    * (bounded, same class as s4/s6). Exactness: centroids live on the 2^20
-    * integer grid ([[convergedCentroids]]), dots/norms are exact BIGINT
-    * via the native codegen'd [[graft.functions.LongDotProduct]], and both
-    * cosines are single IEEE double expressions over those integers — so
-    * every column hash-matches the unrolled DuckDB oracle. */
-  def semDedup(embeddings: DataFrame, k: Int = 4, maxIter: Int = 24,
-      eps: Double = 0.35): DataFrame = {
+    * Deviation from the paper for SIMILARITY CHAINS: a document is
+    * dropped if ANY earlier-ranked cluster-mate is ε-similar — including
+    * mates that were themselves dropped. For a chain A~B, B~C, A≁C this
+    * drops BOTH B and C, where the paper's keep-one-per-duplicate-group
+    * greedy (compare only against previously KEPT mates) would keep C.
+    * The prefix form is deliberately chosen because it is a JOIN —
+    * expressible as one distributed pass and an unrolled SQL oracle —
+    * while the greedy keep-set is a sequential recurrence along the scan
+    * order (each verdict depends on all previous verdicts). It is the
+    * more aggressive of the two (never keeps a doc the paper would drop),
+    * which for curation errs toward deduplication.
+    *
+    * Scale: pair generation is confined to a cluster, and k defaults to
+    * n/[[SemDedupClusterTarget]] ([[autoCells]] — the paper's k ∝ n,
+    * proven at the 100× rehearsal point: 51 s at k=4·copies vs 416 s
+    * fixed-k), holding per-cluster candidate counts — and therefore total
+    * pair work — linear in n. Within a cluster the prefix pair join is
+    * BLOCKED: ranks group into width-[[semDedupBlockWidth]] blocks and
+    * the join keys on (cluster, earlier-block), so one cluster's O(c²)
+    * pairs spread over ~c/width tasks instead of landing on a single
+    * c_id-keyed task (the r7 skew finding); each task's earlier side is
+    * ≤ width rows. Nothing sorts or windows globally (the rank window
+    * partitions by cluster). Only the k×dims centroid table is
+    * collected/broadcast (bounded, same class as s4/s6). Exactness:
+    * centroids live on the 2^20 integer grid ([[convergedCentroids]]),
+    * dots/norms are exact BIGINT via the native codegen'd
+    * [[graft.functions.LongDotProduct]], and both cosines are single IEEE
+    * double expressions over those integers — so every column
+    * hash-matches the unrolled DuckDB oracle. */
+  def semDedup(embeddings: DataFrame, k: Int = 0, maxIter: Int = 24,
+      eps: Double = 0.35, blockWidth: Long = semDedupBlockWidth): DataFrame = {
+    val kk = if (k > 0) k
+             else autoCells(embeddings, targetCellSize = SemDedupClusterTarget)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val v = quantized(embeddings)
-    val cdf = convergedCentroids(embeddings, k, maxIter)
+    val cdf = convergedCentroids(embeddings, kk, maxIter)
       .map { case (cId, qv, _) => (cId, qv) }.toDF("c_id", "c_qv")
       .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
     val ranked = assignToCentroids(v, cdf)
@@ -718,10 +836,23 @@ object VectorOps {
         .over(Window.partitionBy("c_id").orderBy(col("cent_cos").desc, col("vec_id")))
         .cast("long"))
       .select("vec_id", "c_id", "qv", "nn", "cent_cos", "r")
+    // blocked prefix join: each row explodes over the earlier BLOCKS it
+    // must compare against (0..own block), and the earlier side carries
+    // its own block id — so the equi-join keys on (cluster, block) and a
+    // cluster's pairs hash across ~c/width reducers. The pair SET is
+    // identical to the plain e_r < r prefix join (every earlier row lives
+    // in exactly one block ≤ the row's own), so results are byte-equal;
+    // at gate scale (cluster ≤ width) every block id is 0 and the join
+    // degenerates to the unblocked one.
+    val w = blockWidth
     val earlier = ranked.select(col("c_id").as("e_cid"), col("vec_id").as("e_id"),
-      col("qv").as("e_qv"), col("nn").as("e_nn"), col("r").as("e_r"))
+      col("qv").as("e_qv"), col("nn").as("e_nn"), col("r").as("e_r"),
+      expr(s"(r - 1) div $w").as("e_blk"))
     val dropped = ranked
-      .join(earlier, col("e_cid") === col("c_id") && col("e_r") < col("r"))
+      .withColumn("jb", explode(sequence(lit(0L), expr(s"(r - 1) div $w"))))
+      .join(earlier,
+        col("e_cid") === col("c_id") && col("e_blk") === col("jb") &&
+          col("e_r") < col("r"))
       .withColumn("pcos", expr(
         "CAST(graft_dot_long(qv, e_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(e_nn AS DOUBLE))"))
       .filter(col("pcos") >= eps)

@@ -65,20 +65,27 @@ object ZOrder {
       .sortWithinPartitions("z")
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
 
-  /** Z-cells intersecting the inclusive box [x0,x1]×[y0,y1]: enumerate
-    * the aligned rectangles of the occupied bucket range. Driver-side
-    * and O(#buckets) — the bucket count is the layout's directory
-    * fan-out (control-plane sized by construction), and the scan this
-    * plans for never opens a file outside the returned cells. */
+  /** Z-cells intersecting the inclusive box [x0,x1]×[y0,y1]: walk the
+    * box's CELL-GRID range — an aligned z-cell of 2^shift curve points is
+    * a wx×wy rectangle whose corner sits on the (wx, wy) grid, so the
+    * intersecting cells are exactly the grid cells the clamped box spans.
+    * Driver-side and O(box area / cell area), independent of the keyspace:
+    * the r7 form filtered ALL 2^(2·Bits−shift) buckets, which a caller
+    * passing a small shift turned into millions-to-billions of driver
+    * decode calls (shift=10 → 4M, shift=2 → 1G). */
   def bucketsFor(x0: Long, x1: Long, y0: Long, y1: Long,
       shift: Int = 22): Seq[Long] = {
+    require(shift >= 0 && shift <= 2 * Bits, s"shift must be in [0, ${2 * Bits}]")
     val wx = 1L << ((shift + 1) / 2)
     val wy = 1L << (shift / 2)
-    val zMax = z((1L << Bits) - 1, (1L << Bits) - 1)
-    (0L to (zMax >> shift)).filter { b =>
-      val (cx, cy) = decode(b << shift)
-      cx <= x1 && cx + wx - 1 >= x0 && cy <= y1 && cy + wy - 1 >= y0
-    }
+    val max = (1L << Bits) - 1
+    val (cx0, cx1) = (math.max(x0, 0L), math.min(x1, max))
+    val (cy0, cy1) = (math.max(y0, 0L), math.min(y1, max))
+    if (cx0 > cx1 || cy0 > cy1) Seq.empty
+    else for {
+      gx <- cx0 / wx to cx1 / wx
+      gy <- cy0 / wy to cy1 / wy
+    } yield z(gx * wx, gy * wy) >> shift
   }
 
   /** Box query over a [[writeZOrdered]] layout: the z-cell list is a

@@ -59,6 +59,43 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pq == brute, "full-probe IVF-PQ must equal the brute-force baseline")
   }
 
+  test("ADC query batching is result-invariant: s7/s9 batched == unbatched") {
+    // the batch loop must be a pure partition of the query set — every
+    // per-query window rank is batch-local, so any batch count yields the
+    // byte-identical union (the r8 bounded-broadcast fix relies on this)
+    val e = Tables.embeddings(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(VectorOps.annPq(e, queryBatches = 3)) ==
+      rows(VectorOps.annPq(e, queryBatches = 1)),
+      "s7: batched shortlists must union to the unbatched result")
+    assert(rows(VectorOps.annIvfPq(e, queryBatches = 3)) ==
+      rows(VectorOps.annIvfPq(e, queryBatches = 1)),
+      "s9: batched shortlists must union to the unbatched result")
+  }
+
+  test("semDedup blocked prefix join is result-invariant in the block width") {
+    // blocks only re-key the SHUFFLE of the prefix pair join; the pair set
+    // (earlier-rank, same-cluster) is width-independent. width=2 forces
+    // ~60 blocks per cluster at sf0.001 — the multi-block regime the
+    // default width only reaches at scale
+    val e = Tables.embeddings(spark, sfDir)
+    val narrow = VectorOps.semDedup(e, blockWidth = 2L).collect().map(_.toString).toSeq
+    val default = VectorOps.semDedup(e).collect().map(_.toString).toSeq
+    assert(narrow == default, "block width must not change any verdict")
+  }
+
+  test("autoCells floors to the oracle k at gate scale and grows k ∝ n past it") {
+    val e = Tables.embeddings(spark, sfDir) // 500 vectors
+    assert(VectorOps.autoCells(e) == 4, "gate scale must keep the oracle's k=4")
+    assert(VectorOps.autoCells(e, targetCellSize = VectorOps.SemDedupClusterTarget) == 4)
+    // a 40k-vector corpus at the ANN target of 2000/cell trains 20 cells
+    val big = e.sparkSession.range(0, 40000L).selectExpr(
+      "id AS vec_id", "CAST(id % 7 AS INT) AS label",
+      "transform(sequence(1, 64), d -> CAST(1.0 AS FLOAT)) AS embedding")
+    assert(VectorOps.autoCells(big) == 20, "k must scale with the corpus")
+  }
+
   test("semDedup epsilon sandwich: ε>1 keeps all; ε=-1 keeps exactly one per cluster") {
     val e = Tables.embeddings(spark, sfDir)
     val all = VectorOps.semDedup(e, eps = 1.1).collect()

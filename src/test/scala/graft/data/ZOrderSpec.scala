@@ -46,6 +46,36 @@ class ZOrderSpec extends AnyFunSuite {
     got.foreach { case (x, y, zv) => assert(zv == ZOrder.z(x, y)) }
   }
 
+  test("bucketsFor grid walk equals exhaustive keyspace intersection and is box-bounded") {
+    // reference: the r7 full-keyspace filter (every bucket whose aligned
+    // wx×wy rectangle intersects the box) — correct but O(2^(2Bits−shift))
+    def exhaustive(x0: Long, x1: Long, y0: Long, y1: Long, shift: Int): Seq[Long] = {
+      val wx = 1L << ((shift + 1) / 2)
+      val wy = 1L << (shift / 2)
+      val zMax = ZOrder.z((1L << ZOrder.Bits) - 1, (1L << ZOrder.Bits) - 1)
+      (0L to (zMax >> shift)).filter { b =>
+        val (cx, cy) = ZOrder.decode(b << shift)
+        cx <= x1 && cx + wx - 1 >= x0 && cy <= y1 && cy + wy - 1 >= y0
+      }
+    }
+    val boxes = Seq((0L, 255L, 0L, 255L), (100L, 5000L, 7L, 7L),
+      (65000L, 65535L, 65000L, 65535L), (0L, 65535L, 0L, 0L),
+      (300L, 301L, 9000L, 12000L))
+    for (shift <- Seq(20, 21, 22); (x0, x1, y0, y1) <- boxes) {
+      assert(ZOrder.bucketsFor(x0, x1, y0, y1, shift).sorted ==
+        exhaustive(x0, x1, y0, y1, shift).sorted,
+        s"grid walk diverged at shift=$shift box=($x0,$x1,$y0,$y1)")
+    }
+    // the fix's point: a SMALL shift must stay O(box/cell), not O(keyspace)
+    // — shift=2 was a 1G-iteration hang in the r7 form; here a 4×4 box at
+    // shift=2 (2×2-point cells) plans instantly and returns its 4 cells
+    assert(ZOrder.bucketsFor(0L, 3L, 0L, 3L, 2).length == 4)
+    // degenerate/out-of-range boxes clamp instead of overflowing
+    assert(ZOrder.bucketsFor(10L, 5L, 0L, 0L, 22).isEmpty)
+    assert(ZOrder.bucketsFor(-5L, 3L, 0L, 3L, 22) ==
+      ZOrder.bucketsFor(0L, 3L, 0L, 3L, 22))
+  }
+
   test("z-layout box query prunes the scan and matches the brute-force filter") {
     import spark.implicits._
     val shift = 16 // 256-wide × 256-tall aligned cells
