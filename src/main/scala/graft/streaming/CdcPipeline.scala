@@ -431,7 +431,7 @@ object CdcPipeline {
                 // one control-plane pass per table present in a slice,
                 // typing the row image by the catalog's CURRENT per-table
                 // StructType (the reference's per-table handler shape)
-                def typedSlices(seg: DataFrame): Seq[DataFrame] =
+                def typedSlices(seg: DataFrame): Seq[((String, String), DataFrame)] =
                   typedSlicesFor(catalog, cluster, seg, img, meta)
 
                 // ---- the T24 flush-barrier made REAL inside the batch:
@@ -442,7 +442,7 @@ object CdcPipeline {
                 // version (T22b), exactly like the replay path's
                 // per-position intervals. Segment count is #DDLs + 1
                 // (control-plane-bounded).
-                val outs = Seq.newBuilder[DataFrame]
+                val outs = Seq.newBuilder[((String, String), DataFrame)]
                 var lower = Long.MinValue
                 changeRows.foreach { ch =>
                   val at = ch.getLong(3)
@@ -453,7 +453,7 @@ object CdcPipeline {
                   lower = at
                 }
                 outs ++= typedSlices(data.filter(col("__pos") >= lower))
-                outs += parsed
+                val quarantine = parsed
                   .filter(!wellFormed)
                   .select(Seq(
                     lit("__unparsed").as("topic"),
@@ -462,15 +462,28 @@ object CdcPipeline {
                     lit(0L).as("schema_version"),
                     to_json(img).as("payload_json")) ++ meta: _*)
 
-                // the quarantine slice is always present (possibly empty),
+                // ---- sharded sink (r8): plan/write per ≤25-table group
+                // instead of one all-tables union — Catalyst re-walking a
+                // single growing union made per-table plan cost 1.58× per
+                // table-count doubling (BENCH_wire r7); narrow per-group
+                // unions keep it flat. A replayed/crashed attempt of THIS
+                // batch may have left partial group output, so the batch
+                // dir is cleared before the group appends (the Overwrite
+                // of the single-write form, made explicit). The quarantine
+                // slice writes last and unconditionally (possibly empty),
                 // so EVERY committed batch has its batch=<id> directory —
                 // the same sink contract as [[processBatch]]; a DDL-only
                 // batch writes an empty one.
-                outs.result().reduce(_ unionByName _)
-                  .repartition(col("topic"))
-                  .sortWithinPartitions("pos_key")
-                  .write.mode(SaveMode.Overwrite)
-                  .parquet(s"$outDir/batch=$batchId")
+                val batchDir = s"$outDir/batch=$batchId"
+                val dirPath = new org.apache.hadoop.fs.Path(batchDir)
+                dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .delete(dirPath, true)
+                (groupedUnions(outs.result()) :+ quarantine).foreach { g =>
+                  g.repartition(col("topic"))
+                    .sortWithinPartitions("pos_key")
+                    .write.mode(SaveMode.Append)
+                    .parquet(batchDir)
+                }
 
                 // ---- position mirror: the max binlog coordinate across
                 // data AND schema-change events (a DDL-only batch still
@@ -500,26 +513,38 @@ object CdcPipeline {
     }
   }
 
-  /** One typed projection per (db, table) present in `seg`, using the
-    * catalog's CURRENT per-table StructType — the reference's per-table
-    * handler shape, extracted from [[startWire]] so the wide-deployment
-    * rehearsal ([[graft.tools.WireRehearsal]]) can measure its plan-build
-    * cost at ~200 tables without a live stream. The `present` collect is
-    * control-plane-bounded (#distinct tables in the batch slice).
+  /** Tables per sink write-group in [[startWire]]: Catalyst plan-build
+    * cost is ~linear in a union's branch count but the CONSTANT grows as
+    * it re-walks one ever-wider plan — the r7 wire rehearsal measured
+    * 1.58× per-table cost per table-count doubling through one
+    * all-tables union (11.5 s to plan a 200-table batch). Planning and
+    * writing per ~25-table group keeps every union narrow, so per-table
+    * plan cost stays flat as deployments widen (re-measured flat
+    * 100→200→400 by [[graft.tools.WireRehearsal]]). */
+  private[graft] val WireTableGroupSize = 25
+
+  /** One typed projection per (db, table) present in `seg`, keyed by its
+    * table identity so [[groupedUnions]] can shard the sink writes, using
+    * the catalog's CURRENT per-table StructType — the reference's
+    * per-table handler shape, extracted from [[startWire]] so the
+    * wide-deployment rehearsal ([[graft.tools.WireRehearsal]]) can
+    * measure its plan-build cost at hundreds of tables without a live
+    * stream. The `present` collect is control-plane-bounded (#distinct
+    * tables in the batch slice).
     */
   private[graft] def typedSlicesFor(
       catalog: SchemaCatalog,
       cluster: String,
       seg: DataFrame,
       img: org.apache.spark.sql.Column,
-      meta: Seq[org.apache.spark.sql.Column]): Seq[DataFrame] = {
+      meta: Seq[org.apache.spark.sql.Column]): Seq[((String, String), DataFrame)] = {
     val present = seg.select("database_name", "table_name")
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).sorted
     present.toSeq.map { case (db, tbl) =>
       val slice = seg.filter(col("database_name") === db &&
         col("table_name") === tbl)
-      catalog.lookup(TableId(cluster, db, tbl)) match {
+      val typed = catalog.lookup(TableId(cluster, db, tbl)) match {
         case Some(ts) =>
           val version = 1L + catalog.alterEvents.count(_._1 ==
             TableId(cluster, db, tbl))
@@ -541,7 +566,24 @@ object CdcPipeline {
             lit(0L).as("schema_version"),
             to_json(img).as("payload_json")) ++ meta: _*)
       }
+      (db, tbl) -> typed
     }
+  }
+
+  /** Shard table-keyed slices into unions of ≤ [[WireTableGroupSize]]
+    * tables each (a table's slices — one per DDL segment — always land in
+    * the same group, so every topic is written exactly once and its
+    * per-file pos_key ordering holds). Groups are independent by
+    * construction: the catalog barrier already applied each DDL while the
+    * slices were BUILT, so group write order carries no semantics. */
+  private[graft] def groupedUnions(
+      slices: Seq[((String, String), DataFrame)]): Seq[DataFrame] = {
+    val tables = slices.map(_._1).distinct.sorted
+    val groupOf = tables.zipWithIndex
+      .map { case (t, i) => t -> i / WireTableGroupSize }.toMap
+    slices.groupBy { case (t, _) => groupOf(t) }
+      .toSeq.sortBy(_._1)
+      .map { case (_, members) => members.map(_._2).reduce(_ unionByName _) }
   }
 
   /** Test injection point: runs after the DDL branch of a batch has been

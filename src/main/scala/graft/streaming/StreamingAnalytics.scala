@@ -99,7 +99,12 @@ object StreamingAnalytics {
     * per bucket is the collision-group membership — tiny by LSH design
     * (collision groups ARE the near-dup groups); production adds
     * watermark eviction exactly like [[dedupWithinWatermark]]. */
-  def nearDupCandidates(docs: DataFrame): Dataset[CandPair] = {
+  /** Per-row band signatures of an arriving document stream — the narrow
+    * projection both streaming dedup forms key their state on; bucket
+    * encoding (`band#sig`) matches the batch [[graft.data.TextOps.lshBands]]
+    * frame so a STORED batch band table can seed streaming state
+    * ([[nearDupCandidatesIncremental]]). */
+  private def bandSignatures(docs: DataFrame): Dataset[BandSig] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hs = (1 to 12).map(i =>
@@ -108,7 +113,7 @@ object StreamingAnalytics {
       val cols = (1 to 3).map(r => s"h${b * 3 + r}").mkString(", ")
       expr(s"md5(concat_ws('|', $cols))")
     }
-    val sigs = docs
+    docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3) // <3 words: no trigram, same as batch
       .withColumn("shs", expr(
@@ -119,6 +124,12 @@ object StreamingAnalytics {
       .select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
       .select(concat_ws("#", col("band"), col("sig")).as("bucket"), col("doc_id"))
       .as[BandSig]
+  }
+
+  def nearDupCandidates(docs: DataFrame): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = bandSignatures(docs)
     def fn(bucket: String, rows: Iterator[BandSig],
         state: GroupState[Seq[Long]]): Iterator[CandPair] = {
       val seen = state.getOption.getOrElse(Seq.empty)
@@ -134,6 +145,59 @@ object StreamingAnalytics {
     }
     sigs.groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  final case class CrossCandPair(doc_a: Long, doc_b: Long, is_cross: Boolean)
+  final case class BucketMembers(base: Seq[Long], seen: Seq[Long])
+
+  /** Streaming NEW-vs-BASE near-dup candidates — d11's continuous form,
+    * the shape an operating crawl pipeline actually runs: the existing
+    * corpus's band-signature table (the stored artifact d11's batch form
+    * names — exactly [[graft.data.TextOps.lshBands]] over the base) loads
+    * ONCE as the initial state of the bucket-keyed state store, and each
+    * arriving micro-batch emits candidate verdicts against it —
+    * `is_cross = true` for a new-doc×base collision (drop the new doc),
+    * `false` for new×new (keep one) — without ever revisiting base×base
+    * pairs, d11's increment discipline.
+    *
+    * Scale: the base table shards across the state store by bucket key
+    * (one shuffle at load, then each executor holds only its buckets);
+    * per-bucket state is the collision-group membership — tiny by LSH
+    * design — plus the base members, and each micro-batch's work is
+    * O(collisions involving ITS documents). Any wave-split replay of the
+    * increment converges to batch d11's candidate set (spec-proven):
+    * state accumulation is order-insensitive because pairs emit exactly
+    * once, when their later member first arrives. */
+  def nearDupCandidatesIncremental(docs: DataFrame,
+      baseBands: DataFrame): Dataset[CrossCandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val initState = baseBands
+      .select(concat_ws("#", col("band"), col("sig")).as("bucket"), col("doc_id"))
+      .groupBy("bucket").agg(sort_array(collect_set("doc_id")).as("base"))
+      .as[(String, Seq[Long])]
+      .map { case (b, ids) => (b, BucketMembers(ids, Seq.empty)) }
+      .groupByKey(_._1).mapValues(_._2)
+    def ordered(a: Long, d: Long, cross: Boolean): CrossCandPair =
+      if (a < d) CrossCandPair(a, d, cross) else CrossCandPair(d, a, cross)
+    def fn(bucket: String, rows: Iterator[BandSig],
+        state: GroupState[BucketMembers]): Iterator[CrossCandPair] = {
+      val st = state.getOption.getOrElse(BucketMembers(Seq.empty, Seq.empty))
+      val known = st.base.toSet ++ st.seen
+      val fresh = rows.map(_.doc_id).toSeq.distinct.sorted.filterNot(known)
+      var acc = st.seen
+      val out = Seq.newBuilder[CrossCandPair]
+      fresh.foreach { d =>
+        st.base.foreach(a => out += ordered(a, d, cross = true))
+        acc.foreach(a => out += ordered(a, d, cross = false))
+        acc = acc :+ d
+      }
+      state.update(BucketMembers(st.base, acc))
+      out.result().iterator
+    }
+    bandSignatures(docs).groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initState)(fn)
   }
 
   final case class Ev(user_id: Long, ts_us: Long)

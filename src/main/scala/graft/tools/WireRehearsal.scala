@@ -17,21 +17,23 @@ import org.apache.spark.sql.types._
   * batches no matter how fast the executors are.
   *
   * This tool measures exactly that, against the real
-  * [[CdcPipeline.typedSlicesFor]] used by `startWire`: synthesize a
-  * parsed-shape batch spanning N tables (N = 25/50/100/200) × 4 DDL
-  * segments, register every table through the real DDL path, then time
-  * (a) the static plan build (analysis + optimization + initial physical
-  * planning) of the union-then-repartition frame and (b) the actual
-  * per-topic write (which re-plans in its own QueryExecution and runs
-  * AQE — an upper bound on total per-batch cost). Emits one JSON line to
-  * stdout and BENCH_wire.json with per-N seconds and the N=200/N=100
-  * per-table plan ratio — both points warm and past the fixed-overhead
-  * floor. Per-table ratio 1.0 under the table-count doubling is exactly
-  * linear; 2.0 is quadratic. The gate fails above 2.0 (quadratic or
-  * worse — the stall-the-driver class that forces per-table writes);
-  * values between 1 and 2 are mild super-linearity from Catalyst
-  * re-walking the growing union plan, acceptable for AvailableNow
-  * batches and reported so the trend is visible round-over-round.
+  * [[CdcPipeline.typedSlicesFor]] + [[CdcPipeline.groupedUnions]]
+  * sharded sink `startWire` uses since r8 (the r7 all-tables union
+  * measured 1.58× per-table plan cost per table-count doubling — this
+  * rehearsal is what caught it): synthesize a parsed-shape batch
+  * spanning N tables (N = 25/50/100/200/400) × 4 DDL segments, register
+  * every table through the real DDL path, then time (a) the static plan
+  * build (analysis + optimization + initial physical planning) of every
+  * per-group union-then-repartition frame and (b) the actual sharded
+  * per-topic write (which re-plans each group in its own QueryExecution
+  * and runs AQE — an upper bound on total per-batch cost). Emits one
+  * JSON line to stdout and BENCH_wire.json with per-N seconds and the
+  * worst per-table plan ratio across the 100→200→400 doublings — all
+  * points warm and past the fixed-overhead floor. Per-table ratio 1.0
+  * under a doubling is exactly linear (what per-group sharding should
+  * give: every union is ≤ WireTableGroupSize branches no matter how wide
+  * the deployment); 2.0 is quadratic. The gate fails above 2.0; the
+  * ratio is reported so the trend stays visible round-over-round.
   *
   * Usage: runMain graft.tools.WireRehearsal [outJson] [workDir]
   */
@@ -52,7 +54,7 @@ object WireRehearsal {
     // first element is an UNTIMED warmup duplicate: JVM/codegen/
     // classloader cost lands there, so the reported per-table ratio
     // compares steady-state plan-build times
-    val sizes = Seq(25, 25, 50, 100, 200)
+    val sizes = Seq(25, 25, 50, 100, 200, 400)
     val allResults = sizes.map { nTables =>
       val catalog = new SchemaCatalog()
       (0 until nTables).foreach { i =>
@@ -95,30 +97,34 @@ object WireRehearsal {
         col("log_pos"), col("row_idx"), col("ts_us"),
         col("transaction_id"), posKeyCol)
 
-      // ---- (a) STATIC plan build: segments × typedSlices → union →
-      // repartition. executedPlan forces analysis + optimization +
-      // INITIAL physical planning of the union (AQE's runtime
-      // re-planning happens later, during execution). This is the
-      // per-batch driver cost paid before any task launches.
+      // ---- (a) STATIC plan build: segments × typedSlices → per-group
+      // unions → repartition, exactly the sharded frames startWire
+      // writes. executedPlan forces analysis + optimization + INITIAL
+      // physical planning of every group (AQE's runtime re-planning
+      // happens later, during execution). This is the per-batch driver
+      // cost paid before any task launches.
       val t0 = System.nanoTime()
       val outs = (0 until nSegments).flatMap { s =>
         CdcPipeline.typedSlicesFor(catalog, cluster,
           seg.filter(col("__pos") === s), img, meta)
       }
-      val unioned = outs.reduce(_ unionByName _)
-        .repartition(col("topic"))
-        .sortWithinPartitions("pos_key")
-      unioned.queryExecution.executedPlan // force static plan build
+      val groups = CdcPipeline.groupedUnions(outs).map(
+        _.repartition(col("topic")).sortWithinPartitions("pos_key"))
+      groups.foreach(_.queryExecution.executedPlan) // force static plan build
       val planSecs = (System.nanoTime() - t0) / 1e9
 
-      // ---- (b) the write (same sink contract as startWire). NOTE:
-      // DataFrameWriter wraps the frame in a SEPARATE QueryExecution
-      // (the ScaleRehearsal.execute scaladoc documents the same trap),
-      // so write_sec INCLUDES a second static plan build plus AQE
+      // ---- (b) the write (same sharded sink contract as startWire:
+      // clear the dir, append per group). NOTE: DataFrameWriter wraps
+      // each frame in a SEPARATE QueryExecution (the
+      // ScaleRehearsal.execute scaladoc documents the same trap), so
+      // write_sec INCLUDES a second static plan build plus AQE
       // finalization plus execution+I/O — it bounds total per-batch cost
       // from above; plan_sec isolates the static planning share.
       val t1 = System.nanoTime()
-      unioned.write.mode("overwrite").parquet(s"$workDir/n$nTables")
+      val outPath = new org.apache.hadoop.fs.Path(s"$workDir/n$nTables")
+      outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
+      groups.foreach(_.write.mode("append").parquet(s"$workDir/n$nTables"))
       val writeSecs = (System.nanoTime() - t1) / 1e9
       val written = spark.read.parquet(s"$workDir/n$nTables").count()
       assert(written == n, s"wire rehearsal lost rows: $written != $n")
@@ -135,7 +141,10 @@ object WireRehearsal {
     // doubling: 1.0 = linear, 2.0 = quadratic; the gate rejects
     // quadratic-or-worse (see object scaladoc).
     val perTable = results.map { case (nt, p, _) => (nt, p / nt) }.toMap
-    val ratio = perTable(200) / perTable(100)
+    // worst per-table ratio across the warm doublings: sharding should
+    // hold BOTH ≈1.0 (each is planned as ≤ WireTableGroupSize-branch
+    // unions regardless of N)
+    val ratio = math.max(perTable(200) / perTable(100), perTable(400) / perTable(200))
     val qs = results.map { case (nt, p, w) =>
       s""""n$nt":{"plan_sec":$p,"write_sec":$w}"""
     }.mkString("{", ",", "}")
@@ -143,7 +152,7 @@ object WireRehearsal {
       s"""{"metric":"wire_rehearsal","value":${results.map(_._2).sum},""" +
         s""""unit":"sec","sizes":$qs,"segments":$nSegments,""" +
         s""""rows_per_table":$rowsPerTable,""" +
-        s""""per_table_plan_ratio_200_vs_100":$ratio}"""
+        s""""per_table_plan_ratio_worst_doubling":$ratio}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()

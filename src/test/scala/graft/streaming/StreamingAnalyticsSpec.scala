@@ -272,6 +272,54 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming new-vs-base dedup converges to batch d11's candidate set under any wave split") {
+    import spark.implicits._
+    import graft.data.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val baseMaxId = 250L
+    val docsDf = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // the stored artifact: the BASE corpus's band-signature table, exactly
+    // what the batch pipeline persists after each increment
+    val baseBands = TextOps.lshBands(TextOps.minhashOf(
+      TextOps.shingles(docsDf.filter(col("doc_id") < baseMaxId))))
+    val increment = docsDf.filter(col("doc_id") >= baseMaxId)
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    // batch reference: d11's pre-verify candidate set with its is_cross flag
+    val bands = TextOps.lshBands(TextOps.minhashOf(TextOps.shingles(docsDf)))
+    val want = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_b") >= baseMaxId).distinct()
+      .select(col("doc_a"), col("doc_b"), (col("doc_a") < baseMaxId).as("is_cross"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(want.exists(_._3) && want.exists(!_._3),
+      "degenerate: need both cross and internal candidates for a real proof")
+
+    // replay the increment in waves of varying size: the pair set must be
+    // split-invariant because each pair emits exactly once, when its later
+    // member first arrives
+    for (waves <- Seq(1, 3)) {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingAnalytics.nearDupCandidatesIncremental(
+          input.toDF().toDF("doc_id", "text"), baseBands)
+        .writeStream.format("memory").queryName(s"ndinc$waves")
+        .outputMode("append").start()
+      try {
+        increment.grouped((increment.length + waves - 1) / waves).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"ndinc$waves").distinct()
+          .as[(Long, Long, Boolean)].collect().toSet
+        assert(got == want,
+          s"waves=$waves diverged: extra=${got -- want} missing=${want -- got}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming sessionizer converges to the batch q11 sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
