@@ -43,6 +43,23 @@ object TextOps {
       .withColumn("lang_pred", expr(LangCase))
       .select("doc_id", "lang_pred", "en_n", "de_n", "es_n")
 
+  /** Session-shared langId frame (SharedFrames pay-once discipline, the
+    * r3 pattern that took d9 5.26 s → 0.35 s): x8/x10/x11/x13 all re-pay
+    * the stopword-count scan otherwise — in a full bench pass that is 4+
+    * identical corpus scans, and the r7 bench measured the re-payers
+    * regressing together under cache contention. First consumer
+    * materializes; every later one reads the checkpoint. At 100 TB this
+    * is a written lang-tagged projection (the [[Bucketing]] argument). */
+  private def langIdShared(documents: DataFrame): DataFrame =
+    SharedFrames.memo(documents, "langid")(langId(documents))
+
+  /** Session-shared distinct-shingle frame: feeds x9/x10/x12 and the
+    * d2/d3/d10/d11 dedup builders — the single most re-paid projection in
+    * the registry (shingling re-tokenizes the whole corpus each time).
+    * Same discipline as [[langIdShared]]. */
+  private def shinglesShared(documents: DataFrame): DataFrame =
+    SharedFrames.memo(documents, "shingles")(shingles(documents))
+
   /** Quality-score formula over integer inputs; identical text on both
     * sides so the doubles agree bitwise. */
   val QualityExpr: String =
@@ -125,7 +142,7 @@ object TextOps {
     * ceil(q·n) = floor((q·n + denom-1)/denom) computed in doubles below
     * 2^53, so both engines agree exactly. */
   def lengthQuantiles(documents: DataFrame): DataFrame = {
-    val lang = langId(documents).select("doc_id", "lang_pred")
+    val lang = langIdShared(documents).select("doc_id", "lang_pred")
     val lengths = documents
       .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"))
       .join(lang, "doc_id")
@@ -172,7 +189,7 @@ object TextOps {
     // sketch the trigram vocabulary (the token vocabulary of the synthetic
     // corpus is a few dozen words — below k, where KMV degenerates to the
     // exact count and demonstrates nothing)
-    val hashes = shingles(documents)
+    val hashes = shinglesShared(documents)
       .select(md5(col("sh")).as("h")).distinct()
     val kth = hashes.orderBy("h").limit(k)
       .agg(max("h").as("kth_hex"), count(lit(1)).as("k_actual"))
@@ -196,8 +213,8 @@ object TextOps {
     * DOUBLE estimate is bit-stable against the oracle's sorted-selection
     * recomputation. */
   def distinctByLang(documents: DataFrame): DataFrame = {
-    val lang = langId(documents).select("doc_id", "lang_pred")
-    val hashes = shingles(documents).join(lang, "doc_id")
+    val lang = langIdShared(documents).select("doc_id", "lang_pred")
+    val hashes = shinglesShared(documents).join(lang, "doc_id")
       .select(col("lang_pred"), md5(col("sh")).as("h"))
     hashes.groupBy("lang_pred").agg(expr("graft_kmv(h)").as("sk"))
       .select(col("lang_pred"),
@@ -219,7 +236,7 @@ object TextOps {
     * stages would need a salted hash each). Narrow filter — pipelines
     * over the scan. Strata: en keeps 1/10, everything else 1/2. */
   def sampleStratified(documents: DataFrame): DataFrame = {
-    val lang = langId(documents).select("doc_id", "lang_pred")
+    val lang = langIdShared(documents).select("doc_id", "lang_pred")
     lang
       .withColumn("h", md5(expr("CAST(doc_id AS STRING)")))
       .withColumn("hv", expr(hex13Num("h")))
@@ -237,7 +254,7 @@ object TextOps {
     * n-gram-overlap decontamination check every LLM data pipeline runs
     * before training. One broadcast hash join + one keyed aggregation. */
   def decontaminate(documents: DataFrame, benchMaxId: Long = 10): DataFrame = {
-    val sh = shingles(documents)
+    val sh = shinglesShared(documents)
     // persist: feeds the benchmark side, the overlap join, and the sizes
     // aggregation — without it the explode+distinct shingle pipeline (the
     // dominant scan cost) runs three times
@@ -261,7 +278,7 @@ object TextOps {
     * pipeline runs before trusting a classifier for filtering. One keyed
     * aggregation over the prediction projection. */
   def langIdConfusion(documents: DataFrame): DataFrame =
-    langId(documents)
+    langIdShared(documents)
       .join(documents.select("doc_id", "lang"), "doc_id")
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
@@ -510,7 +527,7 @@ object TextOps {
     * per-doc shingle sets by shingle hash — no pairwise comparison of
     * documents anywhere, so it scales like d1, not like d2. */
   def noveltyScore(documents: DataFrame): DataFrame = {
-    val sh = shingles(documents)
+    val sh = shinglesShared(documents)
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .persist() // feeds first-occurrence agg AND the join side
     val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
@@ -624,7 +641,7 @@ object TextOps {
     * corpus-frequent trigrams — threshold-bounded, and the oracle applies
     * the identical filter. */
   def jaccardPairs(documents: DataFrame, maxDf: Long = 20): DataFrame = {
-    val sh = shingles(documents)
+    val sh = shinglesShared(documents)
     // self-join on the 8-byte shingle hash, not the 20-30-char string: the
     // shuffle ships (doc_id, hash) pairs only
     val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
@@ -683,7 +700,7 @@ object TextOps {
     * collision set, and every stage is a hash shuffle on a key (shingle,
     * band sig, pair), never an all-pairs product. */
   def dedupMinhashLsh(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(documents).cache()
+    val sh = shinglesShared(documents)
     // both sides of the candidate self-join read bands; persist so the
     // 12-hash minhash aggregation runs once, not twice
     val bands = lshBands(minhashOf(sh)).persist()
@@ -733,7 +750,7 @@ object TextOps {
     * (drop the new doc) from new-internal duplicates (keep one). */
   def dedupIncremental(documents: DataFrame, baseMaxId: Long = 250,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(documents).cache()
+    val sh = shinglesShared(documents)
     val bands = lshBands(minhashOf(sh)).persist()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -780,7 +797,7 @@ object TextOps {
     * sampling — E[est]=jac holds on any unbiased subset, so a few million
     * pairs bound the error estimate regardless of corpus size). */
   def minhashCalibration(documents: DataFrame, sampleOneIn: Int = 1): DataFrame = {
-    val sh = shingles(documents).cache()
+    val sh = shinglesShared(documents)
     val mh = minhashOf(sh).persist() // feeds bands AND both estimate sides
     val bands = lshBands(mh).persist()
     val allCands = bands.as("a").join(bands.as("b"),
