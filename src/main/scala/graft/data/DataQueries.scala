@@ -46,7 +46,11 @@ object DataQueries {
     "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
     "x18_curation_funnel" -> docs(TextOps.curationFunnel),
     "x19_novelty" -> docs(TextOps.noveltyScore),
-    "x20_chunk_sliding" -> docs(TextOps.chunkSliding(_)),
+    // gate-only terminal sorts (r8): the big-output operators return
+    // UNORDERED frames (their scaladocs state the contract); the orderBy
+    // lives HERE because the driver's hash gate needs a total row order,
+    // while the production path carries no global sort
+    "x20_chunk_sliding" -> docs(TextOps.chunkSliding(_).orderBy("doc_id", "chunk_idx")),
     "x21_split_leakage" -> docs(TextOps.splitLeakage),
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
@@ -59,11 +63,11 @@ object DataQueries {
     "x29_bm25_topk" -> docs(TextOps.bm25TopK(_)),
     "x30_source_drift" -> docs(TextOps.sourceDrift),
     "x31_bpe_encode" -> docs(TextOps.bpeEncode(_)),
-    "x32_span_scrub" -> docs(TextOps.spanScrub(_)),
+    "x32_span_scrub" -> docs(TextOps.spanScrub(_).orderBy("doc_id")),
     "x33_perplexity_buckets" -> docs(TextOps.perplexityBuckets),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
-    "x34_shard_export" -> docs(TextOps.shardExport(_)),
-    "x35_budget_cap" -> docs(TextOps.budgetCap(_)),
+    "x34_shard_export" -> docs(TextOps.shardExport(_).orderBy("shard", "pos")),
+    "x35_budget_cap" -> docs(TextOps.budgetCap(_).orderBy("doc_id")),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),

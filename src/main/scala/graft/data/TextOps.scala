@@ -369,10 +369,14 @@ object TextOps {
         sum("__n").over(Window.partitionBy("shard").orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "shard", "__off")
+    // UNORDERED output by contract: (shard, pos) fully determines the
+    // export order, and the production path writes shard-partitioned
+    // files sorted within shard — a global sort here would be the single
+    // most expensive node of an otherwise-narrow plan at 100 TB. The
+    // registry wrapper orders for the driver's hash gate only.
     local.join(broadcast(offsets), Seq("__pid", "shard"))
       .select(col("doc_id"), col("skey"), col("shard"),
         (col("__lrank") + col("__off") - 1).as("pos"))
-      .orderBy("shard", "pos")
   }
 
   /** x35 — per-source token-budget cap: APPLY the mixture budgets x17
@@ -400,11 +404,12 @@ object TextOps {
         sum("__pt").over(Window.partitionBy("source").orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "source", "__off")
+    // UNORDERED output by contract (see shardExport) — the registry
+    // wrapper orders by doc_id for the driver's hash gate only
     local.join(broadcast(offsets), Seq("__pid", "source"))
       .withColumn("cum_before", col("__lcum") + col("__off") - col("bpe_tokens"))
       .select(col("doc_id"), col("source"), col("bpe_tokens"), col("skey"),
         col("cum_before"), (col("cum_before") < budgetTokens).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** x16 — composite quality filter with an audit trail: every heuristic
@@ -562,7 +567,8 @@ object TextOps {
         (col("i") * stride).cast("long").as("start_tok"),
         expr(s"CAST(size(slice(ws, i * $stride + 1, $size)) AS BIGINT)").as("n_tok"),
         expr(s"md5(array_join(slice(ws, i * $stride + 1, $size), ' '))").as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
+      // UNORDERED output by contract (see shardExport) — the registry
+      // wrapper orders by (doc_id, chunk_idx) for the driver's hash gate
 
   /** x21 — split assignment + leakage audit: deterministic
     * train/val/test assignment by salted hash (5% val, 5% test — the
@@ -1272,8 +1278,9 @@ object TextOps {
           x => x.getField("w")), " ")).as("clean_md5"))
       .withColumn("kept_frac",
         expr("CAST(n_tokens - n_removed AS DOUBLE) / n_tokens"))
+      // UNORDERED output by contract (see shardExport) — the registry
+      // wrapper orders by doc_id for the driver's hash gate only
       .select("doc_id", "n_tokens", "n_removed", "kept_frac", "clean_md5")
-      .orderBy("doc_id")
   }
 
   /** x25 — unigram-LM surprisal scoring (the CCNet-style "how unusual is

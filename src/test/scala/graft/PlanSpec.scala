@@ -461,4 +461,25 @@ class PlanSpec extends AnyFunSuite {
           bad.map(_.child.output.map(_.name).mkString("[", ",", "]")).mkString("\n"))
     }
   }
+
+  test("big-output operator APIs carry no global sort — gate sorts live in the registry") {
+    // x20/x32/x34/x35 return UNORDERED frames by contract (r8): a global
+    // orderBy exists only for the driver's hash gate and would be the
+    // single most expensive node of these otherwise-narrow plans at
+    // 100 TB, so it lives in the registry wrapper, never in the API.
+    // (t12's envelope already follows this — its sort is registry-side.)
+    val docs = Tables.documents(spark, sfDir)
+    val apis = Seq(
+      "x20_chunkSliding" -> graft.data.TextOps.chunkSliding(docs),
+      "x32_spanScrub" -> graft.data.TextOps.spanScrub(docs),
+      "x34_shardExport" -> graft.data.TextOps.shardExport(docs),
+      "x35_budgetCap" -> graft.data.TextOps.budgetCap(docs))
+    for ((name, df) <- apis) {
+      val globalSorts = df.queryExecution.optimizedPlan.collect {
+        case srt: org.apache.spark.sql.catalyst.plans.logical.Sort if srt.global => srt
+      }
+      assert(globalSorts.isEmpty,
+        s"$name: production API must not globally sort (found ${globalSorts.size})")
+    }
+  }
 }

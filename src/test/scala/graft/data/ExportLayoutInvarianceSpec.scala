@@ -29,7 +29,7 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
 
   test("x34 shard export is identical under every input layout") {
     val results = layouts.map { case (name, d) =>
-      name -> TextOps.shardExport(d).collect().map(_.toString).toSeq
+      name -> TextOps.shardExport(d).collect().map(_.toString).sorted.toSeq
     }
     val (refName, ref) = results.head
     for ((name, r) <- results.tail)
@@ -38,7 +38,7 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
 
   test("x35 budget cap is identical under every input layout") {
     val results = layouts.map { case (name, d) =>
-      name -> TextOps.budgetCap(d).collect().map(_.toString).toSeq
+      name -> TextOps.budgetCap(d).collect().map(_.toString).sorted.toSeq
     }
     val (refName, ref) = results.head
     for ((name, r) <- results.tail)
@@ -83,8 +83,8 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sfDir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def run(): (Seq[String], Seq[String]) = (
-      TextOps.shardExport(docs).collect().map(_.toString).toSeq,
-      TextOps.budgetCap(docs).collect().map(_.toString).toSeq)
+      TextOps.shardExport(docs).collect().map(_.toString).sorted.toSeq,
+      TextOps.budgetCap(docs).collect().map(_.toString).sorted.toSeq)
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "1")
       val one = run()
