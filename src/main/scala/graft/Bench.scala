@@ -40,6 +40,7 @@ object Bench {
     "q20_part_promotion", "q21_waiting_suppliers", "q22_balance_opportunity",
     "q24_window_suite", "q25_skew_salted", "q26_cube_mix", "q27_stats_moments",
     "q28_promo_window", "q29_cohort_retention", "q30_conversion_funnel",
+    "q31_zorder_cells",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "d7_simhash_near", "d8_dedup_agreement", "d9_dedup_savings",
@@ -47,7 +48,7 @@ object Bench {
     "d13_pagerank_neardup",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step", "s5_ann_int8",
     "s6_ann_ivf_trained", "s7_ann_pq", "s8_ann_ivf_multiprobe", "s9_ann_ivfpq",
-    "s10_ivf_drift",
+    "s10_ivf_drift", "s11_ann_imi",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
     "x5_top_terms", "x6_vocab_bigrams", "x7_repetition", "x8_length_quantiles",
     "x9_distinct_kmv", "x10_distinct_by_lang",
@@ -61,6 +62,7 @@ object Bench {
     "x30_source_drift", "x31_bpe_encode", "x32_span_scrub",
     "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",
     "x36_phrase_search", "x37_perceptron_filter", "x38_data_card",
+    "x39_eval_span_contamination",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal")
 

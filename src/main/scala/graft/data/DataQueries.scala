@@ -80,7 +80,10 @@ object DataQueries {
     "s8_ann_ivf_multiprobe" -> embs(VectorOps.annIvfMultiprobe(_)),
     "s9_ann_ivfpq" -> embs(VectorOps.annIvfPq(_)),
     "s10_ivf_drift" -> embs(VectorOps.ivfDrift(_)),
+    "s11_ann_imi" -> embs(VectorOps.annImi(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
+    "x39_eval_span_contamination" ->
+      docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
     "x37_perceptron_filter" -> docs(TextOps.perceptronFilter(_)),
     "x38_data_card" -> docs(TextOps.dataCard),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
@@ -348,6 +351,77 @@ ORDER BY r.doc_id"""
   /** s10's oracle: one argmin assignment against the base-trained
     * centroids, then per-cell base/new occupancy + mean quantization
     * error as plain aggregation. */
+  /** Exact half-space dot over qv index range [lo, hi] — the IMI oracle's
+    * primitive (mirrors graft_dot_long over `slice`d halves). */
+  private def halfDot(a: String, b: String, lo: Int, hi: Int): String =
+    s"CAST(list_sum(list_transform(generate_series($lo, $hi), d -> $a.qv[d] * $b.qv[d])) AS BIGINT)"
+
+  /** s11's oracle: the IMI chain unrolled — per-half centroid argmin
+    * (rn = 1 over exact integer half-distances, ties by centroid id),
+    * multi-sequence probe ranking by summed half-distance over the
+    * kHalf² product, candidate scan joined on the (cell_a, cell_b) pair,
+    * exact-cosine top-k. kHalf is the gate-scale floor of the Spark
+    * side's [[VectorOps.imiHalfCells]] (= 2 at both gate corpora). */
+  private def annImiSql(kHalf: Int, everyNth: Int, nProbe: Int,
+      topK: Int, dims: Int): String = {
+    val half = dims / 2
+    vecProlog + s"""
+, h11 AS (
+  SELECT v.vec_id, v.qv, v.nn,
+         ${halfDot("v", "v", 1, half)} AS na,
+         ${halfDot("v", "v", half + 1, dims)} AS nb
+  FROM qn v
+), ca11 AS (
+  SELECT vec_id AS a_id, qv, na FROM h11 WHERE vec_id < $kHalf
+), cb11 AS (
+  SELECT vec_id AS b_id, qv, nb FROM h11 WHERE vec_id < $kHalf
+), aa11 AS (
+  SELECT vec_id, a_id FROM (
+    SELECT v.vec_id, c.a_id, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      v.na - 2 * ${halfDot("v", "c", 1, half)} + c.na, c.a_id) AS rn
+    FROM h11 v, ca11 c) x WHERE rn = 1
+), ab11 AS (
+  SELECT vec_id, b_id FROM (
+    SELECT v.vec_id, c.b_id, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      v.nb - 2 * ${halfDot("v", "c", half + 1, dims)} + c.nb, c.b_id) AS rn
+    FROM h11 v, cb11 c) x WHERE rn = 1
+), asg11 AS (
+  SELECT h.vec_id, h.qv, h.nn, a.a_id AS cell_a, b.b_id AS cell_b
+  FROM h11 h JOIN aa11 a ON h.vec_id = a.vec_id
+             JOIN ab11 b ON h.vec_id = b.vec_id
+), qa11 AS (
+  SELECT v.vec_id AS query_id, c.a_id,
+         v.na - 2 * ${halfDot("v", "c", 1, half)} + c.na AS da
+  FROM h11 v, ca11 c WHERE v.vec_id % $everyNth = 0
+), qb11 AS (
+  SELECT v.vec_id AS query_id, c.b_id,
+         v.nb - 2 * ${halfDot("v", "c", half + 1, dims)} + c.nb AS db
+  FROM h11 v, cb11 c WHERE v.vec_id % $everyNth = 0
+), pr11 AS (
+  SELECT query_id, a_id, b_id FROM (
+    SELECT qa.query_id, qa.a_id, qb.b_id,
+      row_number() OVER (PARTITION BY qa.query_id
+        ORDER BY qa.da + qb.db, qa.a_id, qb.b_id) AS prn
+    FROM qa11 qa JOIN qb11 qb ON qa.query_id = qb.query_id) x
+  WHERE prn <= $nProbe
+), cand11 AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id, p.a_id AS cell_a, p.b_id AS cell_b,
+         ${pairDot("q", "b")} AS dot, q.nn AS qnn, b.nn AS bnn
+  FROM pr11 p
+  JOIN asg11 b ON b.cell_a = p.a_id AND b.cell_b = p.b_id AND b.vec_id <> p.query_id
+  JOIN h11 q ON q.vec_id = p.query_id
+), s11c AS (
+  SELECT query_id, neighbor_id, cell_a, cell_b, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(qnn AS DOUBLE) * CAST(bnn AS DOUBLE)) AS cos
+  FROM cand11
+), r11 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM s11c
+)
+SELECT query_id, neighbor_id, rnk, dot, cos, cell_a, cell_b FROM r11
+WHERE rnk <= $topK ORDER BY query_id, rnk"""
+  }
+
   private def ivfDriftSql(k: Int, baseMaxId: Long, dims: Int): String =
     vecProlog + s"""
 , cent AS (
@@ -730,6 +804,40 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
              ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END AS dup_frac
       FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
       ORDER BY doc.doc_id""",
+    // x39 mirrors TextOps.evalSpanContamination: 4-word windows, benchmark
+    // = docs 0-9, coverage = distinct (doc, pos) under every hit window
+    "x39_eval_span_contamination" -> """
+      WITH wordsc AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), winsc AS (
+        SELECT doc_id, i, md5(array_to_string(ws[i : i+3], ' ')) AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+              FROM wordsc WHERE len(ws) >= 4) q
+      ), benchc AS (
+        SELECT DISTINCT h FROM winsc WHERE doc_id < 10
+      ), hitsc AS (
+        SELECT w.doc_id, w.i, w.h FROM winsc w JOIN benchc b ON w.h = b.h
+        WHERE w.doc_id >= 10
+      ), cov AS (
+        SELECT DISTINCT doc_id, i + d AS pos
+        FROM hitsc, (SELECT unnest(generate_series(0, 3)) AS d) t
+      ), contam AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_tokens
+        FROM cov GROUP BY 1
+      ), winhits AS (
+        SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_hit_windows
+        FROM hitsc GROUP BY 1
+      )
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        coalesce(c.n_contam_tokens, CAST(0 AS BIGINT)) AS n_contam_tokens,
+        coalesce(w.n_hit_windows, CAST(0 AS BIGINT)) AS n_hit_windows,
+        CAST(coalesce(c.n_contam_tokens, 0) AS DOUBLE)
+          / len(string_split(d.text, ' ')) AS contam_frac
+      FROM documents d
+      LEFT JOIN contam c ON d.doc_id = c.doc_id
+      LEFT JOIN winhits w ON d.doc_id = w.doc_id
+      WHERE d.doc_id >= 10 ORDER BY d.doc_id""",
     // per-token surprisal quantized once per vocab entry, per-doc exact
     // integer sum (unigram-LM bits: the CCNet-style quality ranking)
     "x25_unigram_surprisal" -> """
@@ -1622,6 +1730,8 @@ ORDER BY doc_a, doc_b"""),
     "s9_ann_ivfpq" -> annIvfPqSql(k = 4, nCodes = 16, m = 8, subDim = 8,
       everyNth = 50, nProbe = 2, adcTopK = 10, topK = 5, dims = 64),
     "s10_ivf_drift" -> ivfDriftSql(k = 4, baseMaxId = 250, dims = 64),
+    "s11_ann_imi" -> annImiSql(kHalf = 2, everyNth = 50, nProbe = 2,
+      topK = 3, dims = 64),
     "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
     "x37_perceptron_filter" -> perceptronSql(buckets = 64, rounds = 16),
     "x38_data_card" -> s"""

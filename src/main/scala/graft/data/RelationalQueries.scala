@@ -609,6 +609,30 @@ object RelationalQueries {
           "CASE WHEN n_first = 0 THEN NULL ELSE CAST(n_users AS DOUBLE) / n_first END"))
         .select("stage", "n_users", "conv_frac")
         .orderBy("stage")
+    },
+
+    // q31 — Morton-cell occupancy of the (part, supplier) keyspace: the
+    // layout-PLANNING statistic behind [[graft.data.ZOrder]] (the layout
+    // itself is spec-proven by ZOrderSpec; this makes its directory key
+    // oracle-checked). Each lineitem row's two keys map into the 16-bit
+    // z-budget (modulo — the key-budget mapping a deployment picks), the
+    // plan-time-generated interleave expression computes the curve value
+    // (narrow, codegen'd, no shuffle before the keyed agg), and the
+    // per-bucket histogram (row count, z range, distinct parts) is what
+    // sizes `shift`: skewed buckets ⇒ smaller cells, empty fan-out ⇒
+    // larger. One hash aggregation on the bucket key — at 100 TB this is
+    // the cheap dry-run before paying the z-ordered rewrite.
+    "q31_zorder_cells" -> t { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+        .select(pmod(col("l_partkey"), lit(65536)).cast("long").as("zx"),
+          pmod(col("l_suppkey"), lit(65536)).cast("long").as("zy"),
+          col("l_partkey"))
+      li.withColumn("z", expr(graft.data.ZOrder.zExpr("zx", "zy")))
+        .withColumn("zbucket", expr("shiftright(z, 16)"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"), min("z").as("z_min"),
+          max("z").as("z_max"), countDistinct("l_partkey").as("n_parts"))
+        .orderBy("zbucket")
     }
   )
 
@@ -987,6 +1011,26 @@ object RelationalQueries {
                CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n1 END FROM n
         UNION ALL SELECT '4_purchase', CAST(n4 AS BIGINT),
                CASE WHEN n1 = 0 THEN NULL ELSE CAST(n4 AS DOUBLE) / n1 END FROM n
-      ) u ORDER BY stage"""
+      ) u ORDER BY stage""",
+    "q31_zorder_cells" -> {
+      // the same bit-interleave as ZOrder.zExpr, in DuckDB operator syntax
+      val zDuck = (0 until graft.data.ZOrder.Bits).map { i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""
+      WITH keyed AS (
+        SELECT CAST(l_partkey % 65536 AS BIGINT) AS zx,
+               CAST(l_suppkey % 65536 AS BIGINT) AS zy,
+               l_partkey
+        FROM lineitem
+      ), zc AS (
+        SELECT l_partkey, $zDuck AS z FROM keyed
+      )
+      SELECT z >> 16 AS zbucket,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        min(z) AS z_min, max(z) AS z_max,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM zc GROUP BY 1 ORDER BY 1"""
+    }
   )
 }

@@ -1283,6 +1283,47 @@ object TextOps {
       .select("doc_id", "n_tokens", "n_removed", "kept_frac", "clean_md5")
   }
 
+  /** x39 — span-level eval decontamination: the n-gram-overlap rule of
+    * the published LM decontamination recipes (GPT-3 ran 13-gram overlap
+    * against its eval sets; Llama-era pipelines the same shape), reported
+    * at WINDOW granularity. Documents below `benchMaxId` stand in for the
+    * held-out benchmark; a training document's `spanWords`-word window
+    * matching ANY benchmark window is a contaminated span. x12 flags
+    * whole documents by shingle-set overlap — this reports WHERE the
+    * contamination sits: contaminated token positions (overlapping hit
+    * windows unioned per position, the x32 coverage trick), per document
+    * the covered-token count/fraction and the distinct matching windows —
+    * the report that drives span-level scrubbing instead of whole-doc
+    * dropping. `spanWords` defaults to 4 on this short-doc synthetic
+    * corpus (13 on real web text; only the parameter changes).
+    *
+    * Scale: windows come from the memoized [[spanWindows]] frame (shared
+    * with x27/x32); the benchmark window set is eval-suite-sized —
+    * corpus-INDEPENDENT, the one frame here that is legitimately small —
+    * but carries no hint: AQE measures and broadcasts it at runtime. The
+    * hit join is one hash join on the window hash, coverage is a keyed
+    * distinct + agg per doc, nothing pairwise, nothing global. */
+  def evalSpanContamination(documents: DataFrame, spanWords: Int = 4,
+      benchMaxId: Long = 10): DataFrame = {
+    val wins = spanWindows(documents, spanWords)
+    val bench = wins.filter(col("doc_id") < benchMaxId).select("h").distinct()
+    val hits = wins.filter(col("doc_id") >= benchMaxId).join(bench, "h")
+    val covered = hits.select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (spanWords - 1))).as("pos"))
+      .distinct()
+    val toks = documents.filter(col("doc_id") >= benchMaxId)
+      .select(col("doc_id"), expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+    val contam = covered.groupBy("doc_id").agg(count(lit(1)).as("n_contam_tokens"))
+    val winHits = hits.groupBy("doc_id").agg(countDistinct("h").as("n_hit_windows"))
+    // UNORDERED output by contract (see shardExport) — the registry
+    // wrapper orders by doc_id for the driver's hash gate only
+    toks.join(contam, Seq("doc_id"), "left").join(winHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_contam_tokens"), lit(0L)).as("n_contam_tokens"),
+        coalesce(col("n_hit_windows"), lit(0L)).as("n_hit_windows"),
+        expr("CAST(coalesce(n_contam_tokens, 0) AS DOUBLE) / n_tokens").as("contam_frac"))
+  }
+
   /** x25 — unigram-LM surprisal scoring (the CCNet-style "how unusual is
     * this document under a corpus LM" quality signal, with the LM reduced
     * to unigrams so it is exactly checkable): per-token surprisal is

@@ -519,6 +519,101 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Half-space cell count for [[annImi]]: the inverted multi-index
+    * spans kHalf² product cells, so kHalf = ceil(sqrt(n/target)) holds
+    * ~[[AnnCellTarget]] vectors per NON-EMPTY cell as the corpus grows
+    * while training only 2·kHalf half-space centroids (the IMI trick:
+    * quadratically many cells from linearly many centroids). Floors to 2
+    * (4 cells) at both gate corpora, pinned in the static oracle SQL. */
+  def imiHalfCells(embeddings: DataFrame, kMin: Int = 2,
+      targetCellSize: Long = AnnCellTarget): Int =
+    math.max(kMin.toLong,
+      math.ceil(math.sqrt(corpusCount(embeddings).toDouble / targetCellSize)).toLong).toInt
+
+  /** s11 — inverted multi-index (IMI) ANN (Babenko & Lempitsky, CVPR
+    * 2012; FAISS `IndexIVF` with an `MultiIndexQuantizer` coarse stage):
+    * the vector splits into two halves, each half gets its OWN coarse
+    * quantizer of kHalf centroids, and a vector's cell is the PAIR of its
+    * half-space assignments — kHalf² cells from 2·kHalf centroids. This
+    * is the billion-scale coarse stage: to hold cell sizes constant a
+    * flat IVF must train k ∝ n centroids (and pay k distance evaluations
+    * per assignment), while IMI trains O(√n) per half and pays 2√k — the
+    * codebook stays control-plane-sized at any corpus.
+    *
+    * The query ranks candidate cells by the multi-sequence rule — sum of
+    * its half-distances (da + db, ties (a_id, b_id)) over the kHalf²
+    * product — and scans the `nProbe` best cells; candidates rank by
+    * exact cosine (the rerank is exact because the coarse stage only
+    * PRUNES, [[annIvfPq]] adds the compressed-code scan on top).
+    *
+    * Exactness: half-norms and half-dots are exact BIGINT on the 2^20
+    * grid via the native codegen'd dot over `slice`d halves, so cell
+    * assignments, probe order, and cosines hash-match the oracle.
+    *
+    * Scale: two kHalf-row broadcast argmins (map-side-combinable min_by,
+    * no window over the corpus) assign the cells; the probe list is a
+    * per-query window over the k² product of two k-bounded frames; the
+    * candidate scan is one hash join on the (cell_a, cell_b) key. Cells
+    * PARTITION the vectors and a query's probe list is distinct, so each
+    * (query, neighbor) pair appears at most once — the s8 argument. At
+    * write time (cell_a, cell_b) is a two-level partition directory and
+    * probing is static pruning, as [[writeCellPartitioned]]. */
+  def annImi(embeddings: DataFrame, kHalf: Int = 0, everyNth: Int = 50,
+      nProbe: Int = 2, topK: Int = 3, dims: Int = 64): DataFrame = {
+    val half = dims / 2
+    val kk = if (kHalf > 0) kHalf else imiHalfCells(embeddings)
+    val v = quantized(embeddings)
+      .withColumn("qa", expr(s"slice(qv, 1, $half)"))
+      .withColumn("qb", expr(s"slice(qv, ${half + 1}, $half)"))
+      .withColumn("na", expr("graft_dot_long(qa, qa)"))
+      .withColumn("nb", expr("graft_dot_long(qb, qb)"))
+      .persist() // centroids, both assignments, queries, and the scan read it
+    val centA = v.filter(col("vec_id") < kk)
+      .select(col("vec_id").as("a_id"), col("qa").as("ca"), col("na").as("cna"))
+    val centB = v.filter(col("vec_id") < kk)
+      .select(col("vec_id").as("b_id"), col("qb").as("cb"), col("nb").as("cnb"))
+    val aAssign = v.select("vec_id", "qa", "na").crossJoin(broadcast(centA))
+      .withColumn("da", expr("na - 2 * graft_dot_long(qa, ca) + cna"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(a_id, struct(da, a_id))").as("cell_a"))
+    val bAssign = v.select("vec_id", "qb", "nb").crossJoin(broadcast(centB))
+      .withColumn("db", expr("nb - 2 * graft_dot_long(qb, cb) + cnb"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(b_id, struct(db, b_id))").as("cell_b"))
+    val assigned = v.select("vec_id", "qv", "nn")
+      .join(aAssign, "vec_id").join(bAssign, "vec_id")
+    val q = v.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("qa").as("q_qa"),
+        col("qb").as("q_qb"), col("na").as("q_na"), col("nb").as("q_nb"),
+        col("qv").as("q_qv"), col("nn").as("q_nn"))
+    val qa = q.select("query_id", "q_qa", "q_na").crossJoin(broadcast(centA))
+      .withColumn("da", expr("q_na - 2 * graft_dot_long(q_qa, ca) + cna"))
+      .select("query_id", "a_id", "da")
+    val qb = q.select("query_id", "q_qb", "q_nb").crossJoin(broadcast(centB))
+      .withColumn("db", expr("q_nb - 2 * graft_dot_long(q_qb, cb) + cnb"))
+      .select("query_id", "b_id", "db")
+    // multi-sequence probe order: best nProbe of the kHalf² product by
+    // summed half-distance — both sides are kHalf-bounded per query
+    val probes = qa.join(qb, "query_id")
+      .withColumn("prn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("da") + col("db"), col("a_id"), col("b_id"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("a_id").as("cell_a"), col("b_id").as("cell_b"))
+    probes
+      .join(assigned, Seq("cell_a", "cell_b"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(q.select("query_id", "q_qv", "q_nn"), "query_id")
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("dot"), col("cos"), col("cell_a"), col("cell_b"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** s4 — one distributed k-means step (assign + update) over quantized
     * embeddings: the distance argmin uses exact integer algebra
     * (|x|² − 2x·c + |c|², native codegen'd dot products against a

@@ -287,6 +287,7 @@ object ScaleRehearsal {
         (() => SparkEntry.queries("s8_ann_ivf_multiprobe")(spark, vecDir)),
       "s9_ann_ivfpq" -> (() => SparkEntry.queries("s9_ann_ivfpq")(spark, vecDir)),
       "s10_ivf_drift" -> (() => SparkEntry.queries("s10_ivf_drift")(spark, vecDir)),
+      "s11_ann_imi" -> (() => SparkEntry.queries("s11_ann_imi")(spark, vecDir)),
       "d12_semdedup_autok" -> (() => graft.data.VectorOps.semDedup(
         Tables.embeddings(spark, vecDir), maxIter = 8)))
     val vecResults = vecRuns.map { case (name, mk) =>

@@ -59,6 +59,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pq == brute, "full-probe IVF-PQ must equal the brute-force baseline")
   }
 
+  test("annImi degenerates to brute force when every product cell is probed") {
+    // nProbe = kHalf² probes the whole multi-index, and the cells
+    // PARTITION the corpus (one (a, b) pair per vector), so the exact
+    // rerank must reproduce annBrute's top-k — IMI's recall loss comes
+    // ONLY from probe pruning, never from the product-cell structure
+    val e = Tables.embeddings(spark, sfDir)
+    val imi = VectorOps.annImi(e, kHalf = 2, nProbe = 4, topK = 5)
+      .select("query_id", "neighbor_id", "rnk", "dot", "cos").collect().toSeq
+    val brute = VectorOps.annBrute(e).collect().toSeq
+    assert(imi == brute, "full-probe IMI must equal the brute-force baseline")
+    // and the default config genuinely prunes: fewer candidate rows reach
+    // at least one query's top-k (not the vacuous all-cells scan)
+    val pruned = VectorOps.annImi(e).collect().toSeq
+    assert(pruned.nonEmpty && pruned != brute.map(r => r),
+      "default nProbe must actually prune the scan")
+  }
+
   test("ADC query batching is result-invariant: s7/s9 batched == unbatched") {
     // the batch loop must be a pure partition of the query set — every
     // per-query window rank is batch-local, so any batch count yields the
