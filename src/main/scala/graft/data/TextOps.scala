@@ -1303,10 +1303,20 @@ object TextOps {
     * but carries no hint: AQE measures and broadcasts it at runtime. The
     * hit join is one hash join on the window hash, coverage is a keyed
     * distinct + agg per doc, nothing pairwise, nothing global. */
+  /** The stored benchmark window-hash artifact x39 and its streaming form
+    * ([[graft.streaming.StreamingAnalytics.evalContaminationStream]]) both
+    * join against: distinct `spanWords`-word window hashes of the
+    * benchmark stand-in (docs below `benchMaxId`). At deployment this is
+    * a published table rebuilt when the eval suite changes. */
+  def evalBenchmarkWindows(documents: DataFrame, spanWords: Int = 4,
+      benchMaxId: Long = 10): DataFrame =
+    spanWindows(documents, spanWords)
+      .filter(col("doc_id") < benchMaxId).select("h").distinct()
+
   def evalSpanContamination(documents: DataFrame, spanWords: Int = 4,
       benchMaxId: Long = 10): DataFrame = {
     val wins = spanWindows(documents, spanWords)
-    val bench = wins.filter(col("doc_id") < benchMaxId).select("h").distinct()
+    val bench = evalBenchmarkWindows(documents, spanWords, benchMaxId)
     val hits = wins.filter(col("doc_id") >= benchMaxId).join(bench, "h")
     val covered = hits.select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (spanWords - 1))).as("pos"))

@@ -200,6 +200,61 @@ object StreamingAnalytics {
         initState)(fn)
   }
 
+  final case class WinRow(doc_id: Long, n_tokens: Long, i: Int,
+      h: Option[String], hit: Boolean)
+  final case class ContamReport(doc_id: Long, n_tokens: Long,
+      n_contam_tokens: Long, n_hit_windows: Long, contam_frac: Double)
+
+  /** Streaming eval decontamination — x39's continuous form
+    * ([[graft.data.TextOps.evalSpanContamination]]): the eval benchmark's
+    * window-hash set joins each arriving micro-batch as a STATIC frame
+    * (stream-static join — Spark re-reads it per batch, so a republished
+    * eval suite picks up without restart), and each document's
+    * contamination report emits in the batch it arrives in.
+    *
+    * Shape: per-row window hashes (narrow projection, the
+    * [[bandSignatures]] discipline), one stream-static left join on the
+    * hash, then a per-doc rollup via flatMapGroupsWithState — a document
+    * is ONE input row, so its group closes within its own micro-batch and
+    * the state store stays empty (NoTimeout, nothing updated): the
+    * stateful operator exists only to express "aggregate this batch's
+    * groups in Append mode", which a watermarkless streaming groupBy
+    * cannot. Coverage is computed in-group over the doc's own positions —
+    * bounded by document length, never corpus size.
+    *
+    * Documents shorter than a window carry a null hash (never joins) and
+    * report zero hits, exactly like the batch form's zero-window docs. */
+  def evalContaminationStream(docs: DataFrame, benchWindowHashes: DataFrame,
+      spanWords: Int = 4): Dataset[ContamReport] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wins = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("i", explode(expr(
+        s"sequence(1, greatest(size(ws) - ${spanWords - 1}, 1))")))
+      .withColumn("h", when(col("n_tokens") >= spanWords,
+        md5(concat_ws(" ", expr(s"slice(ws, i, $spanWords)")))))
+      .select("doc_id", "n_tokens", "i", "h")
+    val joined = wins
+      .join(benchWindowHashes.select(col("h"), lit(true).as("hit")), Seq("h"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        col("h"), coalesce(col("hit"), lit(false)).as("hit"))
+      .as[WinRow]
+    def fn(docId: Long, rows: Iterator[WinRow],
+        state: GroupState[Long]): Iterator[ContamReport] = {
+      val rs = rows.toSeq
+      val n = rs.head.n_tokens
+      val hits = rs.filter(_.hit)
+      val covered = hits.flatMap(r => r.i until r.i + spanWords).toSet
+      Iterator.single(ContamReport(docId, n, covered.size.toLong,
+        hits.flatMap(_.h).distinct.size.toLong,
+        covered.size.toDouble / n))
+    }
+    joined.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

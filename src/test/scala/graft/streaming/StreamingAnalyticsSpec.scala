@@ -320,6 +320,39 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming eval decontamination converges to batch x39 under any wave split") {
+    import spark.implicits._
+    import graft.data.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docsDf = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bench = TextOps.evalBenchmarkWindows(docsDf)
+    val training = docsDf.filter(col("doc_id") >= 10)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val want = TextOps.evalSpanContamination(docsDf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(want.exists(_._4 > 0) && want.exists(_._4 == 0),
+      "degenerate: need both contaminated and clean docs for a real proof")
+
+    for (waves <- Seq(1, 4)) {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingAnalytics.evalContaminationStream(
+          input.toDF().toDF("doc_id", "text"), bench)
+        .writeStream.format("memory").queryName(s"contam$waves")
+        .outputMode("append").start()
+      try {
+        training.grouped((training.length + waves - 1) / waves).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"contam$waves")
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+        assert(got == want,
+          s"waves=$waves diverged: extra=${got -- want} missing=${want -- got}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming sessionizer converges to the batch q11 sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
