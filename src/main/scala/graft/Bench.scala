@@ -62,9 +62,9 @@ object Bench {
     "x30_source_drift", "x31_bpe_encode", "x32_span_scrub",
     "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",
     "x36_phrase_search", "x37_perceptron_filter", "x38_data_card",
-    "x39_eval_span_contamination",
+    "x39_eval_span_contamination", "x40_tokenizer_fertility",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
-    "m4_pack_multimodal")
+    "m4_pack_multimodal", "m5_media_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

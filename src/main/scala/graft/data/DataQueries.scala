@@ -84,12 +84,14 @@ object DataQueries {
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
+    "x40_tokenizer_fertility" -> docs(TextOps.tokenizerFertility(_)),
     "x37_perceptron_filter" -> docs(TextOps.perceptronFilter(_)),
     "x38_data_card" -> docs(TextOps.dataCard),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
-    "m4_pack_multimodal" -> docs(MultimodalOps.packMultimodal(_))
+    "m4_pack_multimodal" -> docs(MultimodalOps.packMultimodal(_)),
+    "m5_media_dedup" -> docs(MultimodalOps.mediaDedup(_).orderBy("doc_id"))
   )
 
   // ---- DuckDB oracle --------------------------------------------------
@@ -675,6 +677,46 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
 JOIN encx e ON t.w = e.rid
 GROUP BY 1 ORDER BY 1"""
 
+  /** x40's oracle: x31's per-doc encoding rolled up per (source,
+    * predicted language) with 1-row totals for the share columns. */
+  private def tokenizerFertilitySql(rounds: Int): String = bpeProlog(rounds) + s"""
+, encx AS (SELECT rid, len(ss) AS n_sym FROM v$rounds)
+, perdoc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+    CAST(sum(e.n_sym) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  JOIN encx e ON t.w = e.rid
+  GROUP BY 1
+), xl40 AS (
+  SELECT doc_id, ${TextOps.LangCase} AS lang_pred
+  FROM (SELECT doc_id,
+          CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS en_n,
+          CAST(${cntSum(TextOps.StopwordsDe)} AS BIGINT) AS de_n,
+          CAST(${cntSum(TextOps.StopwordsEs)} AS BIGINT) AS es_n
+        FROM documents) q
+), per40 AS (
+  SELECT d.source, l.lang_pred,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(p.n_words) AS BIGINT) AS n_words,
+    CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+    CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens
+  FROM perdoc p
+  JOIN documents d ON p.doc_id = d.doc_id
+  JOIN xl40 l ON p.doc_id = l.doc_id
+  GROUP BY 1, 2
+), tot40 AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS t_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+  FROM per40
+)
+SELECT source, lang_pred, n_docs, n_words, n_chars, n_tokens,
+  CASE WHEN n_tokens = 0 THEN 0e0
+       ELSE CAST(n_chars AS DOUBLE) / n_tokens END AS fertility,
+  CAST(n_chars AS DOUBLE) / t_chars AS char_share,
+  CAST(n_tokens AS DOUBLE) / t_tokens AS token_share
+FROM per40, tot40 ORDER BY source, lang_pred"""
+
   private def topK(where: String, k: Int, extraCols: String = ""): String = s"""
 , pairsx AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -858,6 +900,7 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       GROUP BY 1 ORDER BY 1""",
     "x26_bpe_merges" -> bpeMergesSql(8),
     "x31_bpe_encode" -> bpeEncodeSql(8),
+    "x40_tokenizer_fertility" -> tokenizerFertilitySql(8),
     // CCNet tertiles over x25's bits/token: coarse 1/64-bit histogram
     // selection (no global sort), thresholds broadcast back
     "x33_perplexity_buckets" -> """
@@ -1286,6 +1329,39 @@ SELECT * FROM (
   UNION ALL SELECT '4_sampled', n4, n3 - n4 FROM fagg) u
 ORDER BY stage"""),
     // text BPE bound + ViT-style patch tokens share one budget; same
+    // m5 mirrors MultimodalOps.mediaDedup over the UTF-8 payload: the
+    // corpus is pure ASCII (checked), so char-based substr == byte chunks
+    "m5_media_dedup" -> """
+      WITH m AS (
+        SELECT doc_id, text, md5(text) AS payload_md5,
+               octet_length(CAST(text AS BLOB)) AS nb
+        FROM documents
+      ), grp AS (
+        SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_copies
+        FROM m GROUP BY 1
+      ), chs AS (
+        SELECT doc_id, md5(substr(text, i * 64 + 1, 64)) AS ch
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(0, CAST(ceil(nb / 64.0) AS INT) - 1)) AS i
+              FROM m WHERE nb > 0) q
+      ), shared AS (
+        SELECT ch FROM (
+          SELECT ch, count(DISTINCT doc_id) AS d FROM chs GROUP BY 1) x
+        WHERE d >= 2
+      ), per AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(sum(CASE WHEN s.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM chs c LEFT JOIN shared s ON c.ch = s.ch GROUP BY 1
+      )
+      SELECT m.doc_id, m.payload_md5, g.n_copies,
+        g.n_copies >= 2 AS is_exact_dup,
+        coalesce(p.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+        coalesce(p.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        CASE WHEN coalesce(p.n_chunks, 0) = 0 THEN 0e0
+             ELSE CAST(p.n_shared AS DOUBLE) / p.n_chunks END AS shared_frac
+      FROM m JOIN grp g ON m.payload_md5 = g.payload_md5
+      LEFT JOIN per p ON m.doc_id = p.doc_id
+      ORDER BY m.doc_id""",
     // two-phase prefix-sum packing as x15
     "m4_pack_multimodal" -> """
       WITH costs AS (

@@ -143,4 +143,54 @@ object MultimodalOps {
         expr(s"cum_before % $budget").as("batch_offset"))
       .orderBy("doc_id")
   }
+
+  /** m5 — media payload dedup: the storage-level dedup a multimodal
+    * pipeline runs BEFORE any decode — byte-identical assets (mirrored
+    * uploads, re-crawled images) and shared byte regions are found on the
+    * raw payload, so the expensive decode/feature stages run once per
+    * distinct asset. Two granularities, both over the binary column:
+    *   - EXACT: md5 over the full payload groups byte-identical assets
+    *     (`n_copies`, `is_exact_dup`);
+    *   - CHUNK: fixed-`chunkBytes` aligned chunk fingerprints; a chunk
+    *     hash appearing in ≥2 distinct docs is shared, and each doc
+    *     reports its shared-chunk fraction — the rsync/CDC-chunking
+    *     dedup shape (production uses content-defined boundaries, e.g.
+    *     FastCDC, so insertions don't shift every chunk — only the
+    *     boundary rule changes; a perceptual hash for decoded media
+    *     would drop into the m1 mapPartitions idiom instead).
+    *
+    * Scale: one keyed agg on the payload hash, one on the chunk hash, a
+    * hash join back per doc — no pairwise work anywhere; the shared-chunk
+    * set grows with the corpus so it carries no broadcast hint (AQE
+    * promotes if measured small). All hashing is codegen'd builtin md5
+    * over binary slices (the oracle mirrors it over ASCII text — byte ==
+    * char there). */
+  def mediaDedup(documents: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    val m = asBinary(documents)
+      .withColumn("payload_md5", md5(col("payload")))
+      .persist() // feeds the group count, the chunk explode, and the output
+    val grp = m.groupBy("payload_md5").agg(count(lit(1)).as("n_copies"))
+    val chunks = m.filter(length(col("payload")) > 0)
+      .withColumn("i", explode(expr(
+        s"sequence(0, CAST(ceil(length(payload) / $chunkBytes.0) AS INT) - 1)")))
+      .select(col("doc_id"),
+        expr(s"md5(substring(payload, i * $chunkBytes + 1, $chunkBytes))").as("ch"))
+    val shared = chunks.groupBy("ch")
+      .agg(countDistinct("doc_id").as("d"))
+      .filter(col("d") >= 2).select("ch")
+    val per = chunks.join(shared.withColumn("is_shared", lit(true)), Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_shared"))
+    // UNORDERED output by contract (see TextOps.shardExport) — the
+    // registry wrapper orders by doc_id for the driver's hash gate only
+    m.join(grp, "payload_md5")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("payload_md5"), col("n_copies"),
+        (col("n_copies") >= 2).as("is_exact_dup"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0e0 " +
+          "ELSE CAST(n_shared AS DOUBLE) / n_chunks END").as("shared_frac"))
+  }
 }

@@ -1745,6 +1745,41 @@ object TextOps {
     out
   }
 
+  /** x40 — tokenizer-fit report per (source, predicted language):
+    * fertility = characters per token under the CORPUS-TRAINED BPE
+    * tokenizer (x26's merges, x31's per-doc encoding). A source or
+    * language with high fertility pays more sequence length per
+    * character — the tokenizer-fairness measurement of the multilingual
+    * tokenization literature — and the fix is either tokenizer
+    * retraining on a rebalanced sample or mixture reweighting (x17);
+    * `token_share` vs `char_share` shows who actually consumes the
+    * training budget, which char-level accounting hides.
+    *
+    * Scale: the per-doc encoding reuses the memoized trained vocab (one
+    * broadcast-join per word type, x31's shape); this adds one keyed
+    * rollup on (source, lang) — O(#sources × #langs) output — and a
+    * 1-row totals attach. Exact BIGINT sums; the two shares and
+    * fertility are terminal IEEE divisions. */
+  def tokenizerFertility(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    val enc = bpeEncode(documents, rounds)
+      .select("doc_id", "n_words", "n_chars", "n_tokens")
+    val meta = langIdShared(documents).select("doc_id", "lang_pred")
+      .join(documents.select("doc_id", "source"), "doc_id")
+    val per = enc.join(meta, "doc_id")
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_chars").as("n_chars"), sum("n_tokens").as("n_tokens"))
+    val tot = per.agg(sum("n_chars").as("t_chars"), sum("n_tokens").as("t_tokens"))
+    per.crossJoin(broadcast(tot)) // 1-row totals: scalar-whitelisted attach
+      .select(col("source"), col("lang_pred"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("n_tokens"),
+        expr("CASE WHEN n_tokens = 0 THEN 0e0 " +
+          "ELSE CAST(n_chars AS DOUBLE) / n_tokens END").as("fertility"),
+        expr("CAST(n_chars AS DOUBLE) / t_chars").as("char_share"),
+        expr("CAST(n_tokens AS DOUBLE) / t_tokens").as("token_share"))
+      .orderBy("source", "lang_pred")
+  }
+
   /** x37 — distributed batch perceptron over hashed bigram features: the
     * fastText-class linear quality filter (the model-based selection step
     * of DataComp-LM-style pipelines), trained HERE, distributed, with
