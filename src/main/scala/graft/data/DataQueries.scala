@@ -81,6 +81,7 @@ object DataQueries {
     "s9_ann_ivfpq" -> embs(VectorOps.annIvfPq(_)),
     "s10_ivf_drift" -> embs(VectorOps.ivfDrift(_)),
     "s11_ann_imi" -> embs(VectorOps.annImi(_)),
+    "s12_ann_recall" -> embs(VectorOps.annRecall(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -365,9 +366,17 @@ ORDER BY r.doc_id"""
     * exact-cosine top-k. kHalf is the gate-scale floor of the Spark
     * side's [[VectorOps.imiHalfCells]] (= 2 at both gate corpora). */
   private def annImiSql(kHalf: Int, everyNth: Int, nProbe: Int,
-      topK: Int, dims: Int): String = {
+      topK: Int, dims: Int): String =
+    vecProlog + annImiBody(kHalf, everyNth, nProbe, dims) + s"""
+SELECT query_id, neighbor_id, rnk, dot, cos, cell_a, cell_b FROM r11
+WHERE rnk <= $topK ORDER BY query_id, rnk"""
+
+  /** The IMI chain's CTE body (through `r11`), shared by s11's oracle and
+    * s12's recall oracle. */
+  private def annImiBody(kHalf: Int, everyNth: Int, nProbe: Int,
+      dims: Int): String = {
     val half = dims / 2
-    vecProlog + s"""
+    s"""
 , h11 AS (
   SELECT v.vec_id, v.qv, v.nn,
          ${halfDot("v", "v", 1, half)} AS na,
@@ -419,10 +428,33 @@ ORDER BY r.doc_id"""
 ), r11 AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
   FROM s11c
-)
-SELECT query_id, neighbor_id, rnk, dot, cos, cell_a, cell_b FROM r11
-WHERE rnk <= $topK ORDER BY query_id, rnk"""
+)"""
   }
+
+  /** s12's oracle: the IMI chain (r11) against the brute-force ground
+    * truth over the same query set — per-query hit count and recall@k. */
+  private def annRecallSql(kHalf: Int, everyNth: Int, nProbe: Int,
+      topK: Int, dims: Int): String =
+    vecProlog + annImiBody(kHalf, everyNth, nProbe, dims) + s"""
+, gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        CAST(${pairDot("a", "b")} AS DOUBLE)
+          / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) DESC,
+        b.vec_id) AS INT) AS rnk
+    FROM qn a JOIN qn b ON a.vec_id % $everyNth = 0 AND b.vec_id <> a.vec_id) x
+  WHERE rnk <= $topK
+), ap AS (
+  SELECT query_id, neighbor_id FROM r11 WHERE rnk <= $topK
+)
+SELECT g.query_id,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / $topK AS recall
+FROM gt g LEFT JOIN ap a
+  ON g.query_id = a.query_id AND g.neighbor_id = a.neighbor_id
+GROUP BY 1 ORDER BY 1"""
 
   private def ivfDriftSql(k: Int, baseMaxId: Long, dims: Int): String =
     vecProlog + s"""
@@ -1807,6 +1839,8 @@ ORDER BY doc_a, doc_b"""),
       everyNth = 50, nProbe = 2, adcTopK = 10, topK = 5, dims = 64),
     "s10_ivf_drift" -> ivfDriftSql(k = 4, baseMaxId = 250, dims = 64),
     "s11_ann_imi" -> annImiSql(kHalf = 2, everyNth = 50, nProbe = 2,
+      topK = 3, dims = 64),
+    "s12_ann_recall" -> annRecallSql(kHalf = 2, everyNth = 50, nProbe = 2,
       topK = 3, dims = 64),
     "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
     "x37_perceptron_filter" -> perceptronSql(buckets = 64, rounds = 16),

@@ -412,6 +412,75 @@ object TextOps {
         col("cum_before"), (col("cum_before") < budgetTokens).as("keep"))
   }
 
+  /** x41 — mixture MATERIALIZATION: turn x17's temperature plan into the
+    * actual (document, epoch) repetition rows a trainer consumes — the
+    * "repeat small sources" step of data-constrained training
+    * (Muennighoff et al. 2023: up-sampling IS re-epoching). x17 reports
+    * per-source epochs; x35 caps ONE pass; this op emits every pass:
+    * per source, target tokens = w_s·T ÷ w_total (the same integer
+    * milli-quantized sqrt weights as x17, T = `num`/`den` × the corpus
+    * total, all BIGINT so the plan is order-independent), every document
+    * appears in floor(target/tokens_s) full epochs, and the final
+    * PARTIAL epoch is filled by x35's seeded greedy prefix rule with the
+    * remainder budget — deterministic, seed-reproducible, within one
+    * document of the target per source.
+    *
+    * All arithmetic is exact BIGINT division chains (w_s·T stays under
+    * 2^63 up to ~10^18-token corpora; past that the same chain runs in
+    * DECIMAL(38,0)); the only doubles are x17's already-quantized
+    * weights.
+    *
+    * Scale: the per-source plan is an O(#sources) broadcast; full epochs
+    * are a narrow explode (output ∝ target tokens, the rows a trainer
+    * reads anyway); the partial epoch reuses the x15/x35 two-phase
+    * prefix sum — range-partition, rank locally, add broadcast per-
+    * partition offsets — never a global window. UNORDERED output by
+    * contract (see shardExport); the registry wrapper orders for the
+    * hash gate only. */
+  def mixtureExpand(documents: DataFrame, num: Long = 9, den: Long = 4,
+      seed: String = "graft"): DataFrame = {
+    val keyed = documents.select(col("doc_id"), col("source"))
+      .join(tokenCount(documents).select("doc_id", "bpe_tokens"), "doc_id")
+      .withColumn("skey", expr(hex13Num(s"md5(concat('$seed:', CAST(doc_id AS STRING)))")))
+    val perSource = keyed.groupBy("source")
+      .agg(sum("bpe_tokens").as("tokens_s"))
+      .withColumn("w", expr(
+        "CAST(floor(sqrt(CAST(tokens_s AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+    val tot = perSource.agg(sum("w").as("w_total"), sum("tokens_s").as("t_all"))
+    val plan = perSource.crossJoin(broadcast(tot))
+      .withColumn("target_s", expr(s"w * (t_all * $num DIV $den) DIV w_total"))
+      .withColumn("full_ep", expr("target_s DIV tokens_s"))
+      .withColumn("rem_s", expr("target_s % tokens_s"))
+      .select("source", "full_ep", "rem_s")
+    val withPlan = keyed.join(broadcast(plan), Seq("source"))
+      .persist() // feeds the full-epoch explode AND the partial-epoch prefix
+    val full = withPlan
+      // CASE guard: Spark's sequence(0, -1) DESCENDS where DuckDB's
+      // generate_series(0, -1) is empty — a zero-full-epoch source must
+      // yield no rows, not a bogus descending pair
+      .withColumn("epoch", explode(expr(
+        """CASE WHEN full_ep > 0 THEN sequence(CAST(0 AS BIGINT), full_ep - 1)
+           ELSE CAST(array() AS ARRAY<BIGINT>) END""")))
+      .select("doc_id", "source", "epoch", "bpe_tokens")
+    val local = withPlan
+      .repartitionByRange(col("source"), col("skey"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum("bpe_tokens")
+        .over(Window.partitionBy("__pid", "source").orderBy("skey", "doc_id")))
+      .persist() // un-materialized range shuffles can resample bounds per branch
+    val offsets = local.groupBy("__pid", "source").agg(sum("bpe_tokens").as("__pt"))
+      .withColumn("__off", coalesce(
+        sum("__pt").over(Window.partitionBy("source").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "source", "__off")
+    val partial = local.join(broadcast(offsets), Seq("__pid", "source"))
+      .withColumn("cum_before", col("__lcum") + col("__off") - col("bpe_tokens"))
+      .filter(col("cum_before") < col("rem_s"))
+      .select(col("doc_id"), col("source"), col("full_ep").as("epoch"),
+        col("bpe_tokens"))
+    full.unionByName(partial)
+  }
+
   /** x16 — composite quality filter with an audit trail: every heuristic
     * is a named boolean column, so rejected documents are attributable to
     * specific rules (the filter-transparency requirement of a curated

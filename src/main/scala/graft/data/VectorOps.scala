@@ -614,6 +614,87 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s12 — ANN recall monitor: recall@k of the approximate index against
+    * the exact brute-force ground truth over the SAME query set — the
+    * index-quality measurement every ANN deployment runs before trusting
+    * a config (FAISS publishes exactly this curve per index type), and
+    * the companion to s10's drift monitor: s10 says the data moved, s12
+    * says what that did to answer quality. Measured here for the IMI
+    * index at its default probe budget; the same join works for any of
+    * s2/s3/s6/s8/s9 since they share the output contract.
+    *
+    * Scale: ground truth is O(Q·N) by definition — at 100 TB this runs
+    * on a SAMPLED query set (everyNth is that knob) against a corpus
+    * slice, which is how production recall audits work; the approximate
+    * side and the per-query join are k-bounded. Exactness: both sides
+    * rank by the same IEEE cosine over exact integers, and the hit count
+    * is a BIGINT sum, so every column hash-matches the oracle. */
+  def annRecall(embeddings: DataFrame, everyNth: Int = 50, topK: Int = 3,
+      nProbe: Int = 2): DataFrame = {
+    val gt = annBrute(embeddings, everyNth, topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = annImi(embeddings, everyNth = everyNth, nProbe = nProbe, topK = topK)
+      .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+    gt.join(ap,
+        col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall", expr(s"CAST(n_hits AS DOUBLE) / $topK"))
+      .orderBy("query_id")
+  }
+
+  /** s13 — PQ codebook health audit: per (subspace, codeword) occupancy
+    * and quantization error for the raw-vector product quantizer s7
+    * scans with — the codebook-quality check FAISS runs after training
+    * (imbalance factor, dead codewords): a code that captures a large
+    * share of one subspace's assignments makes ADC uninformative there,
+    * and a DEAD code (zero assignments) wastes a codepoint — both are
+    * retrain signals, completing the index-lifecycle monitors (s10 data
+    * drift, s12 answer recall, s13 codebook fitness).
+    *
+    * Exactness: assignments are s7's exact-integer argmin, occupancy and
+    * error sums are BIGINT, share/mean_d2 one IEEE division each over
+    * identical integers — every column hash-matches the oracle (which
+    * reuses s7's encode CTE chain verbatim). Dead codes survive via a
+    * LEFT join from the full m×nCodes codebook grid.
+    *
+    * Scale: encode is the s7 broadcast-join + map-side-combinable min_by
+    * (no window/sort over the corpus); the rollup shuffles m·nCodes
+    * partial rows per map task, and the grid/total joins are O(m·nCodes)
+    * broadcasts. Output is m·nCodes rows regardless of corpus size. */
+  def pqHealth(embeddings: DataFrame, nCodes: Int = 16, m: Int = 8,
+      subDim: Int = 8): DataFrame = {
+    val v = quantized(embeddings)
+    val subs = v
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+      .select("vec_id", "s", "sub", "sub_nn")
+      .persist() // feeds the codebook and the encode scan
+    val cb = subs.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("c_id"), col("s").as("c_s"),
+        col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
+    val assigned = subs.join(broadcast(cb), col("s") === col("c_s"))
+      .withColumn("dist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
+      .groupBy("vec_id", "s")
+      .agg(expr("min_by(struct(c_id, dist2), struct(dist2, c_id))").as("a"))
+      .select(col("s"), col("a.c_id").as("code"), col("a.dist2").as("dist2"))
+    val occ = assigned.groupBy("s", "code")
+      .agg(count(lit(1)).as("n_assigned"), sum("dist2").as("sum_d2"))
+    val totals = occ.groupBy("s").agg(sum("n_assigned").as("n_total"))
+    cb.select(col("c_s").as("s"), col("c_id").as("code"))
+      .join(occ, Seq("s", "code"), "left")
+      .join(broadcast(totals), Seq("s"))
+      .withColumn("n_assigned", coalesce(col("n_assigned"), lit(0L)))
+      .withColumn("sum_d2", coalesce(col("sum_d2"), lit(0L)))
+      .withColumn("share", expr("CAST(n_assigned AS DOUBLE) / n_total"))
+      .withColumn("mean_d2", expr(
+        "CASE WHEN n_assigned = 0 THEN 0e0 ELSE CAST(sum_d2 AS DOUBLE) / n_assigned END"))
+      .withColumn("dead", col("n_assigned") === 0L)
+      .select("s", "code", "n_assigned", "sum_d2", "share", "mean_d2", "dead")
+      .orderBy("s", "code")
+  }
+
   /** s4 — one distributed k-means step (assign + update) over quantized
     * embeddings: the distance argmin uses exact integer algebra
     * (|x|² − 2x·c + |c|², native codegen'd dot products against a

@@ -436,6 +436,7 @@ class PlanSpec extends AnyFunSuite {
       "s7_ann_pq" -> 3,            // codebook ×2 + the ADC distance table (query-BATCH-bounded by design)
       "s8_ann_ivf_multiprobe" -> 2, // centroids ×2 (assign + probe ranking): O(k)
       "s11_ann_imi" -> 4,          // half-space centroids ×2 halves ×(assign + probe): O(kHalf) each — the IMI codebook is O(√cells) by design
+      "s12_ann_recall" -> 4,       // inherits s11's centroid hints through the approximate side; ground truth carries none
       "t10_before_image" -> 1,     // schema registry: O(#tables)
       "t11_type_transforms" -> 1,  // schema registry: O(#tables)
       "t22b_evolved_payload" -> 1, // evolution intervals: O(#tables × versions)
