@@ -48,7 +48,7 @@ object Bench {
     "d13_pagerank_neardup",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step", "s5_ann_int8",
     "s6_ann_ivf_trained", "s7_ann_pq", "s8_ann_ivf_multiprobe", "s9_ann_ivfpq",
-    "s10_ivf_drift", "s11_ann_imi", "s12_ann_recall",
+    "s10_ivf_drift", "s11_ann_imi", "s12_ann_recall", "s13_pq_health",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
     "x5_top_terms", "x6_vocab_bigrams", "x7_repetition", "x8_length_quantiles",
     "x9_distinct_kmv", "x10_distinct_by_lang",
@@ -63,6 +63,7 @@ object Bench {
     "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",
     "x36_phrase_search", "x37_perceptron_filter", "x38_data_card",
     "x39_eval_span_contamination", "x40_tokenizer_fertility",
+    "x41_mixture_expand",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal", "m5_media_dedup")
 

@@ -82,6 +82,9 @@ object DataQueries {
     "s10_ivf_drift" -> embs(VectorOps.ivfDrift(_)),
     "s11_ann_imi" -> embs(VectorOps.annImi(_)),
     "s12_ann_recall" -> embs(VectorOps.annRecall(_)),
+    "s13_pq_health" -> embs(VectorOps.pqHealth(_)),
+    "x41_mixture_expand" ->
+      docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -1842,6 +1845,84 @@ ORDER BY doc_a, doc_b"""),
       topK = 3, dims = 64),
     "s12_ann_recall" -> annRecallSql(kHalf = 2, everyNth = 50, nProbe = 2,
       topK = 3, dims = 64),
+    // s13: s7's encode chain (subspace slice → nearest-of-16 codeword),
+    // rolled up per (subspace, code) with the full codebook grid LEFT-
+    // joined back so dead codewords surface as zero rows
+    "s13_pq_health" -> (vecProlog + """
+, subsp AS (SELECT unnest(generate_series(0, 7)) AS s)
+, vsubn AS (
+  SELECT vec_id, s, sub,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> sub[j] * sub[j])) AS BIGINT) AS sub_nn
+  FROM (SELECT vec_id, s, qv[s*8+1 : s*8+8] AS sub FROM qn, subsp) q0
+), cbx AS (
+  SELECT vec_id AS c_id, s AS c_s, sub AS c_sub, sub_nn AS c_nn
+  FROM vsubn WHERE vec_id < 16
+), encd AS (
+  SELECT v.vec_id, v.s, c.c_id,
+         v.sub_nn - 2 * CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> v.sub[j] * c.c_sub[j])) AS BIGINT) + c.c_nn AS dist2
+  FROM vsubn v JOIN cbx c ON v.s = c.c_s
+), codesd AS (
+  SELECT s, c_id AS code, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c_id) AS rn
+    FROM encd) q WHERE rn = 1
+), occ AS (
+  SELECT s, code, CAST(count(*) AS BIGINT) AS n_assigned,
+         CAST(sum(dist2) AS BIGINT) AS sum_d2
+  FROM codesd GROUP BY 1, 2
+), totx AS (SELECT s, CAST(sum(n_assigned) AS BIGINT) AS n_total FROM occ GROUP BY 1)
+SELECT g.s, g.code,
+  CAST(coalesce(o.n_assigned, 0) AS BIGINT) AS n_assigned,
+  CAST(coalesce(o.sum_d2, 0) AS BIGINT) AS sum_d2,
+  CAST(coalesce(o.n_assigned, 0) AS DOUBLE) / t.n_total AS share,
+  CASE WHEN coalesce(o.n_assigned, 0) = 0 THEN 0e0
+       ELSE CAST(o.sum_d2 AS DOUBLE) / o.n_assigned END AS mean_d2,
+  coalesce(o.n_assigned, 0) = 0 AS dead
+FROM (SELECT c_s AS s, c_id AS code FROM cbx) g
+LEFT JOIN occ o ON g.s = o.s AND g.code = o.code
+JOIN totx t ON g.s = t.s
+ORDER BY g.s, g.code"""),
+    // x41: x17's integer mixture weights → per-source integer token
+    // target (9/4 × the corpus) → full epochs by integer division, the
+    // remainder filled greedily in the x35 seeded order
+    "x41_mixture_expand" -> s"""
+      WITH tkx AS (
+        SELECT d.doc_id, d.source,
+               CAST(list_sum(list_transform(string_split(d.text, ' '),
+                 w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+               ${TextOps.hex13NumFragment("md5('graft:' || CAST(d.doc_id AS STRING))")} AS skey
+        FROM documents d
+      ), srcx AS (
+        SELECT source, CAST(sum(bpe_tokens) AS BIGINT) AS tokens_s,
+               CAST(floor(sqrt(CAST(sum(bpe_tokens) AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w
+        FROM tkx GROUP BY source
+      ), totx AS (
+        SELECT CAST(sum(w) AS BIGINT) AS w_total,
+               CAST(sum(tokens_s) AS BIGINT) AS t_all
+        FROM srcx
+      ), planx AS (
+        SELECT source,
+               (w * (t_all * 9 // 4) // w_total) // tokens_s AS full_ep,
+               (w * (t_all * 9 // 4) // w_total) % tokens_s AS rem_s
+        FROM srcx, totx
+      ), fullx AS (
+        SELECT doc_id, source,
+               unnest(generate_series(0, full_ep - 1)) AS epoch, bpe_tokens
+        FROM tkx JOIN planx USING (source)
+      ), cum AS (
+        SELECT doc_id, source, bpe_tokens,
+               CAST(coalesce(sum(bpe_tokens) OVER (PARTITION BY source
+                 ORDER BY skey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM tkx
+      )
+      SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, bpe_tokens FROM fullx
+      UNION ALL
+      SELECT c.doc_id, c.source, p.full_ep AS epoch, c.bpe_tokens
+      FROM cum c JOIN planx p USING (source)
+      WHERE c.cum_before < p.rem_s
+      ORDER BY doc_id, epoch""",
     "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
     "x37_perceptron_filter" -> perceptronSql(buckets = 64, rounds = 16),
     "x38_data_card" -> s"""

@@ -288,6 +288,10 @@ object ScaleRehearsal {
       "s9_ann_ivfpq" -> (() => SparkEntry.queries("s9_ann_ivfpq")(spark, vecDir)),
       "s10_ivf_drift" -> (() => SparkEntry.queries("s10_ivf_drift")(spark, vecDir)),
       "s11_ann_imi" -> (() => SparkEntry.queries("s11_ann_imi")(spark, vecDir)),
+      // s13 joins the rehearsal (unlike s12, whose ground-truth side is
+      // O(Q·N) by definition and runs sampled in production): the codebook
+      // audit must stay cheap at any corpus size for retrain monitoring
+      "s13_pq_health" -> (() => SparkEntry.queries("s13_pq_health")(spark, vecDir)),
       "d12_semdedup_autok" -> (() => graft.data.VectorOps.semDedup(
         Tables.embeddings(spark, vecDir), maxIter = 8)))
     val vecResults = vecRuns.map { case (name, mk) =>

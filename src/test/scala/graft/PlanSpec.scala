@@ -437,6 +437,8 @@ class PlanSpec extends AnyFunSuite {
       "s8_ann_ivf_multiprobe" -> 2, // centroids ×2 (assign + probe ranking): O(k)
       "s11_ann_imi" -> 4,          // half-space centroids ×2 halves ×(assign + probe): O(kHalf) each — the IMI codebook is O(√cells) by design
       "s12_ann_recall" -> 4,       // inherits s11's centroid hints through the approximate side; ground truth carries none
+      "s13_pq_health" -> 3,        // m·nCodes codebook ×2 (encode + dead-code grid reuse) + O(m) per-subspace totals
+      "x41_mixture_expand" -> 4,   // O(#sources) epoch plan ×3 tree references + the x35-style O(#partitions×#sources) offsets
       "t10_before_image" -> 1,     // schema registry: O(#tables)
       "t11_type_transforms" -> 1,  // schema registry: O(#tables)
       "t22b_evolved_payload" -> 1, // evolution intervals: O(#tables × versions)

@@ -45,6 +45,48 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
       assert(r == ref, s"x35 under layout '$name' diverged from '$refName'")
   }
 
+  test("x41 mixture expand is identical under every input layout") {
+    val results = layouts.map { case (name, d) =>
+      name -> TextOps.mixtureExpand(d).collect().map(_.toString).sorted.toSeq
+    }
+    val (refName, ref) = results.head
+    for ((name, r) <- results.tail)
+      assert(r == ref, s"x41 under layout '$name' diverged from '$refName'")
+  }
+
+  test("x41 partial epoch is a greedy prefix in the seeded order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.mixtureExpand(docs)
+    // per source the last epoch is PARTIAL: its members must be exactly a
+    // prefix of the source's docs in (skey, doc_id) order — cum_before is
+    // monotone in that order, so a gap would mean the prefix sum was
+    // stitched wrong (the bug class the two-phase form risks)
+    val maxEp = out.groupBy("source").agg(max("epoch").as("last_ep"))
+    val lastSet = out.join(maxEp, Seq("source"))
+      .filter(col("epoch") === col("last_ep"))
+      .select("source", "doc_id").withColumn("admitted", lit(true))
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("skey", expr(
+        TextOps.hex13NumFragment("md5(concat('graft:', CAST(doc_id AS STRING)))")))
+    val flagged = keyed.join(lastSet, Seq("source", "doc_id"), "left")
+      .withColumn("adm", coalesce(col("admitted"), lit(false)))
+    // once the flag turns false in seeded order it must stay false
+    val violations = flagged
+      .withColumn("next_adm", lead("adm", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("skey", "doc_id")))
+      .filter(!col("adm") && col("next_adm") === true)
+      .count()
+    assert(violations == 0, s"$violations non-prefix admissions")
+    // and at least one source admits a strict, non-empty prefix (the
+    // partial epoch is real, not all-or-nothing everywhere)
+    val perSource = flagged.groupBy("source")
+      .agg(sum(when(col("adm"), 1L).otherwise(0L)).as("n_adm"),
+        count(lit(1)).as("n"))
+    assert(perSource.filter(col("n_adm") > 0 && col("n_adm") < col("n")).count() > 0)
+  }
+
   test("d12 semantic dedup trains and scores identically under every input layout") {
     // the trained centroids are memoized by canonicalized input plan, so
     // each layout TRAINS INDEPENDENTLY — this asserts the whole

@@ -124,4 +124,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(kept.length == kept.distinct.length, "at most one survivor per cluster")
     assert(kept.toSet == one.map(_.getLong(1)).toSet, "each cluster keeps its head")
   }
+
+  test("pqHealth accounts for every vector in every subspace and covers the full grid") {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val rows = VectorOps.pqHealth(e).collect()
+    // one row per (subspace, codeword) — dead codes included, never dropped
+    assert(rows.length == 8 * 16, "full m x nCodes grid")
+    rows.groupBy(_.getInt(0)).foreach { case (s, rs) =>
+      assert(rs.map(_.getLong(2)).sum == n,
+        s"subspace $s: occupancy must partition the corpus")
+      // shares are n_assigned/n_total over the same integers → sum to 1
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+      // dead flag consistent with occupancy
+      rs.foreach(r => assert(r.getBoolean(6) == (r.getLong(2) == 0L)))
+    }
+  }
 }
