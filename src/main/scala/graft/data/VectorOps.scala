@@ -848,6 +848,92 @@ object VectorOps {
     rankTopK(q.join(assigned, col("vec_id") =!= col("query_id")), topK)
   }
 
+  /** Write-time PQ codes layout — the storage half of s7's scale claim
+    * that at 100 TB "the scan reads codes, never floats": one row per
+    * vector, (vec_id, codes) with the m sub-space codeword ids in
+    * sub-space order, partitioned by the vector's coarse cell. An ADC
+    * probe against this layout is (a) parquet partition pruning to the
+    * probed cells and (b) a scan whose ReadSchema is two narrow columns
+    * — ~32× less bandwidth than the raw vectors (PqLayoutSpec asserts
+    * the partition filter, the narrow ReadSchema, AND answer-equality
+    * with the in-memory s7 chain). Encoding is s7's exact-integer argmin
+    * (broadcast codebook + map-side-combinable min_by), then one keyed
+    * collect_list bounded at m rows per vector. */
+  def writePqCodes(embeddings: DataFrame, path: String, nCodes: Int = 16,
+      m: Int = 8, subDim: Int = 8): Unit = {
+    val v = quantized(embeddings)
+    val subs = v
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+      .select("vec_id", "label", "s", "sub", "sub_nn")
+    val cb = subs.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("c_id"), col("s").as("c_s"),
+        col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
+    subs.join(broadcast(cb), col("s") === col("c_s"))
+      .withColumn("dist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
+      .groupBy("vec_id", "label", "s")
+      .agg(expr("min_by(c_id, struct(dist2, c_id))").as("code"))
+      .groupBy("vec_id", "label")
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
+        .as("codes"))
+      .withColumnRenamed("label", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** ADC-probe a [[writePqCodes]] layout for one query: the query's cell
+    * filter is a static partition predicate, the codes scan reads only
+    * (vec_id, codes), the per-query codeword distance table is an
+    * O(m·nCodes) broadcast, and only the adcTopK shortlist touches raw
+    * vectors for the exact rerank — the deployment read path of the PQ
+    * index. Returns exactly what [[annPq]] returns for the same query
+    * (PqLayoutSpec pins the equivalence). */
+  def probePqAdc(spark: SparkSession, path: String, embeddings: DataFrame,
+      queryId: Long, nCodes: Int = 16, m: Int = 8, subDim: Int = 8,
+      adcTopK: Int = 10, topK: Int = 5): DataFrame = {
+    val v = quantized(embeddings)
+    // query metadata: a 1-row control-plane lookup (cell + raw vector)
+    val qLabel = v.filter(col("vec_id") === queryId)
+      .select("label").collect()(0).getAs[Number](0).longValue()
+    val qsubs = v.filter(col("vec_id") === queryId || col("vec_id") < nCodes)
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+      .select("vec_id", "s", "sub", "sub_nn")
+      .persist() // feeds the codebook AND the query distance table
+    val cb = qsubs.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("c_id"), col("s").as("c_s"),
+        col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
+    val qd = qsubs.filter(col("vec_id") === queryId)
+      .join(broadcast(cb), col("s") === col("c_s"))
+      .withColumn("qdist2", expr("sub_nn - 2 * graft_dot_long(sub, c_sub) + c_nn"))
+      .select(col("c_s").as("q_s"), col("c_id").as("qcode"), col("qdist2"))
+    val codes = spark.read.parquet(path)
+      .filter(col("cell") === qLabel && col("vec_id") =!= queryId)
+      .selectExpr("vec_id", "posexplode(codes) AS (s, code)")
+    val cand = codes
+      .join(broadcast(qd), col("s") === col("q_s") && col("code") === col("qcode"))
+      .groupBy("vec_id").agg(sum("qdist2").as("adc_d2"))
+      .withColumn("query_id", lit(queryId))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("crn") <= adcTopK)
+      .select("query_id", "vec_id", "adc_d2")
+    val qfull = v.filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    cand.join(v.select("vec_id", "qv", "nn"), "vec_id")
+      .join(broadcast(qfull), "query_id")
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc_d2"), col("dot"), col("cos"))
+      .orderBy("rnk")
+  }
+
   /** Scored candidate pairs within a (label, LSH-bucket) cell — the ONE
     * definition of the near-dup candidate set, shared by [[dedupEmbedding]]
     * (rank-1 per vector, `ordered = false`) and [[nearPairs]] (each pair
