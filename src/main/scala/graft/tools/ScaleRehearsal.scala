@@ -320,6 +320,29 @@ object ScaleRehearsal {
     val ivfFilesProbe = filesRead(probeDf)
     val ivfFilesTotal = filesRead(layout)
 
+    // r8: the PQ codes layout under the same audit — partition-pruned
+    // probe over a codes-only scan (PqLayoutSpec proves the contracts at
+    // sf0.001; this re-measures the file pruning at the 10× corpus)
+    val pqDir = s"$vecDir/pq_codes"
+    val embFrame = spark.read.parquet(s"$vecDir/embeddings.parquet")
+    graft.data.VectorOps.writePqCodes(embFrame, pqDir)
+    val pqLayout = spark.read.parquet(pqDir)
+    val pqQid = embFrame.filter(col("vec_id") % 50 === 0)
+      .agg(org.apache.spark.sql.functions.min("vec_id")).collect()(0).getLong(0)
+    val pqProbe = graft.data.VectorOps.probePqAdc(spark, pqDir, embFrame, pqQid)
+    // unlike probeCell, the ADC probe also scans the embeddings frame
+    // (codebook + query + exact rerank) — count only the LAYOUT's scans,
+    // which are the files the partition filter is supposed to prune
+    def filesReadFrom(df: org.apache.spark.sql.DataFrame, dir: String): Long = {
+      execute(df)
+      walk(df.queryExecution.executedPlan)
+        .filter(_.children.isEmpty)
+        .filter(p => p.metrics.contains("numFiles") && p.toString.contains(dir))
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    val pqFilesProbe = filesReadFrom(pqProbe, pqDir)
+    val pqFilesTotal = filesRead(pqLayout)
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relBcast = relResults.map { case (k, _, _, bs) =>
@@ -332,7 +355,8 @@ object ScaleRehearsal {
       vecResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
       // an unpruned probe is the vector family's scale-killer: the layout
       // exists precisely so a probe never scans the whole corpus
-      (if (ivfFilesProbe >= ivfFilesTotal) Seq("ivf:probe_unpruned") else Nil)
+      (if (ivfFilesProbe >= ivfFilesTotal) Seq("ivf:probe_unpruned") else Nil) ++
+      (if (pqFilesProbe >= pqFilesTotal) Seq("pq:probe_unpruned") else Nil)
     val unmeasured = (relResults ++ vecResults).flatMap { case (k, _, _, bs) =>
       if (bs.contains(-1L)) Seq(k) else Nil
     }
@@ -367,6 +391,7 @@ object ScaleRehearsal {
             "\"" + k + "\":[" + bs.mkString(",") + "]"
           }.mkString("{", ",", "}")},""" +
         s""""ivf_files_probe":$ivfFilesProbe,"ivf_files_total":$ivfFilesTotal,""" +
+        s""""pq_files_probe":$pqFilesProbe,"pq_files_total":$pqFilesTotal,""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

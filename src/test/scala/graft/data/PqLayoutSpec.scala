@@ -61,9 +61,17 @@ class PqLayoutSpec extends AnyFunSuite {
     val planStr = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(planStr).isDefined,
       "probe scan carries no partition filter on cell:\n" + planStr.take(1500))
-    // 1b. strictly fewer files opened than the full layout holds
-    assert(filesRead(probe) < filesRead(layout),
-      s"probe read ${filesRead(probe)} of ${filesRead(layout)} files — no pruning")
+    // 1b. strictly fewer LAYOUT files opened than the layout holds — the
+    // probe also scans the embeddings frame (codebook/query/rerank), so
+    // count only scans of the layout directory
+    def layoutFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      leaves(df)
+        .filter(p => p.metrics.contains("numFiles") && p.toString.contains(dir))
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    assert(layoutFiles(probe) < layoutFiles(layout),
+      s"probe read ${layoutFiles(probe)} of ${layoutFiles(layout)} layout files — no pruning")
 
     // 2. the layout scans inside the probe read ONLY codes columns — no
     // raw-vector column leaks into the storage read path (the embeddings
