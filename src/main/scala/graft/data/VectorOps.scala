@@ -848,6 +848,19 @@ object VectorOps {
     rankTopK(q.join(assigned, col("vec_id") =!= col("query_id")), topK)
   }
 
+  /** The s7/s13 codebook (the first nCodes vectors' sub-vectors)
+    * collected as driver-side literals for the streaming monitor
+    * ([[graft.streaming.StreamingAnalytics.pqIngestMonitor]]) — an
+    * O(m·nCodes) control-plane collect, same class as
+    * [[convergedCentroids]]. */
+  def pqCodebookLiterals(embeddings: DataFrame, nCodes: Int = 16,
+      m: Int = 8, subDim: Int = 8): Seq[(Int, Long, Seq[Long])] =
+    quantized(embeddings).filter(col("vec_id") < nCodes)
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+      .select("s", "vec_id", "sub")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
+
   /** Write-time PQ codes layout — the storage half of s7's scale claim
     * that at 100 TB "the scan reads codes, never floats": one row per
     * vector, (vec_id, codes) with the m sub-space codeword ids in

@@ -297,6 +297,51 @@ object StreamingAnalytics {
         expr("CAST(s_d2 AS DOUBLE) / n").as("mean_d2"))
   }
 
+  /** Streaming PQ code-occupancy monitor — the continuous form of s13's
+    * codebook-health audit ([[graft.data.VectorOps.pqHealth]]): the
+    * trained codebook becomes plan-time literals
+    * ([[graft.data.VectorOps.pqCodebookLiterals]], m·nCodes·subDim longs
+    * — the [[ivfIngestMonitor]] discipline), so encoding the ingest
+    * stream is a narrow codegen'd projection — per sub-space, argmin
+    * over the codeword alternatives via array_sort of (d2, c_id) structs
+    * (ties to the smallest c_id, exactly s13's min_by order), no join,
+    * no shuffle before the ONE watermarked windowed aggregation, whose
+    * state is m·nCodes·windows rows. A codeword whose occupancy share
+    * collapses (or error grows) ON INGEST is the retrain signal observed
+    * continuously. Distances are exact BIGINT; the mean is one terminal
+    * IEEE division, so per-window cells equal the batch audit's. */
+  def pqIngestMonitor(embeddings: DataFrame,
+      codebook: Seq[(Int, Long, Seq[Long])],
+      m: Int = 8, subDim: Int = 8,
+      windowLength: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val perSub = (0 until m).map { s =>
+      val alts = codebook.filter(_._1 == s).sortBy(_._2).map { case (_, cId, csub) =>
+        val arr = csub.mkString(", ")
+        val cnn = csub.map(x => x * x).sum
+        s"struct(sn$s - 2 * graft_dot_long(sub$s, CAST(array($arr) AS ARRAY<BIGINT>)) + ${cnn}L AS d2, ${cId}L AS c)"
+      }.mkString(", ")
+      s"struct($s AS s, array_sort(array($alts))[0] AS best)"
+    }.mkString(", ")
+    val sliced = (0 until m).foldLeft(
+      embeddings.withColumn("qv",
+        expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))) {
+      (d, s) =>
+        d.withColumn(s"sub$s", expr(s"slice(qv, ${s * subDim + 1}, $subDim)"))
+          .withColumn(s"sn$s", expr(s"graft_dot_long(sub$s, sub$s)"))
+    }
+    sliced
+      .withColumn("e", explode(expr(s"array($perSub)")))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"),
+        col("e.s").as("s"), col("e.best.c").as("code"))
+      .agg(count(lit(1)).as("n"), sum("e.best.d2").as("s_d2"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("s"), col("code"), col("n"),
+        expr("CAST(s_d2 AS DOUBLE) / n").as("mean_d2"))
+  }
+
   final case class DocTok(doc_id: Long, source: String, n_tokens: Long, ts_us: Long)
   final case class BudgetState(used: Long)
   final case class Admission(doc_id: Long, source: String, n_tokens: Long,

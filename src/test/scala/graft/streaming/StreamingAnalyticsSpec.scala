@@ -203,6 +203,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming PQ code monitor matches the batch codebook audit per (subspace, code)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.data.VectorOps.pqCodebookLiterals(emb)
+    assert(cb.length == 8 * 16, "full codebook collected")
+
+    // stream the embeddings in with synthetic event times, one window
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, e) => (id, e, T0 + id * 1000L) }
+    val input = MemoryStream[(Long, Seq[Float], Long)]
+    val q = StreamingAnalytics.pqIngestMonitor(
+        input.toDF().toDF("vec_id", "embedding", "ts_us"), cb,
+        windowLength = "60 minutes")
+      .writeStream.format("memory").queryName("pqmon").outputMode("complete").start()
+    input.addData(rows)
+    q.processAllAvailable()
+
+    val streaming = spark.table("pqmon")
+      .select("s", "code", "n", "mean_d2").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // batch reference: s13's audit over the same corpus and codebook —
+    // occupied cells must agree in BOTH count and (integer-exact) mean
+    val batch = graft.data.VectorOps.pqHealth(emb)
+      .filter(col("n_assigned") > 0)
+      .select("s", "code", "n_assigned", "mean_d2").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streaming == batch,
+      s"streaming per-(s,code) cells diverged from batch pqHealth:\n" +
+        s"only-streaming=${(streaming.keySet -- batch.keySet).take(5)}\n" +
+        s"only-batch=${(batch.keySet -- streaming.keySet).take(5)}")
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
