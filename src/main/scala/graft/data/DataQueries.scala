@@ -85,6 +85,7 @@ object DataQueries {
     "s13_pq_health" -> embs(VectorOps.pqHealth(_)),
     "x41_mixture_expand" ->
       docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
+    "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -1923,6 +1924,34 @@ ORDER BY g.s, g.code"""),
       FROM cum c JOIN planx p USING (source)
       WHERE c.cum_before < p.rem_s
       ORDER BY doc_id, epoch""",
+    // x42: d3's verified pair set labeled with both ends' sources,
+    // rolled up per canonical (source, source) cell
+    "x42_cross_source_dups" -> (docProlog + """
+      , dup AS (
+        SELECT c.doc_a, c.doc_b
+        FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jac >= 0.5
+      ), labx AS (
+        SELECT p.doc_a, p.doc_b,
+               least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b
+        FROM dup p JOIN documents da ON p.doc_a = da.doc_id
+                   JOIN documents db ON p.doc_b = db.doc_id
+      ), px AS (
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM labx GROUP BY 1, 2
+      ), ex AS (
+        SELECT src_a, src_b, doc_a AS d FROM labx
+        UNION ALL
+        SELECT src_a, src_b, doc_b AS d FROM labx
+      ), dx AS (
+        SELECT src_a, src_b, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        FROM ex GROUP BY 1, 2
+      )
+      SELECT p.src_a, p.src_b, p.n_pairs, dd.n_docs,
+             p.src_a <> p.src_b AS is_cross
+      FROM px p JOIN dx dd USING (src_a, src_b)
+      ORDER BY src_a, src_b"""),
     "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
     "x37_perceptron_filter" -> perceptronSql(buckets = 64, rounds = 16),
     "x38_data_card" -> s"""

@@ -918,6 +918,38 @@ object TextOps {
     SharedFrames.memo(documents, s"lsh-dup-pairs@$threshold")(
       dedupMinhashLsh(documents, threshold))
 
+  /** x42 — the inter-source duplication matrix: per (source, source)
+    * pair, how many near-duplicate pairs span them and how many distinct
+    * documents they touch — the provenance report a data card publishes
+    * (which feeds mirror which: a high cross-source cell means one crawl
+    * re-ingests another's content; the diagonal is within-source
+    * duplication). Pairs come from the memoized d3 artifact
+    * ([[lshDupPairs]]), so the shingle→minhash→band pipeline is never
+    * re-run; source attachment is two doc_id-keyed hash joins (pair-set
+    * sized, AQE-planned), and the rollup is ≤ #sources² groups — the
+    * output is catalog-sized at any corpus scale. `is_cross` separates
+    * mirror-contamination cells from self-duplication. */
+  def crossSourceDups(documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    val lab = lshDupPairs(documents).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .withColumn("src_a", least(col("sa"), col("sb")))
+      .withColumn("src_b", greatest(col("sa"), col("sb")))
+      .persist() // feeds the pair count AND the distinct-doc rollup
+    val pairCounts = lab.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = lab
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("src_a", "src_b")
+      .agg(countDistinct("d").as("n_docs"))
+    pairCounts.join(docCounts, Seq("src_a", "src_b"))
+      .withColumn("is_cross", col("src_a") =!= col("src_b"))
+      .select("src_a", "src_b", "n_pairs", "n_docs", "is_cross")
+      .orderBy("src_a", "src_b")
+  }
+
   /** d6's cluster labels as a pay-once shared artifact (d9 re-consumes
     * them): connected components over [[lshDupPairs]], UNordered — the
     * oracle-facing [[dedupClusters]] adds the deterministic sort. */
