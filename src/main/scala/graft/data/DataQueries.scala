@@ -86,6 +86,7 @@ object DataQueries {
     "x41_mixture_expand" ->
       docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
+    "x43_dedup_mixture" -> docs(TextOps.dedupMixture),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -1924,6 +1925,61 @@ ORDER BY g.s, g.code"""),
       FROM cum c JOIN planx p USING (source)
       WHERE c.cum_before < p.rem_s
       ORDER BY doc_id, epoch""",
+    // x43: d6's recursive closure elects one keeper per cluster (min
+    // doc_id); the x17 weight formula runs over raw and kept tokens side
+    // by side — all integer-quantized, so the doubles agree bitwise
+    "x43_dedup_mixture" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + """
+      , e0 AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jac >= 0.5
+      ), e AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+      ), walk(n, m) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a
+      ), comp AS (
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM walk GROUP BY n
+      ), lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      ), keep AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM lab GROUP BY cluster_id
+      ), tk AS (
+        SELECT d.doc_id, d.source,
+               CAST(list_sum(list_transform(string_split(d.text, ' '),
+                 w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+        FROM documents d
+      ), rawx AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(bpe_tokens) AS BIGINT) AS tokens_raw
+        FROM tk GROUP BY source
+      ), keptx AS (
+        SELECT t.source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(t.bpe_tokens) AS BIGINT) AS tokens_kept
+        FROM tk t JOIN keep k ON t.doc_id = k.doc_id GROUP BY t.source
+      ), jx AS (
+        SELECT r.source, r.n_raw, r.tokens_raw,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+        FROM rawx r LEFT JOIN keptx k ON r.source = k.source
+      ), wx AS (
+        SELECT *,
+               CAST(floor(sqrt(CAST(tokens_raw AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_raw,
+               CAST(floor(sqrt(CAST(tokens_kept AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_kept
+        FROM jx
+      ), totx AS (
+        SELECT CAST(sum(w_raw) AS BIGINT) AS wt_raw,
+               CAST(sum(w_kept) AS BIGINT) AS wt_kept
+        FROM wx
+      )
+      SELECT source, n_raw, tokens_raw, n_kept, tokens_kept,
+        CAST(tokens_raw - tokens_kept AS DOUBLE) / tokens_raw AS dup_frac,
+        CAST(w_raw AS DOUBLE) / wt_raw AS p_raw,
+        CAST(w_kept AS DOUBLE) / wt_kept AS p_kept,
+        CAST(w_kept AS DOUBLE) / wt_kept - CAST(w_raw AS DOUBLE) / wt_raw AS p_shift
+      FROM wx, totx ORDER BY source"""),
     // x42: d3's verified pair set labeled with both ends' sources,
     // rolled up per canonical (source, source) cell
     "x42_cross_source_dups" -> (docProlog + """

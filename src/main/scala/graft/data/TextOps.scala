@@ -950,6 +950,57 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** x43 — dedup-adjusted mixture weights: x17's temperature formula
+    * computed on the POST-dedup corpus (one keeper per d6 cluster, the
+    * min-doc_id rule d1/x18 use) next to the raw-corpus weights — the
+    * "dedup before you weight" report: a source inflated by internal or
+    * mirrored duplicates gets a large raw weight that collapses once
+    * near-dups are removed, and `p_kept − p_raw` is exactly the mixture
+    * correction dedup buys. All integer-quantized weights (the x17
+    * discipline), so every double is a division/difference of identical
+    * exact integers.
+    *
+    * Shape: tokens are computed in ONE corpus scan shared by the raw and
+    * kept aggregates (persisted); keepers come from the memoized cluster
+    * labels (the band pipeline never re-runs); the rollups are
+    * O(#sources), the totals two 1-row broadcasts. A source whose every
+    * document lost its cluster election keeps a row (LEFT join,
+    * zero-coalesced) — dup_frac 1.0 is the report's loudest signal. */
+  def dedupMixture(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .withColumn("bpe_tokens", expr(
+        """aggregate(transform(split(text, ' '),
+             w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT)),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .select("doc_id", "source", "bpe_tokens")
+      .persist() // raw AND kept aggregates share the tokenizing scan
+    val keepers = clusterLabels(documents)
+      .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+    val raw = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_raw"), sum("bpe_tokens").as("tokens_raw"))
+    val kept = toks.join(keepers.select("doc_id"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("bpe_tokens").as("tokens_kept"))
+    val joined = raw.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("tokens_kept", coalesce(col("tokens_kept"), lit(0L)))
+      .withColumn("w_raw", expr(
+        "CAST(floor(sqrt(CAST(tokens_raw AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+      .withColumn("w_kept", expr(
+        "CAST(floor(sqrt(CAST(tokens_kept AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+    val tot = joined.agg(sum("w_raw").as("wt_raw"), sum("w_kept").as("wt_kept"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("dup_frac", expr(
+        "CAST(tokens_raw - tokens_kept AS DOUBLE) / tokens_raw"))
+      .withColumn("p_raw", expr("CAST(w_raw AS DOUBLE) / wt_raw"))
+      .withColumn("p_kept", expr("CAST(w_kept AS DOUBLE) / wt_kept"))
+      .withColumn("p_shift", expr(
+        "CAST(w_kept AS DOUBLE) / wt_kept - CAST(w_raw AS DOUBLE) / wt_raw"))
+      .select("source", "n_raw", "tokens_raw", "n_kept", "tokens_kept",
+        "dup_frac", "p_raw", "p_kept", "p_shift")
+      .orderBy("source")
+  }
+
   /** d6's cluster labels as a pay-once shared artifact (d9 re-consumes
     * them): connected components over [[lshDupPairs]], UNordered — the
     * oracle-facing [[dedupClusters]] adds the deterministic sort. */
