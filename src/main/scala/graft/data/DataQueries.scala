@@ -83,6 +83,8 @@ object DataQueries {
     "s11_ann_imi" -> embs(VectorOps.annImi(_)),
     "s12_ann_recall" -> embs(VectorOps.annRecall(_)),
     "s13_pq_health" -> embs(VectorOps.pqHealth(_)),
+    "s14_ann_filtered" -> ((spark, sfDir) => VectorOps.annIvfFiltered(
+      Tables.embeddings(spark, sfDir), Tables.documents(spark, sfDir))),
     "x41_mixture_expand" ->
       docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
@@ -1575,6 +1577,40 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
   FROM s8m
 )
 SELECT query_id, neighbor_id, rnk, dot, cos, cell FROM r8m
+WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+    // filtered ANN: the s8 multiprobe chain with a PER-QUERY metadata
+    // constraint — candidates must share the query's document language
+    // (vec_id = doc_id metadata join); same integer algebra, same probe
+    // and rank tie orders as s8
+    "s14_ann_filtered" -> (vecProlog + s"""
+, c14 AS (
+  SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4
+), a14p AS (
+  SELECT v.vec_id, v.qv, v.nn, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           v.nn - 2 * ${pairDot("v", "c")} + c.c_nn, c.c_id) AS rn
+  FROM qn v, c14 c
+), a14 AS (
+  SELECT p.vec_id, p.qv, p.nn, p.c_id AS cell, d.lang
+  FROM a14p p JOIN documents d ON p.vec_id = d.doc_id WHERE p.rn = 1
+), q14 AS (
+  SELECT p.vec_id AS query_id, p.qv, p.nn, p.c_id AS cell, d.lang AS q_lang
+  FROM a14p p JOIN documents d ON p.vec_id = d.doc_id
+  WHERE p.vec_id % 50 = 0 AND p.rn <= 2
+), p14 AS (
+  SELECT q.query_id, q.q_lang, b.vec_id AS neighbor_id, b.cell,
+         ${pairDot("q", "b")} AS dot, q.nn AS na, b.nn AS nb
+  FROM q14 q JOIN a14 b
+    ON q.cell = b.cell AND q.q_lang = b.lang AND b.vec_id <> q.query_id
+), s14 AS (
+  SELECT query_id, q_lang, neighbor_id, cell, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM p14
+), r14 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM s14
+)
+SELECT query_id, q_lang, neighbor_id, rnk, dot, cos, cell FROM r14
 WHERE rnk <= 3 ORDER BY query_id, rnk"""),
     "s5_ann_int8" -> (vecProlog + s"""
 , e8r AS (

@@ -519,6 +519,60 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s14 — metadata-filtered ANN (the FAISS `IDSelector` / filtered-
+    * search shape every production vector store exposes): each query
+    * retrieves only candidates whose document metadata satisfies a
+    * PER-QUERY constraint — here "same language as the query", the
+    * retrieve-in-my-language rule of multilingual RAG/hard-negative
+    * mining — on top of the trained multi-probe IVF chain (s8).
+    *
+    * The constraint joins INTO the candidate join key: candidates hash
+    * on (cell, lang) instead of (cell), so filtering NARROWS the shuffle
+    * and the per-query scan instead of post-filtering a wider result —
+    * the pre-filter strategy. The known filtered-search hazard is its
+    * recall cliff: a selective predicate can leave a probed cell nearly
+    * empty, and the recovery knob is `nProbe` widening (spec-pinned:
+    * full probes + the filter ≡ brute force over the filtered corpus).
+    * At 100 TB over a [[writeCellPartitioned]] layout, (cell, lang) is a
+    * two-level partition directory and the probe prunes BOTH levels
+    * statically. Metadata arrives by an AQE-sized `vec_id = doc_id` hash
+    * join (embeddings derive from documents, so the join is total at the
+    * gates; orphaned vectors drop with the inner join — a filtered
+    * search over vectors without metadata has no defined answer). */
+  def annIvfFiltered(embeddings: DataFrame, documents: DataFrame,
+      k: Int = 0, everyNth: Int = 50, nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    val kk = if (k > 0) k else autoCells(embeddings)
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < kk)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val meta = documents.select(col("doc_id").as("vec_id"), col("lang"))
+    val assigned = assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
+      .join(meta, "vec_id")
+    val probes = v.filter(col("vec_id") % everyNth === 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("c_id").as("cell"))
+      .join(meta.select(col("vec_id").as("query_id"), col("lang").as("q_lang")),
+        "query_id")
+    probes.join(assigned,
+        probes("cell") === assigned("cell") && col("q_lang") === col("lang") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("q_lang"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("dot"), col("cos"), assigned("cell"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Half-space cell count for [[annImi]]: the inverted multi-index
     * spans kHalf² product cells, so kHalf = ceil(sqrt(n/target)) holds
     * ~[[AnnCellTarget]] vectors per NON-EMPTY cell as the corpus grows

@@ -76,6 +76,42 @@ class VectorOpsSpec extends AnyFunSuite {
       "default nProbe must actually prune the scan")
   }
 
+  test("annIvfFiltered: full probes degenerate to brute force over the same-lang corpus; the filter binds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
+    // full-probe filtered search must equal a brute-force ranking over
+    // the query's same-language candidates — filtered recall loss comes
+    // ONLY from probe pruning, never from the constraint plumbing
+    val full = VectorOps.annIvfFiltered(e, d, k = 4, everyNth = 7, nProbe = 4)
+      .select("query_id", "neighbor_id", "rnk").collect().toSeq
+    val v = VectorOps.quantized(e)
+      .join(d.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+    val q = v.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("lang").as("q_lang"))
+    val brute = q.join(v, col("q_lang") === col("lang") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(
+        "CAST(graft_dot_long(q_qv, qv) AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(full == brute, "full-probe filtered ANN must equal the filtered brute force")
+    // the constraint binds: every neighbor shares its query's language
+    val out = VectorOps.annIvfFiltered(e, d, everyNth = 7)
+    val mism = out
+      .join(d.select(col("doc_id").as("query_id"), col("lang").as("ql")), "query_id")
+      .join(d.select(col("doc_id").as("neighbor_id"), col("lang").as("nl")), "neighbor_id")
+      .filter(col("ql") =!= col("nl")).count()
+    assert(mism == 0, "every retrieved neighbor must satisfy the query's language constraint")
+    // and the default probe budget genuinely prunes vs the full probe
+    assert(out.select("query_id", "neighbor_id", "rnk").collect().toSeq != full,
+      "default nProbe must actually prune the filtered scan")
+  }
+
   test("ADC query batching is result-invariant: s7/s9 batched == unbatched") {
     // the batch loop must be a pure partition of the query set — every
     // per-query window rank is batch-local, so any batch count yields the
