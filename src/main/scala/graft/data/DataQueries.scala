@@ -85,6 +85,7 @@ object DataQueries {
     "s13_pq_health" -> embs(VectorOps.pqHealth(_)),
     "s14_ann_filtered" -> ((spark, sfDir) => VectorOps.annIvfFiltered(
       Tables.embeddings(spark, sfDir), Tables.documents(spark, sfDir))),
+    "s15_hard_negatives" -> embs(VectorOps.hardNegatives(_)),
     "x41_mixture_expand" ->
       docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
@@ -1612,6 +1613,41 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
 )
 SELECT query_id, q_lang, neighbor_id, rnk, dot, cos, cell FROM r14
 WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+    // hard negatives: the s8 chain with the probe window SHIFTED one rank
+    // (rn 2..3) — rank 1 IS the anchor's assignment cell, so candidates
+    // are exactly the out-of-cluster vectors and the anchor can never
+    // meet itself
+    "s15_hard_negatives" -> (vecProlog + s"""
+, c15 AS (
+  SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4
+), a15p AS (
+  SELECT v.vec_id, v.qv, v.nn, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           v.nn - 2 * ${pairDot("v", "c")} + c.c_nn, c.c_id) AS rn
+  FROM qn v, c15 c
+), a15 AS (
+  SELECT vec_id, qv, nn, c_id AS cell FROM a15p WHERE rn = 1
+), q15 AS (
+  SELECT vec_id AS query_id, qv, nn, c_id AS cell
+  FROM a15p WHERE vec_id % 50 = 0 AND rn BETWEEN 2 AND 3
+), qc15 AS (
+  SELECT vec_id AS query_id, c_id AS q_cell FROM a15p
+  WHERE vec_id % 50 = 0 AND rn = 1
+), p15 AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, b.cell,
+         ${pairDot("q", "b")} AS dot, q.nn AS na, b.nn AS nb
+  FROM q15 q JOIN a15 b ON q.cell = b.cell
+), s15 AS (
+  SELECT query_id, neighbor_id, cell, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+  FROM p15
+), r15 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM s15
+)
+SELECT r.query_id, qc.q_cell, r.neighbor_id, r.rnk, r.dot, r.cos, r.cell
+FROM r15 r JOIN qc15 qc ON r.query_id = qc.query_id
+WHERE r.rnk <= 3 ORDER BY r.query_id, r.rnk"""),
     "s5_ann_int8" -> (vecProlog + s"""
 , e8r AS (
   SELECT vec_id, embedding,

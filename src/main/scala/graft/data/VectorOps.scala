@@ -573,6 +573,56 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s15 — hard-negative mining for contrastive/retriever training (the
+    * ANN-mined negatives of ANCE, Xiong et al. 2020, and DPR's BM25/ANN
+    * negatives, Karpukhin et al. 2020): for each anchor, the top-k MOST
+    * similar vectors that live OUTSIDE the anchor's own semantic cluster
+    * — similar enough to be hard, cross-cluster so they are unlikely
+    * unlabeled positives (the cluster-exclusion denoising proxy;
+    * RocketQA filters the same false-negative hazard with a scorer).
+    *
+    * Shape: s8's trained multi-probe chain with the probe WINDOW SHIFTED
+    * one rank — probes are the anchor's nProbe nearest cells EXCLUDING
+    * rank 1, which is exactly its assignment cell (assignment and probe
+    * ranking share the (dist2, c_id) order), so no candidate self-join
+    * filter is needed at all: the anchor cannot meet itself. Candidate
+    * cost is nProbe·cellTarget per anchor regardless of corpus size
+    * (auto-k), the mined set is O(#anchors · topK), and over a
+    * [[writeCellPartitioned]] layout the shifted probe list is the same
+    * static `cell IN (...)` partition filter — mining cost equals search
+    * cost. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
+      nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    val kk = if (k > 0) k else autoCells(embeddings)
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < kk)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val assigned = assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
+    val ranked = v.filter(col("vec_id") % everyNth === 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+    val probes = ranked.filter(col("prn") > 1 && col("prn") <= nProbe + 1)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("c_id").as("cell"))
+    val anchorCell = ranked.filter(col("prn") === 1)
+      .select(col("vec_id").as("query_id"), col("c_id").as("q_cell"))
+    probes.join(assigned, "cell")
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rnk") <= topK)
+      // anchor-cell join is O(#anchors): AQE-sized, not hinted
+      .join(anchorCell, "query_id")
+      .select(col("query_id"), col("q_cell"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("dot"), col("cos"), col("cell"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Half-space cell count for [[annImi]]: the inverted multi-index
     * spans kHalf² product cells, so kHalf = ceil(sqrt(n/target)) holds
     * ~[[AnnCellTarget]] vectors per NON-EMPTY cell as the corpus grows

@@ -112,6 +112,44 @@ class VectorOpsSpec extends AnyFunSuite {
       "default nProbe must actually prune the filtered scan")
   }
 
+  test("hardNegatives: every negative is out-of-cluster; full shifted probes equal out-of-cluster brute force") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+    // (1) the exclusion binds structurally: no mined negative shares the
+    // anchor's assignment cell
+    val out = VectorOps.hardNegatives(e, k = 4, everyNth = 7)
+    assert(out.filter(col("q_cell") === col("cell")).count() == 0,
+      "a hard negative must never come from the anchor's own cluster")
+    assert(out.count() > 0, "the miner must produce negatives at this scale")
+    // (2) probing ALL other cells (nProbe = k-1) degenerates to brute
+    // force over the out-of-cluster candidate set — mining loss comes
+    // ONLY from probe pruning
+    val full = VectorOps.hardNegatives(e, k = 4, everyNth = 7, nProbe = 3)
+      .select("query_id", "neighbor_id", "rnk").collect().toSeq
+    val v = VectorOps.quantized(e)
+    val cent = v.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val asg = v.crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nn"), col("c_id").as("cell"))
+    val q = asg.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("cell").as("q_cell"))
+    val brute = q.join(asg, col("q_cell") =!= col("cell"))
+      .withColumn("cos", expr(
+        "CAST(graft_dot_long(q_qv, qv) AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(full == brute, "full shifted probes must equal out-of-cluster brute force")
+  }
+
   test("ADC query batching is result-invariant: s7/s9 batched == unbatched") {
     // the batch loop must be a pure partition of the query set — every
     // per-query window rank is batch-local, so any batch count yields the
