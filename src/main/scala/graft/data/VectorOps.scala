@@ -952,6 +952,44 @@ object VectorOps {
     rankTopK(q.join(assigned, col("vec_id") =!= col("query_id")), topK)
   }
 
+  /** Two-level filtered-search layout — the storage form of
+    * [[annIvfFiltered]]'s scale claim that "(cell, lang) is a two-level
+    * partition directory and the probe prunes BOTH levels statically":
+    * vectors write under `cell=<coarse cell>/lang=<metadata>/`, so a
+    * filtered probe is parquet partition pruning on the probe list AND
+    * the constraint value — the metadata filter costs file listing, not
+    * scan bandwidth. Directory fan-out is #cells × #langs; at 100 TB the
+    * second level holds low-cardinality constraint columns only
+    * (language, license, modality — the columns filtered searches
+    * actually constrain on), exactly like Hive partition design. */
+  def writeCellLangPartitioned(embeddings: DataFrame, documents: DataFrame,
+      path: String, k: Int = 4): Unit = {
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
+      .join(documents.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      .write.mode("overwrite").partitionBy("cell", "lang").parquet(path)
+  }
+
+  /** Probe a [[writeCellLangPartitioned]] layout: `cell IN (...)` and
+    * `lang = <constraint>` are BOTH static partition filters, so the scan
+    * opens only the probed cells' constraint-language subdirectories
+    * (`FilteredLayoutSpec` asserts the two-level pruning and
+    * answer-equality with the in-memory [[annIvfFiltered]] chain).
+    * `cells` must contain the query's own cell and `lang` the query's
+    * own language — true by construction for a same-language filtered
+    * probe list. */
+  def probeCellLang(spark: SparkSession, path: String, cells: Seq[Long],
+      lang: String, queryId: Long, topK: Int = 3): DataFrame = {
+    val assigned = spark.read.parquet(path)
+      .filter(col("cell").isInCollection(cells) && col("lang") === lang)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    rankTopK(q.join(assigned, col("vec_id") =!= col("query_id")), topK)
+  }
+
   /** The s7/s13 codebook (the first nCodes vectors' sub-vectors)
     * collected as driver-side literals for the streaming monitor
     * ([[graft.streaming.StreamingAnalytics.pqIngestMonitor]]) — an
