@@ -263,7 +263,7 @@ object ScaleRehearsal {
     val V_OFF = 10000000L
     val vecDir = s"$workDir/vec"
     val vecMeta = s"$workDir/vec_meta.txt"
-    val vecFp = s"src=$src copies=$vecCopies"
+    val vecFp = s"src=$src copies=$vecCopies docs=1"
     if (!sliceIsCurrent(vecMeta, vecFp)) {
       new java.io.File(vecDir).mkdirs()
       val emb = Tables.embeddings(spark, src)
@@ -271,6 +271,13 @@ object ScaleRehearsal {
         emb.withColumn("vec_id", col("vec_id") + lit(i * V_OFF))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$vecDir/embeddings.parquet")
+      // s14's metadata side: documents shift doc_id in lockstep with
+      // vec_id so the vec_id = doc_id metadata join stays total at 10×
+      val docsSrc = Tables.documents(spark, src)
+      (0 until vecCopies).map { i =>
+        docsSrc.withColumn("doc_id", col("doc_id") + lit(i * V_OFF))
+      }.reduce(_ unionByName _)
+        .repartition(8).write.mode("overwrite").parquet(s"$vecDir/documents.parquet")
       commitSlice(vecMeta, vecFp)
     }
     val nVecs = spark.read.parquet(s"$vecDir/embeddings.parquet").count()
@@ -292,6 +299,11 @@ object ScaleRehearsal {
       // O(Q·N) by definition and runs sampled in production): the codebook
       // audit must stay cheap at any corpus size for retrain monitoring
       "s13_pq_health" -> (() => SparkEntry.queries("s13_pq_health")(spark, vecDir)),
+      // r8: filtered search and hard-negative mining at registry defaults
+      // (auto-k) — the filtered probe's (cell, lang) join key and the
+      // shifted probe window must hold their shapes as the corpus grows
+      "s14_ann_filtered" -> (() => SparkEntry.queries("s14_ann_filtered")(spark, vecDir)),
+      "s15_hard_negatives" -> (() => SparkEntry.queries("s15_hard_negatives")(spark, vecDir)),
       "d12_semdedup_autok" -> (() => graft.data.VectorOps.semDedup(
         Tables.embeddings(spark, vecDir), maxIter = 8)))
     val vecResults = vecRuns.map { case (name, mk) =>
@@ -343,6 +355,25 @@ object ScaleRehearsal {
     val pqFilesProbe = filesReadFrom(pqProbe, pqDir)
     val pqFilesTotal = filesRead(pqLayout)
 
+    // r8: the two-level (cell, lang) filtered layout under the same
+    // audit — the lang level must prune beyond what the cell level
+    // already does (FilteredLayoutSpec proves it at sf0.001; this
+    // re-measures the file counts at the 10× corpus)
+    val flDir = s"$vecDir/ivf_cell_lang"
+    graft.data.VectorOps.writeCellLangPartitioned(
+      spark.read.parquet(s"$vecDir/embeddings.parquet"),
+      spark.read.parquet(s"$vecDir/documents.parquet"), flDir, k = 4)
+    val flLayout = spark.read.parquet(flDir)
+    val flRow = flLayout.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "cell", "lang").orderBy("vec_id").limit(1).collect()(0)
+    val flProbe = graft.data.VectorOps.probeCellLang(spark, flDir,
+      Seq(flRow.getAs[Number]("cell").longValue()), flRow.getString(2),
+      flRow.getLong(0))
+    val flFilesProbe = filesRead(flProbe)
+    val flFilesCellOnly = filesRead(
+      flLayout.filter(col("cell") === flRow.getAs[Number]("cell").longValue()))
+    val flFilesTotal = filesRead(flLayout)
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relBcast = relResults.map { case (k, _, _, bs) =>
@@ -356,7 +387,11 @@ object ScaleRehearsal {
       // an unpruned probe is the vector family's scale-killer: the layout
       // exists precisely so a probe never scans the whole corpus
       (if (ivfFilesProbe >= ivfFilesTotal) Seq("ivf:probe_unpruned") else Nil) ++
-      (if (pqFilesProbe >= pqFilesTotal) Seq("pq:probe_unpruned") else Nil)
+      (if (pqFilesProbe >= pqFilesTotal) Seq("pq:probe_unpruned") else Nil) ++
+      // the second partition level must pay for itself: a (cell, lang)
+      // probe opens strictly fewer files than the cell alone
+      (if (flFilesProbe >= flFilesCellOnly || flFilesCellOnly >= flFilesTotal)
+        Seq("ivf_lang:probe_unpruned") else Nil)
     val unmeasured = (relResults ++ vecResults).flatMap { case (k, _, _, bs) =>
       if (bs.contains(-1L)) Seq(k) else Nil
     }
@@ -392,6 +427,9 @@ object ScaleRehearsal {
           }.mkString("{", ",", "}")},""" +
         s""""ivf_files_probe":$ivfFilesProbe,"ivf_files_total":$ivfFilesTotal,""" +
         s""""pq_files_probe":$pqFilesProbe,"pq_files_total":$pqFilesTotal,""" +
+        s""""ivf_lang_files_probe":$flFilesProbe,""" +
+        s""""ivf_lang_files_cell_only":$flFilesCellOnly,""" +
+        s""""ivf_lang_files_total":$flFilesTotal,""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
