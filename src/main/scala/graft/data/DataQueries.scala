@@ -34,6 +34,7 @@ object DataQueries {
     "d10_minhash_calibration" -> docs(TextOps.minhashCalibration(_)),
     "d11_dedup_incremental" -> docs(TextOps.dedupIncremental(_)),
     "d12_semdedup" -> embs(VectorOps.semDedup(_)),
+    "d14_semdedup_incremental" -> embs(VectorOps.semDedupIncremental(_)),
     "d13_pagerank_neardup" -> docs(TextOps.pageRankNearDup(_)),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
@@ -207,7 +208,7 @@ WITH qe AS (
     * side stops at the exact fixpoint and every post-fixpoint round is the
     * identity, unconditionally unrolling `maxIter` rounds here lands on
     * the same table. */
-  private def kmeansRoundSql(i: Int, dims: Int): String = s"""
+  private def kmeansRoundSql(i: Int, dims: Int, src: String = "qn"): String = s"""
 , a$i AS MATERIALIZED (
   SELECT vec_id, qv, c_id FROM (
     SELECT v.vec_id, v.qv, c.c_id,
@@ -215,7 +216,7 @@ WITH qe AS (
              v.nn - 2 * ${pairDot("v", "c")}
                + CAST(list_sum(list_transform(generate_series(1, $dims), d -> c.qv[d] * c.qv[d])) AS BIGINT),
              c.c_id) AS rn
-    FROM qn v, k${i - 1} c) q WHERE rn = 1
+    FROM $src v, k${i - 1} c) q WHERE rn = 1
 ), u$i AS (
   SELECT c_id, CAST(count(*) AS BIGINT) AS n, list(qv) AS vs FROM a$i GROUP BY c_id
 ), k$i AS MATERIALIZED (
@@ -635,6 +636,83 @@ FROM hits GROUP BY 1, 2 ORDER BY 1, 2"""
 SELECT r.vec_id, r.c_id, r.cent_cos, d.vec_id IS NULL AS keep
 FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
 ORDER BY r.vec_id"""
+
+  /** d14's oracle: kmeans rounds run over the BASE slice only, base
+    * verdicts replay d12's prefix rule, and the new batch is judged
+    * against kept base cluster-mates plus its own within-increment
+    * prefix — mirrors [[graft.data.VectorOps.semDedupIncremental]]. */
+  private def semDedupIncrementalSql(k: Int, maxIter: Int, dims: Int,
+      eps: Double, baseMaxId: Long): String =
+    vecProlog + s"""
+, qnb AS MATERIALIZED (
+  SELECT * FROM qn WHERE vec_id < $baseMaxId
+), k0 AS MATERIALIZED (
+  SELECT vec_id AS c_id, qv, CAST(0 AS BIGINT) AS n FROM qnb WHERE vec_id < $k
+)""" +
+      (1 to maxIter).map(kmeansRoundSql(_, dims, "qnb")).mkString + s"""
+, cn AS (
+  SELECT c_id, qv AS c_qv,
+         CAST(list_sum(list_transform(generate_series(1, $dims), d -> qv[d] * qv[d])) AS BIGINT) AS c_nn
+  FROM k$maxIter
+), afb AS MATERIALIZED (
+  SELECT vec_id, qv, c_id FROM (
+    SELECT v.vec_id, v.qv, c.c_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * ${pairDot("v", "c")}
+               + CAST(list_sum(list_transform(generate_series(1, $dims), d -> c.qv[d] * c.qv[d])) AS BIGINT),
+             c.c_id) AS rn
+    FROM qnb v, k$maxIter c) q WHERE rn = 1
+), rb AS MATERIALIZED (
+  SELECT vec_id, c_id, qv, nn, cent_cos,
+         row_number() OVER (PARTITION BY c_id ORDER BY cent_cos DESC, vec_id) AS r
+  FROM (
+    SELECT a.vec_id, a.c_id, a.qv, v.nn,
+           CAST(CAST(list_sum(list_transform(generate_series(1, $dims), d -> a.qv[d] * c.c_qv[d])) AS BIGINT) AS DOUBLE)
+             / sqrt(CAST(v.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) AS cent_cos
+    FROM afb a JOIN qnb v ON a.vec_id = v.vec_id JOIN cn c ON a.c_id = c.c_id) q
+), db AS (
+  SELECT DISTINCT a.vec_id
+  FROM rb a JOIN rb b ON a.c_id = b.c_id AND b.r < a.r
+  WHERE CAST(${pairDot("a", "b")} AS DOUBLE)
+          / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= CAST($eps AS DOUBLE)
+), kb AS MATERIALIZED (
+  SELECT r.vec_id, r.c_id, r.qv, r.nn FROM rb r
+  LEFT JOIN db d ON r.vec_id = d.vec_id WHERE d.vec_id IS NULL
+), qnn AS MATERIALIZED (
+  SELECT * FROM qn WHERE vec_id >= $baseMaxId
+), afn AS MATERIALIZED (
+  SELECT vec_id, qv, c_id FROM (
+    SELECT v.vec_id, v.qv, c.c_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * ${pairDot("v", "c")}
+               + CAST(list_sum(list_transform(generate_series(1, $dims), d -> c.qv[d] * c.qv[d])) AS BIGINT),
+             c.c_id) AS rn
+    FROM qnn v, k$maxIter c) q WHERE rn = 1
+), rnw AS MATERIALIZED (
+  SELECT vec_id, c_id, qv, nn, cent_cos,
+         row_number() OVER (PARTITION BY c_id ORDER BY cent_cos DESC, vec_id) AS r
+  FROM (
+    SELECT a.vec_id, a.c_id, a.qv, v.nn,
+           CAST(CAST(list_sum(list_transform(generate_series(1, $dims), d -> a.qv[d] * c.c_qv[d])) AS BIGINT) AS DOUBLE)
+             / sqrt(CAST(v.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) AS cent_cos
+    FROM afn a JOIN qnn v ON a.vec_id = v.vec_id JOIN cn c ON a.c_id = c.c_id) q
+), dupb AS (
+  SELECT DISTINCT n.vec_id
+  FROM rnw n JOIN kb b ON n.c_id = b.c_id
+  WHERE CAST(${pairDot("n", "b")} AS DOUBLE)
+          / sqrt(CAST(n.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= CAST($eps AS DOUBLE)
+), dn AS (
+  SELECT DISTINCT a.vec_id
+  FROM rnw a JOIN rnw b ON a.c_id = b.c_id AND b.r < a.r
+  WHERE CAST(${pairDot("a", "b")} AS DOUBLE)
+          / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= CAST($eps AS DOUBLE)
+)
+SELECT n.vec_id, n.c_id, n.cent_cos,
+       (d1.vec_id IS NULL AND d2.vec_id IS NULL) AS keep,
+       d1.vec_id IS NOT NULL AS dup_of_base
+FROM rnw n LEFT JOIN dupb d1 ON n.vec_id = d1.vec_id
+           LEFT JOIN dn d2 ON n.vec_id = d2.vec_id
+ORDER BY n.vec_id"""
 
   private def kmeansConvergedSql(k: Int, maxIter: Int, dims: Int): String =
     vecProlog + s"""
@@ -1911,6 +1989,12 @@ ORDER BY doc_a, doc_b"""),
     // and 2000-vector gate corpora), pinned so the static SQL stays
     // equivalent while the trained-index defaults scale k ∝ n past the gate
     "d12_semdedup" -> semDedupSql(k = 4, maxIter = 24, dims = 64, eps = 0.35),
+    // base slice is the SAME 250 vectors at both gate SFs, so the
+    // base-trained fixpoint (and with it the whole increment chain) is
+    // SF-invariant on the training side; k = 4 pins autoCells' floor on
+    // the 250-vector base
+    "d14_semdedup_incremental" -> semDedupIncrementalSql(
+      k = 4, maxIter = 24, dims = 64, eps = 0.35, baseMaxId = 250),
     "d13_pagerank_neardup" -> pageRankSql(iters = 10),
     "s9_ann_ivfpq" -> annIvfPqSql(k = 4, nCodes = 16, m = 8, subDim = 8,
       everyNth = 50, nProbe = 2, adcTopK = 10, topK = 5, dims = 64),

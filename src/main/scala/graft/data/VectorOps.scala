@@ -1279,4 +1279,105 @@ object VectorOps {
         col("is_dropped").isNull.as("keep"))
       .orderBy("vec_id")
   }
+
+  /** d14 — INCREMENTAL SemDeDup, the crawl-increment form of d12 the way
+    * d11 is the increment form of d3: the BASE corpus (vec_id <
+    * `baseMaxId`) has already been semantically deduplicated and only
+    * its KEPT members survive as the stored index artifact (dropped base
+    * vectors are gone — an increment can never be compared against
+    * them); the NEW batch assigns to the BASE-trained centroids (no
+    * retraining — s10 is the monitor that says when to), and a new
+    * vector is dropped iff it is ε-similar to a kept base cluster-mate
+    * (`dup_of_base`, the cross verdict d11 calls `is_cross`) or to an
+    * earlier new vector in d12's scan order (cent_cos descending, ties
+    * by vec_id — the within-increment prefix rule, same
+    * earlier-regardless-of-verdict semantics as d12's documented chain
+    * deviation).
+    *
+    * Scale: the increment never revisits base×base (that work was paid
+    * when the base shipped); new-vs-base pairs are cluster-confined and
+    * key on (cluster, base-keeper block), new-vs-new is d12's blocked
+    * prefix join over the new rows only — so an increment costs
+    * O(|new| · cluster-width), not O(|corpus|²). Here the base verdicts
+    * are recomputed by the same discipline (this container stores no
+    * artifacts between runs); at 100 TB they are a read of the stored
+    * keeper table. Centroids train on the BASE frame only, so the
+    * increment's answer is invariant to everything that arrived after
+    * the index shipped. */
+  def semDedupIncremental(embeddings: DataFrame, baseMaxId: Long = 250,
+      k: Int = 0, maxIter: Int = 24, eps: Double = 0.35,
+      blockWidth: Long = semDedupBlockWidth): DataFrame = {
+    val base = embeddings.filter(col("vec_id") < baseMaxId)
+    val kk = if (k > 0) k
+             else autoCells(base, targetCellSize = SemDedupClusterTarget)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = quantized(embeddings)
+    val cdf = convergedCentroids(base, kk, maxIter)
+      .map { case (cId, qv, _) => (cId, qv) }.toDF("c_id", "c_qv")
+      .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
+    def rankedOf(sub: DataFrame): DataFrame = sub
+      .transform(assignToCentroids(_, cdf))
+      .join(broadcast(cdf), "c_id")
+      .withColumn("cent_cos", expr(
+        "CAST(graft_dot_long(qv, c_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(c_nn AS DOUBLE))"))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy("c_id").orderBy(col("cent_cos").desc, col("vec_id")))
+        .cast("long"))
+      .select("vec_id", "c_id", "qv", "nn", "cent_cos", "r")
+    val w = blockWidth
+    def prefixDropped(ranked: DataFrame): DataFrame = {
+      val earlier = ranked.select(col("c_id").as("e_cid"), col("vec_id").as("e_id"),
+        col("qv").as("e_qv"), col("nn").as("e_nn"), col("r").as("e_r"),
+        expr(s"(r - 1) div $w").as("e_blk"))
+      ranked
+        .withColumn("jb", explode(sequence(lit(0L), expr(s"(r - 1) div $w"))))
+        .join(earlier,
+          col("e_cid") === col("c_id") && col("e_blk") === col("jb") &&
+            col("e_r") < col("r"))
+        .withColumn("pcos", expr(
+          "CAST(graft_dot_long(qv, e_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(e_nn AS DOUBLE))"))
+        .filter(col("pcos") >= eps)
+        .select(col("vec_id")).distinct().withColumn("is_dropped", lit(true))
+    }
+    // base keepers — the stored index artifact, blocked by per-cluster
+    // kept rank. Session-shared via the same pay-once mechanism as the
+    // d3 pair set (SharedFrames): the first increment pays the base
+    // replay, every later consumer reads the checkpointed keeper table —
+    // which is exactly the storage semantics of an operating pipeline,
+    // where this table is a parquet read, not a recompute.
+    val keepers = SharedFrames.memoReleasing(embeddings,
+        s"d14_base_keepers:$baseMaxId:$kk:$maxIter:$eps:$w") {
+      val baseRanked = rankedOf(v.filter(col("vec_id") < baseMaxId)).persist()
+      val kp = baseRanked
+        .join(prefixDropped(baseRanked), Seq("vec_id"), "left")
+        .filter(col("is_dropped").isNull)
+        .withColumn("kr", row_number()
+          .over(Window.partitionBy("c_id").orderBy(col("r"))).cast("long"))
+        .select(col("c_id").as("b_cid"), col("qv").as("b_qv"),
+          col("nn").as("b_nn"), expr(s"(kr - 1) div $w").as("b_blk"))
+      (kp, () => { baseRanked.unpersist(); () })
+    }
+    val keeperBlocks = keepers.groupBy("b_cid")
+      .agg(max("b_blk").as("max_blk")) // O(k) rows: AQE-sized, never hinted
+    val newRanked = rankedOf(v.filter(col("vec_id") >= baseMaxId)).persist()
+    val dupOfBase = newRanked
+      .join(keeperBlocks, col("c_id") === col("b_cid"))
+      .withColumn("jb", explode(sequence(lit(0L), col("max_blk"))))
+      .drop("b_cid")
+      .join(keepers, col("b_cid") === col("c_id") && col("b_blk") === col("jb"))
+      .withColumn("pcos", expr(
+        "CAST(graft_dot_long(qv, b_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(b_nn AS DOUBLE))"))
+      .filter(col("pcos") >= eps)
+      .select(col("vec_id")).distinct().withColumn("dup_base", lit(true))
+    val newDropped = prefixDropped(newRanked)
+      .withColumnRenamed("is_dropped", "dup_new")
+    newRanked
+      .join(dupOfBase, Seq("vec_id"), "left")
+      .join(newDropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("cent_cos"),
+        (col("dup_base").isNull && col("dup_new").isNull).as("keep"),
+        col("dup_base").isNotNull.as("dup_of_base"))
+      .orderBy("vec_id")
+  }
 }

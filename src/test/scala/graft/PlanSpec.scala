@@ -427,6 +427,7 @@ class PlanSpec extends AnyFunSuite {
       "m4_pack_multimodal" -> 1,   // packing offsets: O(#partitions)
       "s4_kmeans_step" -> 1,       // centroids: O(k)
       "d12_semdedup" -> 6,         // centroid frame O(k); 2 hints × 3 tree refs (self-join + final)
+      "d14_semdedup_incremental" -> 8, // centroid frame O(k); 2 hints × 4 tree refs of the new-batch rank (base chain is checkpointed)
       "s9_ann_ivfpq" -> 10,        // centroids/codebook + the ADC distance table (query-BATCH-bounded by design)
       "s10_ivf_drift" -> 2,        // centroids ×2 tree refs: O(k) (totals hint is scalar-whitelisted)
       "x36_phrase_search" -> 1,    // phrase slot table: O(#query phrase terms)

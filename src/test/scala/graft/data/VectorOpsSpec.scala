@@ -150,6 +150,42 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(full == brute, "full shifted probes must equal out-of-cluster brute force")
   }
 
+  test("semDedupIncremental verdicts match a brute-force re-derivation from d12's base run") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val baseMax = 25L
+    val out = VectorOps.semDedupIncremental(e, baseMaxId = baseMax, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(out.nonEmpty, "increment produced no verdicts")
+    // independent base verdicts: the batch operator on the base frame
+    // (same trainer, same k) — d14's base replay must agree with d12
+    val baseKept = VectorOps.semDedup(e.filter(col("vec_id") < baseMax), k = 4)
+      .filter(col("keep")).select("vec_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val qv = VectorOps.quantized(e).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](2).toArray, r.getLong(3))).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, na) = qv(a); val (vb, nb) = qv(b)
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val eps = 0.35
+    // new-side scan order: (cent_cos desc, vec_id) within cluster
+    val newByCluster = out.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.sortBy(r => (-r._3, r._1)).map(_._1)
+    }
+    for ((id, c, _, keep, dupBase) <- out) {
+      val expectDupBase = baseKept.exists { case (bid, bc) => bc == c && cos(id, bid) >= eps }
+      assert(dupBase == expectDupBase,
+        s"vec $id: dup_of_base=$dupBase but brute force says $expectDupBase")
+      val earlier = newByCluster(c).takeWhile(_ != id)
+      val expectDupNew = earlier.exists(eid => cos(id, eid) >= eps)
+      assert(keep == !(expectDupBase || expectDupNew),
+        s"vec $id: keep=$keep but brute force says ${!(expectDupBase || expectDupNew)}")
+    }
+  }
+
   test("ADC query batching is result-invariant: s7/s9 batched == unbatched") {
     // the batch loop must be a pure partition of the query set — every
     // per-query window rank is batch-local, so any batch count yields the
