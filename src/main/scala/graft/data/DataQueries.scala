@@ -101,7 +101,8 @@ object DataQueries {
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
     "m4_pack_multimodal" -> docs(MultimodalOps.packMultimodal(_)),
-    "m5_media_dedup" -> docs(MultimodalOps.mediaDedup(_).orderBy("doc_id"))
+    "m5_media_dedup" -> docs(MultimodalOps.mediaDedup(_).orderBy("doc_id")),
+    "m6_phash_neardup" -> docs(MultimodalOps.phashNearDup)
   )
 
   // ---- DuckDB oracle --------------------------------------------------
@@ -1480,6 +1481,39 @@ ORDER BY stage"""),
       FROM m JOIN grp g ON m.payload_md5 = g.payload_md5
       LEFT JOIN per p ON m.doc_id = p.doc_id
       ORDER BY m.doc_id""",
+    // 48-bit aHash (block-mean vs global-mean, cross-multiplied exact
+    // ints) + d7-style bit-flip probe join at hamming <= 1
+    "m6_phash_neardup" -> """
+      WITH lw AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) AS BIGINT)) AS lens
+        FROM documents
+      ), st AS (
+        SELECT doc_id, lens, CAST(len(lens) AS BIGINT) AS n,
+               CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS tot,
+               CAST((len(lens) + 47) // 48 AS BIGINT) AS blk
+        FROM lw
+      ), ph AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(0, 47), b ->
+            CASE WHEN CAST(coalesce(list_sum(list_transform(
+                        generate_series(b * blk + 1, least((b + 1) * blk, n)),
+                        i -> lens[CAST(i AS INT)])), 0) AS BIGINT) * n
+                      > tot * greatest(least((b + 1) * blk, n) - b * blk, 0)
+                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        FROM st
+      ), pr AS (
+        SELECT doc_id AS doc_a, phash AS ph_a,
+               CASE WHEN j = 48 THEN phash
+                    ELSE xor(phash, CAST(1 AS BIGINT) << CAST(j AS INT)) END AS probe
+        FROM ph, (SELECT unnest(generate_series(0, 48)) AS j) tj
+      )
+      SELECT p.doc_a, r.doc_id AS doc_b, p.ph_a, r.phash AS ph_b,
+             CAST(bit_count(xor(p.ph_a, r.phash)) AS INT) AS hamming
+      FROM pr p JOIN ph r ON p.probe = r.phash AND p.doc_a < r.doc_id
+      ORDER BY doc_a, doc_b""",
     // two-phase prefix-sum packing as x15
     "m4_pack_multimodal" -> """
       WITH costs AS (

@@ -193,4 +193,54 @@ object MultimodalOps {
         expr("CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0e0 " +
           "ELSE CAST(n_shared AS DOUBLE) / n_chunks END").as("shared_frac"))
   }
+
+  /** m6 — perceptual-hash near-duplicate detection, the media-asset form
+    * of d7: a 48-bit AVERAGE HASH (aHash — the classic perceptual-hash
+    * baseline: bit b set iff region b's mean intensity exceeds the
+    * global mean) per asset, then near-dup pairs at hamming ≤ 1 via
+    * d7's bit-flip probe join — 49 probe rows per asset, ONE hash join,
+    * no pairwise scan at any corpus size. m5 catches byte-identical and
+    * chunk-shared assets; this catches re-encodes whose bytes all
+    * differ but whose intensity STRUCTURE survives, which is what
+    * perceptual hashes exist for.
+    *
+    * In production the intensity grid comes from the decoded image
+    * (resize per m3, then block means / DCT); this container has no
+    * codec, so the deterministic stand-in grid is the payload's
+    * token-length sequence (the same environmental-stub discipline as
+    * m1's char-class features) — everything downstream of decode (the
+    * hash algebra, the probe expansion, the join shape) is the real,
+    * oracle-tested artifact.
+    *
+    * Exactness: block-vs-global mean compares as cross-multiplied exact
+    * BIGINTs (block_sum·n > total·block_len — no division anywhere);
+    * 48 bits keeps every bit weight positive in both engines'
+    * 64-bit signed space. */
+  def phashNearDup(documents: DataFrame): DataFrame = {
+    val sigs = documents
+      .withColumn("lens", expr(
+        "transform(split(text, ' '), w -> CAST(length(w) AS BIGINT))"))
+      .withColumn("n", expr("CAST(size(lens) AS BIGINT)"))
+      .withColumn("tot", expr(
+        "aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("blk", expr("(n + 47) div 48"))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, b) -> acc +
+             CASE WHEN aggregate(slice(lens, CAST(b * blk + 1 AS INT), CAST(blk AS INT)),
+                                 CAST(0 AS BIGINT), (a, x) -> a + x) * n
+                       > tot * CAST(size(slice(lens, CAST(b * blk + 1 AS INT), CAST(blk AS INT))) AS BIGINT)
+                  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""))
+      .select("doc_id", "phash")
+      .persist() // probe side and raw side share the hashing scan
+    val probes = sigs
+      .withColumn("j", explode(sequence(lit(0), lit(48))))
+      .withColumn("probe", expr(
+        "CASE WHEN j = 48 THEN phash ELSE CAST(phash ^ shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) END"))
+      .select(col("doc_id").as("doc_a"), col("phash").as("ph_a"), col("probe"))
+    val raw = sigs.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    probes.join(raw, col("probe") === col("ph_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
 }
