@@ -1280,6 +1280,79 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** The base-trained centroid frame shared by the d14 family:
+    * [[convergedCentroids]] over the base slice only (memoized — later
+    * callers pay nothing). */
+  private def semBaseCdf(embeddings: DataFrame, baseMaxId: Long,
+      k: Int, maxIter: Int): DataFrame = {
+    val base = embeddings.filter(col("vec_id") < baseMaxId)
+    val kk = if (k > 0) k
+             else autoCells(base, targetCellSize = SemDedupClusterTarget)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    convergedCentroids(base, kk, maxIter)
+      .map { case (cId, qv, _) => (cId, qv) }.toDF("c_id", "c_qv")
+      .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
+  }
+
+  /** d12's rank stage against an explicit centroid frame: assignment,
+    * cosine to centroid, scan-order rank within the cluster. */
+  private def semRankedOf(sub: DataFrame, cdf: DataFrame): DataFrame = sub
+    .transform(assignToCentroids(_, cdf))
+    .join(broadcast(cdf), "c_id")
+    .withColumn("cent_cos", expr(
+      "CAST(graft_dot_long(qv, c_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(c_nn AS DOUBLE))"))
+    .withColumn("r", row_number()
+      .over(Window.partitionBy("c_id").orderBy(col("cent_cos").desc, col("vec_id")))
+      .cast("long"))
+    .select("vec_id", "c_id", "qv", "nn", "cent_cos", "r")
+
+  /** d12's blocked prefix-drop verdicts over a ranked frame (see
+    * [[semDedup]] for the blocking rationale). */
+  private def semPrefixDropped(ranked: DataFrame, eps: Double, w: Long): DataFrame = {
+    val earlier = ranked.select(col("c_id").as("e_cid"), col("vec_id").as("e_id"),
+      col("qv").as("e_qv"), col("nn").as("e_nn"), col("r").as("e_r"),
+      expr(s"(r - 1) div $w").as("e_blk"))
+    ranked
+      .withColumn("jb", explode(sequence(lit(0L), expr(s"(r - 1) div $w"))))
+      .join(earlier,
+        col("e_cid") === col("c_id") && col("e_blk") === col("jb") &&
+          col("e_r") < col("r"))
+      .withColumn("pcos", expr(
+        "CAST(graft_dot_long(qv, e_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(e_nn AS DOUBLE))"))
+      .filter(col("pcos") >= eps)
+      .select(col("vec_id")).distinct().withColumn("is_dropped", lit(true))
+  }
+
+  /** The d14 base keeper artifact: the base slice's surviving vectors
+    * with their cluster and per-cluster kept-rank block — the stored
+    * index table an increment (and the streaming admission check,
+    * [[graft.streaming.StreamingAnalytics]].semIngestDedup) reads.
+    * Session-shared via the same pay-once mechanism as the d3 pair set
+    * (SharedFrames): the first consumer pays the base replay, later
+    * consumers read the checkpointed table — exactly the storage
+    * semantics of an operating pipeline, where this is a parquet read,
+    * not a recompute. Columns: b_cid, b_qv, b_nn, b_blk. */
+  def semBaseKeepers(embeddings: DataFrame, baseMaxId: Long = 250,
+      k: Int = 0, maxIter: Int = 24, eps: Double = 0.35,
+      blockWidth: Long = semDedupBlockWidth): DataFrame = {
+    val cdf = semBaseCdf(embeddings, baseMaxId, k, maxIter)
+    val v = quantized(embeddings)
+    val w = blockWidth
+    SharedFrames.memoReleasing(embeddings,
+        s"d14_base_keepers:$baseMaxId:$k:$maxIter:$eps:$w") {
+      val baseRanked = semRankedOf(v.filter(col("vec_id") < baseMaxId), cdf).persist()
+      val kp = baseRanked
+        .join(semPrefixDropped(baseRanked, eps, w), Seq("vec_id"), "left")
+        .filter(col("is_dropped").isNull)
+        .withColumn("kr", row_number()
+          .over(Window.partitionBy("c_id").orderBy(col("r"))).cast("long"))
+        .select(col("c_id").as("b_cid"), col("qv").as("b_qv"),
+          col("nn").as("b_nn"), expr(s"(kr - 1) div $w").as("b_blk"))
+      (kp, () => { baseRanked.unpersist(); () })
+    }
+  }
+
   /** d14 — INCREMENTAL SemDeDup, the crawl-increment form of d12 the way
     * d11 is the increment form of d3: the BASE corpus (vec_id <
     * `baseMaxId`) has already been semantically deduplicated and only
@@ -1307,60 +1380,14 @@ object VectorOps {
   def semDedupIncremental(embeddings: DataFrame, baseMaxId: Long = 250,
       k: Int = 0, maxIter: Int = 24, eps: Double = 0.35,
       blockWidth: Long = semDedupBlockWidth): DataFrame = {
-    val base = embeddings.filter(col("vec_id") < baseMaxId)
-    val kk = if (k > 0) k
-             else autoCells(base, targetCellSize = SemDedupClusterTarget)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+    val cdf = semBaseCdf(embeddings, baseMaxId, k, maxIter)
     val v = quantized(embeddings)
-    val cdf = convergedCentroids(base, kk, maxIter)
-      .map { case (cId, qv, _) => (cId, qv) }.toDF("c_id", "c_qv")
-      .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
-    def rankedOf(sub: DataFrame): DataFrame = sub
-      .transform(assignToCentroids(_, cdf))
-      .join(broadcast(cdf), "c_id")
-      .withColumn("cent_cos", expr(
-        "CAST(graft_dot_long(qv, c_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(c_nn AS DOUBLE))"))
-      .withColumn("r", row_number()
-        .over(Window.partitionBy("c_id").orderBy(col("cent_cos").desc, col("vec_id")))
-        .cast("long"))
-      .select("vec_id", "c_id", "qv", "nn", "cent_cos", "r")
     val w = blockWidth
-    def prefixDropped(ranked: DataFrame): DataFrame = {
-      val earlier = ranked.select(col("c_id").as("e_cid"), col("vec_id").as("e_id"),
-        col("qv").as("e_qv"), col("nn").as("e_nn"), col("r").as("e_r"),
-        expr(s"(r - 1) div $w").as("e_blk"))
-      ranked
-        .withColumn("jb", explode(sequence(lit(0L), expr(s"(r - 1) div $w"))))
-        .join(earlier,
-          col("e_cid") === col("c_id") && col("e_blk") === col("jb") &&
-            col("e_r") < col("r"))
-        .withColumn("pcos", expr(
-          "CAST(graft_dot_long(qv, e_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(e_nn AS DOUBLE))"))
-        .filter(col("pcos") >= eps)
-        .select(col("vec_id")).distinct().withColumn("is_dropped", lit(true))
-    }
-    // base keepers — the stored index artifact, blocked by per-cluster
-    // kept rank. Session-shared via the same pay-once mechanism as the
-    // d3 pair set (SharedFrames): the first increment pays the base
-    // replay, every later consumer reads the checkpointed keeper table —
-    // which is exactly the storage semantics of an operating pipeline,
-    // where this table is a parquet read, not a recompute.
-    val keepers = SharedFrames.memoReleasing(embeddings,
-        s"d14_base_keepers:$baseMaxId:$kk:$maxIter:$eps:$w") {
-      val baseRanked = rankedOf(v.filter(col("vec_id") < baseMaxId)).persist()
-      val kp = baseRanked
-        .join(prefixDropped(baseRanked), Seq("vec_id"), "left")
-        .filter(col("is_dropped").isNull)
-        .withColumn("kr", row_number()
-          .over(Window.partitionBy("c_id").orderBy(col("r"))).cast("long"))
-        .select(col("c_id").as("b_cid"), col("qv").as("b_qv"),
-          col("nn").as("b_nn"), expr(s"(kr - 1) div $w").as("b_blk"))
-      (kp, () => { baseRanked.unpersist(); () })
-    }
+    val keepers = semBaseKeepers(embeddings, baseMaxId, k, maxIter, eps, w)
+    val newRanked0 = semRankedOf(v.filter(col("vec_id") >= baseMaxId), cdf)
     val keeperBlocks = keepers.groupBy("b_cid")
       .agg(max("b_blk").as("max_blk")) // O(k) rows: AQE-sized, never hinted
-    val newRanked = rankedOf(v.filter(col("vec_id") >= baseMaxId)).persist()
+    val newRanked = newRanked0.persist()
     val dupOfBase = newRanked
       .join(keeperBlocks, col("c_id") === col("b_cid"))
       .withColumn("jb", explode(sequence(lit(0L), col("max_blk"))))
@@ -1370,7 +1397,7 @@ object VectorOps {
         "CAST(graft_dot_long(qv, b_qv) AS DOUBLE) / sqrt(CAST(nn AS DOUBLE) * CAST(b_nn AS DOUBLE))"))
       .filter(col("pcos") >= eps)
       .select(col("vec_id")).distinct().withColumn("dup_base", lit(true))
-    val newDropped = prefixDropped(newRanked)
+    val newDropped = semPrefixDropped(newRanked, eps, w)
       .withColumnRenamed("is_dropped", "dup_new")
     newRanked
       .join(dupOfBase, Seq("vec_id"), "left")

@@ -342,6 +342,49 @@ object StreamingAnalytics {
         expr("CAST(s_d2 AS DOUBLE) / n").as("mean_d2"))
   }
 
+  /** Streaming semantic-dedup ADMISSION — d14's continuous form
+    * ([[graft.data.VectorOps.semDedupIncremental]]): an arriving vector
+    * is flagged `dup_of_base` iff some KEPT base vector in its assigned
+    * cluster is ≥ ε cosine-similar — the admission check an ingest
+    * pipeline runs against the stored index before a document enters the
+    * corpus. Within-stream prefix dedup is deliberately NOT part of the
+    * continuous form: an unbounded stream cannot hold its own history as
+    * state, so intra-increment dedup stays the batch increment's job —
+    * the same operational split as [[budgetAdmission]] vs x35's batch
+    * cap. Because the base-side verdict depends only on the STORED
+    * artifact, it is invariant to how the increment is wave-split — the
+    * convergence StreamingAnalyticsSpec proves.
+    *
+    * Shape: ZERO stateful operators. Assignment is the
+    * [[ivfIngestMonitor]] centroid-literal projection (no join, no
+    * shuffle); the ε-verdict is a stream-static LEFT SEMI / LEFT ANTI
+    * join pair against the keeper table on the cluster key with the
+    * ε-test inside the join condition — append-mode compatible,
+    * indefinitely runnable, and at 100 TB the static side is the stored
+    * keeper parquet re-read per micro-batch (Spark's stream-static
+    * contract), cluster-key-pruned by the join. */
+  def semIngestDedup(embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Long], Long)],
+      keepers: DataFrame, eps: Double = 0.35): DataFrame = {
+    val alts = centroids.map { case (cId, cqv, _) =>
+      val arr = cqv.mkString(", ")
+      val cnn = cqv.map(x => x * x).sum
+      s"struct(nn - 2 * graft_dot_long(qv, CAST(array($arr) AS ARRAY<BIGINT>)) + ${cnn}L AS d2, ${cId}L AS c)"
+    }.mkString(", ")
+    val assigned = embeddings
+      .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
+      .withColumn("nn", expr("graft_dot_long(qv, qv)"))
+      .withColumn("cell", expr(s"array_sort(array($alts))[0].c"))
+      .select("vec_id", "qv", "nn", "cell")
+    val kp = keepers.select("b_cid", "b_qv", "b_nn")
+    val cond = col("cell") === col("b_cid") &&
+      expr("CAST(graft_dot_long(qv, b_qv) AS DOUBLE) / " +
+        s"sqrt(CAST(nn AS DOUBLE) * CAST(b_nn AS DOUBLE)) >= CAST($eps AS DOUBLE)")
+    val dups = assigned.join(kp, cond, "left_semi").withColumn("dup_of_base", lit(true))
+    val fresh = assigned.join(kp, cond, "left_anti").withColumn("dup_of_base", lit(false))
+    dups.unionByName(fresh).select("vec_id", "cell", "dup_of_base")
+  }
+
   final case class DocTok(doc_id: Long, source: String, n_tokens: Long, ts_us: Long)
   final case class BudgetState(used: Long)
   final case class Admission(doc_id: Long, source: String, n_tokens: Long,

@@ -240,6 +240,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming semantic-dedup admission matches batch d14's dup_of_base under any wave split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val baseMax = 25L
+    val cent = graft.data.VectorOps.convergedCentroids(
+      emb.filter(col("vec_id") < baseMax), k = 4, maxIter = 24)
+    val keepers = graft.data.VectorOps.semBaseKeepers(emb, baseMaxId = baseMax, k = 4)
+
+    // batch reference: the increment's dup_of_base column — the verdict
+    // that depends ONLY on the stored base artifact, hence wave-invariant
+    val batch = graft.data.VectorOps.semDedupIncremental(emb, baseMaxId = baseMax, k = 4)
+      .select("vec_id", "c_id", "dup_of_base").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    val newRows = emb.filter(col("vec_id") >= baseMax)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val (w1, w2) = newRows.splitAt(newRows.size / 3) // deliberately uneven waves
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnalytics.semIngestDedup(
+        input.toDF().toDF("vec_id", "embedding"), cent, keepers)
+      .writeStream.format("memory").queryName("semadm").outputMode("append").start()
+    input.addData(w1)
+    q.processAllAvailable()
+    input.addData(w2)
+    q.processAllAvailable()
+
+    val streaming = spark.table("semadm")
+      .select("vec_id", "cell", "dup_of_base").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(streaming.size == newRows.size, "one verdict per arriving vector")
+    assert(streaming == batch,
+      s"streaming admission diverged from batch d14:\n" +
+        s"diff=${(streaming.toSet -- batch.toSet).take(5)}")
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
