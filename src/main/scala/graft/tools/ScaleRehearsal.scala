@@ -305,7 +305,15 @@ object ScaleRehearsal {
       "s14_ann_filtered" -> (() => SparkEntry.queries("s14_ann_filtered")(spark, vecDir)),
       "s15_hard_negatives" -> (() => SparkEntry.queries("s15_hard_negatives")(spark, vecDir)),
       "d12_semdedup_autok" -> (() => graft.data.VectorOps.semDedup(
-        Tables.embeddings(spark, vecDir), maxIter = 8)))
+        Tables.embeddings(spark, vecDir), maxIter = 8)),
+      // r8: the crawl-increment shape at scale — the BASE is everything
+      // but the last copy (its keeper replay is the pay-once artifact;
+      // autoCells keeps its clusters bounded as the base grows), the
+      // increment is one copy's worth of new vectors; training capped at
+      // 8 rounds like d12 (pair-join scaling is what's measured)
+      "d14_semdedup_incremental" -> (() => graft.data.VectorOps.semDedupIncremental(
+        Tables.embeddings(spark, vecDir),
+        baseMaxId = (vecCopies - 1).toLong * V_OFF, maxIter = 8)))
     val vecResults = vecRuns.map { case (name, mk) =>
       val t0v = System.nanoTime()
       val df = mk()
