@@ -87,6 +87,7 @@ object DataQueries {
     "s14_ann_filtered" -> ((spark, sfDir) => VectorOps.annIvfFiltered(
       Tables.embeddings(spark, sfDir), Tables.documents(spark, sfDir))),
     "s15_hard_negatives" -> embs(VectorOps.hardNegatives(_)),
+    "s16_ann_range" -> embs(VectorOps.annRange(_)),
     "x41_mixture_expand" ->
       docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
@@ -1760,6 +1761,32 @@ WHERE rnk <= 3 ORDER BY query_id, rnk"""),
 SELECT r.query_id, qc.q_cell, r.neighbor_id, r.rnk, r.dot, r.cos, r.cell
 FROM r15 r JOIN qc15 qc ON r.query_id = qc.query_id
 WHERE r.rnk <= 3 ORDER BY r.query_id, r.rnk"""),
+    // range search: the s8 probe chain with a cosine threshold instead
+    // of a rank — no window anywhere
+    "s16_ann_range" -> (vecProlog + s"""
+, c16 AS (
+  SELECT vec_id AS c_id, qv, nn AS c_nn FROM qn WHERE vec_id < 4
+), a16p AS (
+  SELECT v.vec_id, v.qv, v.nn, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           v.nn - 2 * ${pairDot("v", "c")} + c.c_nn, c.c_id) AS rn
+  FROM qn v, c16 c
+), a16 AS (
+  SELECT vec_id, qv, nn, c_id AS cell FROM a16p WHERE rn = 1
+), q16 AS (
+  SELECT vec_id AS query_id, qv, nn, c_id AS cell
+  FROM a16p WHERE vec_id % 50 = 0 AND rn <= 2
+), p16 AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, b.cell,
+         ${pairDot("q", "b")} AS dot, q.nn AS na, b.nn AS nb
+  FROM q16 q JOIN a16 b ON q.cell = b.cell AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dot,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos,
+       cell
+FROM p16
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= CAST(0.4 AS DOUBLE)
+ORDER BY query_id, neighbor_id"""),
     "s5_ann_int8" -> (vecProlog + s"""
 , e8r AS (
   SELECT vec_id, embedding,

@@ -623,6 +623,44 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** s16 — range (radius) search, FAISS `range_search`: every candidate
+    * with cosine ≥ `minCos`, not a fixed top-k — the primitive behind
+    * duplicate-pair generation, recall-oriented retrieval, and "find
+    * everything this similar" audits, where the answer SIZE is a
+    * data property, not a parameter. Runs on the trained multi-probe
+    * chain (s8's probes); with no rank to compute there is NO window
+    * operator anywhere — the plan is probe-join → narrow filter, which
+    * at 100 TB makes range search CHEAPER per candidate than top-k
+    * (top-k pays a per-query shuffle for the rank; this streams). The
+    * flip side is unbounded output on a degenerate threshold — callers
+    * own τ; the registry default keeps per-query result sets small at
+    * the gates while leaving both populated-and-empty query regimes. */
+  def annRange(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
+      nProbe: Int = 2, minCos: Double = 0.4): DataFrame = {
+    val kk = if (k > 0) k else autoCells(embeddings)
+    val v = quantized(embeddings)
+    val cent = v.filter(col("vec_id") < kk)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val assigned = assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
+    val probes = v.filter(col("vec_id") % everyNth === 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("c_id").as("cell"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", expr(cosExpr))
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dot"), col("cos"), col("cell"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Half-space cell count for [[annImi]]: the inverted multi-index
     * spans kHalf² product cells, so kHalf = ceil(sqrt(n/target)) holds
     * ~[[AnnCellTarget]] vectors per NON-EMPTY cell as the corpus grows

@@ -186,6 +186,36 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("annRange agrees with the top-k probe chain and nests by threshold") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val range = VectorOps.annRange(e, k = 4, everyNth = 7, minCos = 0.3)
+    val rset = range.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rset.nonEmpty, "range search returned nothing at this threshold")
+    // every s8 top-k hit over the SAME probes with cos >= tau is in range
+    val topk = VectorOps.annIvfMultiprobe(e, k = 4, everyNth = 7)
+      .filter(col("cos") >= 0.3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk.subsetOf(rset),
+      s"top-k hits above the threshold missing from range: ${(topk -- rset).take(5)}")
+    // thresholds nest: tighter tau is a subset
+    val tight = VectorOps.annRange(e, k = 4, everyNth = 7, minCos = 0.5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(rset), "tighter threshold must be a subset")
+    assert(tight.size < rset.size, "tightening must actually shrink the set here")
+    // the scale claim: no window operator anywhere in the range plan
+    val wins = range.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the only window is the probe-list ranking over the k-row centroid
+    // cross — never over the candidate stream; assert by output size
+    assert(wins.size == 1 && wins.head.output.exists(_.name == "prn"),
+      s"range plan must carry only the k-bounded probe window, found ${wins.size}")
+  }
+
   test("ADC query batching is result-invariant: s7/s9 batched == unbatched") {
     // the batch loop must be a pure partition of the query set — every
     // per-query window rank is batch-local, so any batch count yields the
