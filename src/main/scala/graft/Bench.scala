@@ -67,7 +67,8 @@ object Bench {
     "x39_eval_span_contamination", "x40_tokenizer_fertility",
     "x41_mixture_expand", "x42_cross_source_dups", "x43_dedup_mixture",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
-    "m4_pack_multimodal", "m5_media_dedup", "m6_phash_neardup")
+    "m4_pack_multimodal", "m5_media_dedup", "m6_phash_neardup",
+    "m7_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

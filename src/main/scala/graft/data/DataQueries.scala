@@ -103,7 +103,8 @@ object DataQueries {
     "m3_resize" -> docs(MultimodalOps.resize(_)),
     "m4_pack_multimodal" -> docs(MultimodalOps.packMultimodal(_)),
     "m5_media_dedup" -> docs(MultimodalOps.mediaDedup(_).orderBy("doc_id")),
-    "m6_phash_neardup" -> docs(MultimodalOps.phashNearDup)
+    "m6_phash_neardup" -> docs(MultimodalOps.phashNearDup),
+    "m7_cdc_chunks" -> docs(MultimodalOps.cdcChunks(_))
   )
 
   // ---- DuckDB oracle --------------------------------------------------
@@ -1515,6 +1516,47 @@ ORDER BY stage"""),
              CAST(bit_count(xor(p.ph_a, r.phash)) AS INT) AS hamming
       FROM pr p JOIN ph r ON p.probe = r.phash AND p.doc_a < r.doc_id
       ORDER BY doc_a, doc_b""",
+    // content-defined chunking: boundary where the 3-token rolling hash
+    // hits 0 mod 8; chunk identity = md5 of the chunk text
+    "m7_cdc_chunks" -> s"""
+      WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), tok AS (
+        SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS w
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks))) AS i FROM tk) q
+      ), thx AS (
+        SELECT doc_id, pos, w,
+               (${graft.data.TextOps.hex13NumFragment("md5(w)")}) % 1048576 AS th
+        FROM tok
+      ), wb AS (
+        SELECT doc_id, pos, w, th,
+               lag(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lag(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM thx
+      ), bf AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN t2 IS NOT NULL AND (t2 * 961 + t1 * 31 + th) % 8 = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM wb
+      ), ci AS (
+        SELECT doc_id, pos, w,
+               CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+        FROM bf
+      ), chx AS (
+        SELECT doc_id, chunk_idx, md5(string_agg(w, ' ' ORDER BY pos)) AS ch
+        FROM ci GROUP BY doc_id, chunk_idx
+      ), shx AS (
+        SELECT ch FROM (
+          SELECT ch, count(DISTINCT doc_id) AS d FROM chx GROUP BY 1) x
+        WHERE d >= 2
+      )
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN s.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(sum(CASE WHEN s.ch IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_frac
+      FROM chx c LEFT JOIN shx s ON c.ch = s.ch
+      GROUP BY c.doc_id ORDER BY c.doc_id""",
     // two-phase prefix-sum packing as x15
     "m4_pack_multimodal" -> """
       WITH costs AS (

@@ -1,6 +1,7 @@
 package graft.data
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque binary payloads with typed metadata,
@@ -192,6 +193,59 @@ object MultimodalOps {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         expr("CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0e0 " +
           "ELSE CAST(n_shared AS DOUBLE) / n_chunks END").as("shared_frac"))
+  }
+
+  /** m7 — CONTENT-DEFINED chunking dedup, the real version of the
+    * boundary upgrade [[mediaDedup]]'s scaladoc promises: m5's aligned
+    * 64-byte chunks lose ALL sharing after a single leading insertion
+    * (every boundary shifts), while content-defined boundaries move WITH
+    * the content — the LBFS/rsync/Manber anchoring idea: cut wherever
+    * the rolling hash of a small window hits 0 mod `divisor`, so a chunk
+    * boundary depends only on the bytes near it, never on absolute
+    * offsets. Expected chunk length is `divisor` units; chunk identity is
+    * the md5 of the chunk's content; chunks seen in ≥ 2 assets are
+    * shared. The insertion-robustness m5 lacks is spec-proven
+    * (`CdcChunkingSpec`): a prefix-shifted copy keeps most CDC chunks
+    * while keeping ZERO aligned interior chunks.
+    *
+    * Grid: the windowed hash rolls over the payload's token stream
+    * (md5-derived 52-bit token hashes folded to 2^20 so the 3-term
+    * polynomial stays in exact BIGINT range — same portability discipline
+    * as hex13Num), standing in for the byte stream the way m1/m6's
+    * grids do. Scale: every window/lag partitions by doc_id (bounded by
+    * asset length, never global); the chunk rollup is one keyed agg;
+    * the shared-chunk table is a hash join on the chunk id — m5's plan
+    * shape with moving boundaries. */
+  def cdcChunks(documents: DataFrame, divisor: Int = 8): DataFrame = {
+    val M = 1L << 20
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .withColumn("pos", col("pos0") + 1)
+      .withColumn("th", expr(s"(${TextOps.hex13NumFragment("md5(w)")}) % $M"))
+    val withB = toks
+      .withColumn("t1", lag("th", 1).over(byDoc))
+      .withColumn("t2", lag("th", 2).over(byDoc))
+      .withColumn("b", when(col("t2").isNotNull &&
+        (col("t2") * 961 + col("t1") * 31 + col("th")) % divisor === 0, 1L)
+        .otherwise(0L))
+      .withColumn("chunk_idx", coalesce(
+        sum("b").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = withB.groupBy("doc_id", "chunk_idx")
+      .agg(expr(
+        "md5(array_join(transform(array_sort(collect_list(struct(pos, w))), s -> s.w), ' '))")
+        .as("ch"))
+      .persist() // shared-chunk table and per-doc rollup both read it
+    val shared = chunks.groupBy("ch")
+      .agg(countDistinct("doc_id").as("d"))
+      .filter(col("d") >= 2).select("ch")
+    chunks.join(shared.withColumn("is_shared", lit(true)), Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        expr("CAST(n_shared AS DOUBLE) / n_chunks"))
+      .orderBy("doc_id")
   }
 
   /** m6 — perceptual-hash near-duplicate detection, the media-asset form
