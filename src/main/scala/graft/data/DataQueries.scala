@@ -92,6 +92,7 @@ object DataQueries {
       docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
     "x43_dedup_mixture" -> docs(TextOps.dedupMixture),
+    "x44_shard_manifest" -> docs(TextOps.shardManifest(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -920,6 +921,32 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT doc_id, skey, shard,
              CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
       FROM shx ORDER BY shard, pos""",
+    // the manifest rolls the x34 export up per shard with an
+    // order-sensitive positional checksum over 2^20-folded fingerprints
+    "x44_shard_manifest" -> s"""
+      WITH sk AS (
+        SELECT doc_id,
+               ${TextOps.hex13NumFragment("md5('graft:' || CAST(doc_id AS STRING))")} AS skey
+        FROM documents
+      ), shx AS (
+        SELECT doc_id, skey, skey % 8 AS shard FROM sk
+      ), px AS (
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        FROM shx
+      ), tk AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                 w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+               (${TextOps.hex13NumFragment("md5(text)")}) % 1048576 AS fp20
+        FROM documents
+      )
+      SELECT p.shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(p.pos) AS BIGINT) AS max_pos,
+             CAST(sum(t.bpe_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum((t.fp20 + 1) * ((p.pos % 1048576) + 1)) AS BIGINT) AS checksum
+      FROM px p JOIN tk t ON p.doc_id = t.doc_id
+      GROUP BY p.shard ORDER BY p.shard""",
     // per-source budget enforcement in the seeded order; the oracle's
     // exclusive window cumsum states what the Spark side's per-source
     // two-phase prefix sum must equal

@@ -379,6 +379,38 @@ object TextOps {
         (col("__lrank") + col("__off") - 1).as("pos"))
   }
 
+  /** x44 — shard MANIFEST over the x34 export: the integrity index a
+    * shard-reader verifies before training (WebDataset's tar index /
+    * Mosaic StreamingDataset's index.json ship exactly this): per shard,
+    * the member count, the max in-shard position (contiguity check:
+    * `max_pos == n_docs - 1`), the token total (the number a data-loader
+    * budgets epochs with), and an ORDER-SENSITIVE integrity checksum —
+    * `Σ (fp+1)·(pos+1)` over 2^20-folded doc fingerprints, which changes
+    * if any member is missing, substituted, or re-ordered, yet
+    * aggregates map-side-combinably with O(1) state per shard (a
+    * concat-then-md5 checksum would collect the whole shard per group;
+    * at 100 TB the fold widens to a mod-2^61 grid to keep the exact-sum
+    * headroom, same plan). Output is O(#shards) rows at any corpus
+    * size. */
+  def shardManifest(documents: DataFrame, nShards: Int = 8,
+      seed: String = "graft"): DataFrame = {
+    val exp = shardExport(documents, nShards, seed)
+    val toks = documents
+      .withColumn("bpe_tokens", expr(
+        """aggregate(transform(split(text, ' '),
+             w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT)),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .withColumn("fp20", expr(s"(${hex13Num("md5(text)")}) % 1048576"))
+      .select("doc_id", "bpe_tokens", "fp20")
+    exp.join(toks, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        max("pos").as("max_pos"),
+        sum("bpe_tokens").as("n_tokens"),
+        sum(expr("(fp20 + 1) * ((pos % 1048576) + 1)")).as("checksum"))
+      .orderBy("shard")
+  }
+
   /** x35 — per-source token-budget cap: APPLY the mixture budgets x17
     * computes. Within each source, documents are taken in the x34 seeded
     * hash order until the source's token budget is exhausted: a document

@@ -456,6 +456,7 @@ class PlanSpec extends AnyFunSuite {
       "x15_pack_sequences" -> 1,   // packing offsets: O(#partitions)
       "x28_dsir_importance" -> 1,  // bucket weights: O(#buckets)
       "x34_shard_export" -> 1,     // rank offsets: O(#partitions × #shards)
+      "x44_shard_manifest" -> 1,   // inherits x34's rank-offset hint: O(#partitions × #shards)
       "x35_budget_cap" -> 1,       // cumsum offsets: O(#partitions × #sources)
       "x29_bm25_topk" -> 1         // query-term idf: O(#query terms)
     ).withDefaultValue(0)
