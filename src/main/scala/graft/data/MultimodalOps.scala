@@ -270,21 +270,27 @@ object MultimodalOps {
     * BIGINTs (block_sum·n > total·block_len — no division anywhere);
     * 48 bits keeps every bit weight positive in both engines'
     * 64-bit signed space. */
+  /** The 48-bit aHash as a narrow projection over `documents` — shared
+    * verbatim by the batch detector and the streaming monitor
+    * ([[graft.streaming.StreamingAnalytics]].phashNearDupStream), so
+    * their hashes are identical by construction. */
+  def withPhash(documents: DataFrame): DataFrame = documents
+    .withColumn("lens", expr(
+      "transform(split(text, ' '), w -> CAST(length(w) AS BIGINT))"))
+    .withColumn("n", expr("CAST(size(lens) AS BIGINT)"))
+    .withColumn("tot", expr(
+      "aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    .withColumn("blk", expr("(n + 47) div 48"))
+    .withColumn("phash", expr(
+      """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, b) -> acc +
+           CASE WHEN aggregate(slice(lens, CAST(b * blk + 1 AS INT), CAST(blk AS INT)),
+                               CAST(0 AS BIGINT), (a, x) -> a + x) * n
+                     > tot * CAST(size(slice(lens, CAST(b * blk + 1 AS INT), CAST(blk AS INT))) AS BIGINT)
+                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""))
+    .select("doc_id", "phash")
+
   def phashNearDup(documents: DataFrame): DataFrame = {
-    val sigs = documents
-      .withColumn("lens", expr(
-        "transform(split(text, ' '), w -> CAST(length(w) AS BIGINT))"))
-      .withColumn("n", expr("CAST(size(lens) AS BIGINT)"))
-      .withColumn("tot", expr(
-        "aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .withColumn("blk", expr("(n + 47) div 48"))
-      .withColumn("phash", expr(
-        """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, b) -> acc +
-             CASE WHEN aggregate(slice(lens, CAST(b * blk + 1 AS INT), CAST(blk AS INT)),
-                                 CAST(0 AS BIGINT), (a, x) -> a + x) * n
-                       > tot * CAST(size(slice(lens, CAST(b * blk + 1 AS INT), CAST(blk AS INT))) AS BIGINT)
-                  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""))
-      .select("doc_id", "phash")
+    val sigs = withPhash(documents)
       .persist() // probe side and raw side share the hashing scan
     val probes = sigs
       .withColumn("j", explode(sequence(lit(0), lit(48))))

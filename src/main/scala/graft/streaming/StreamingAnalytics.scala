@@ -200,6 +200,59 @@ object StreamingAnalytics {
         initState)(fn)
   }
 
+  final case class PhashRow(bucket: Long, doc_id: Long, phash: Long)
+  final case class PhashPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Streaming perceptual-hash near-dup detection — m6's continuous form
+    * ([[graft.data.MultimodalOps.phashNearDup]]): the asset-ingest
+    * monitor that flags a re-encoded copy the moment it arrives. Each
+    * arriving asset computes its 48-bit aHash (the SAME projection as
+    * batch m6, [[graft.data.MultimodalOps.withPhash]]) and registers
+    * under 49 probe buckets (identity + every one-bit flip — d7's
+    * trick); per-bucket state holds the (doc_id, phash) members seen,
+    * and a new arrival pairs against them. Keying state on probe VALUES
+    * makes the collision test symmetric, which widens candidates to
+    * hamming ≤ 2 (flip-meets-flip), so the emitter re-checks
+    * `bit_count(xor) ≤ 1` before emitting — the batch detector's exact
+    * pair predicate. Pairs are at-least-once across buckets (identical
+    * hashes collide in all 49; the downstream `.distinct()` dedups —
+    * the [[nearDupCandidates]] contract); state per bucket is the
+    * collision-group membership, tiny by design; production adds
+    * watermark eviction exactly like [[dedupWithinWatermark]]. Any
+    * wave-split replay converges to the batch m6 pair set (spec-proven):
+    * a pair emits when its later member first arrives. */
+  def phashNearDupStream(docs: DataFrame): Dataset[PhashPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probes = graft.data.MultimodalOps.withPhash(docs)
+      .withColumn("j", explode(sequence(lit(0), lit(48))))
+      .withColumn("bucket", expr(
+        "CASE WHEN j = 48 THEN phash ELSE CAST(phash ^ shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) END"))
+      .select("bucket", "doc_id", "phash")
+      .as[PhashRow]
+    def fn(bucket: Long, rows: Iterator[PhashRow],
+        state: GroupState[Seq[(Long, Long)]]): Iterator[PhashPair] = {
+      val seen = state.getOption.getOrElse(Seq.empty)
+      val known = seen.map(_._1).toSet
+      val fresh = rows.map(r => (r.doc_id, r.phash)).toSeq
+        .distinct.sortBy(_._1).filterNot(r => known(r._1))
+      var acc = seen
+      val out = Seq.newBuilder[PhashPair]
+      fresh.foreach { case (d, h) =>
+        acc.foreach { case (a, ah) =>
+          val ham = java.lang.Long.bitCount(ah ^ h)
+          if (ham <= 1)
+            out += (if (a < d) PhashPair(a, d, ham) else PhashPair(d, a, ham))
+        }
+        acc = acc :+ ((d, h))
+      }
+      state.update(acc)
+      out.result().iterator
+    }
+    probes.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class WinRow(doc_id: Long, n_tokens: Long, i: Int,
       h: Option[String], hit: Boolean)
   final case class ContamReport(doc_id: Long, n_tokens: Long,

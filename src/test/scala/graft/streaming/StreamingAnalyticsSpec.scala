@@ -278,6 +278,35 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming perceptual-hash near-dup converges to the batch m6 pair set under any wave split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val batch = graft.data.MultimodalOps.phashNearDup(docs)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "batch m6 found no pairs at this scale — spec vacuous")
+
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (w1, w2) = rows.splitAt(rows.size / 3) // deliberately uneven waves
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.phashNearDupStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("phstream").outputMode("append").start()
+    input.addData(w1)
+    q.processAllAvailable()
+    input.addData(w2)
+    q.processAllAvailable()
+
+    val streaming = spark.table("phstream").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streaming == batch,
+      s"streaming pairs diverged from batch m6:\n" +
+        s"only-streaming=${(streaming -- batch).take(5)}\nonly-batch=${(batch -- streaming).take(5)}")
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
