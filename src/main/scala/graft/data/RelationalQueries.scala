@@ -162,6 +162,46 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+    "q32_activity_similarity" -> t { (spark, dir) =>
+      // time-series similarity search (the EDBT/ICDE streaming-similarity
+      // family) as a SPARSE inner-product join: each user's activity
+      // profile is their event count per 1/64th of the global time span,
+      // and cos(u, v) is computed WITHOUT ever materializing dense
+      // vectors — the (user, bucket, n) frame self-joins on the bucket
+      // key, so dot(u, v) = Σ n_u·n_v accumulates in one keyed agg over
+      // pairs that share ≥1 active bucket. This is the classic sparse
+      // similarity-join plan: no per-user array, no all-pairs scan —
+      // pair work is bounded by per-bucket activity. Buckets are the
+      // known hot keys (every active user touches most of them); at
+      // 100 TB the standard mitigations are prefix filtering on the
+      // heaviest buckets and a finer B — same plan shape. Exact: bucket
+      // arithmetic and dots are BIGINT, cosine one IEEE division; the
+      // span frame is a 1-row aggregate (whitelisted broadcast class).
+      val ev = Tables.events(spark, dir).select("user_id", "ts_us")
+      val span = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+      val sparse = ev.crossJoin(broadcast(span))
+        .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
+        .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+        .persist() // norms, query side and candidate side share it
+      val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
+      val q = sparse.filter(col("user_id") % 5 === 0)
+        .select(col("user_id").as("q_user"), col("bucket"), col("n").as("q_n"))
+      q.join(sparse, "bucket")
+        .filter(col("user_id") =!= col("q_user"))
+        .groupBy("q_user", "user_id")
+        .agg(sum(expr("q_n * n")).as("dot"))
+        .join(norms.select(col("user_id").as("q_user"), col("nn").as("q_nn")), "q_user")
+        .join(norms, "user_id")
+        .withColumn("cos", expr(
+          "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
+        .withColumn("rnk", row_number()
+          .over(Window.partitionBy("q_user").orderBy(col("cos").desc, col("user_id")))
+          .cast("int"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_user"), col("user_id").as("sim_user"), col("rnk"),
+          col("dot"), col("cos"))
+        .orderBy("q_user", "rnk")
+    },
     "q04_order_priority" -> t { (spark, dir) =>
       // EXISTS → left_semi: the lineitem side is reduced to distinct keys
       // before the join, so no row multiplication ever happens.
@@ -732,6 +772,33 @@ object RelationalQueries {
         CAST(sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         CAST(count(*) AS BIGINT) AS n_events
       FROM gaps GROUP BY user_id ORDER BY user_id""",
+    "q32_activity_similarity" -> """
+      WITH sp AS (
+        SELECT user_id,
+               ((epoch_us(ts) - s.t0) * 64) // (s.t1 - s.t0 + 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events,
+             (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events) s
+        GROUP BY 1, 2
+      ), nr AS (
+        SELECT user_id, CAST(sum(n * n) AS BIGINT) AS nn FROM sp GROUP BY 1
+      ), dots AS (
+        SELECT q.user_id AS q_user, b.user_id AS sim_user,
+               CAST(sum(q.n * b.n) AS BIGINT) AS dot
+        FROM sp q JOIN sp b
+          ON q.bucket = b.bucket AND q.user_id % 5 = 0 AND b.user_id <> q.user_id
+        GROUP BY 1, 2
+      ), scored AS (
+        SELECT d.q_user, d.sim_user, d.dot,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+        FROM dots d JOIN nr nq ON d.q_user = nq.user_id
+                    JOIN nr nb ON d.sim_user = nb.user_id
+      ), rk AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_user ORDER BY cos DESC, sim_user) AS INT) AS rnk
+        FROM scored
+      )
+      SELECT q_user, sim_user, rnk, dot, cos FROM rk
+      WHERE rnk <= 3 ORDER BY q_user, rnk""",
     "q04_order_priority" -> """
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
       FROM orders
