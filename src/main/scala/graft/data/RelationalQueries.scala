@@ -202,6 +202,47 @@ object RelationalQueries {
           col("dot"), col("cos"))
         .orderBy("q_user", "rnk")
     },
+    "q33_session_funnel" -> t { (spark, dir) =>
+      // the product-analytics ORDERED funnel (view → click → purchase
+      // strictly later within one q11 session), computed as three keyed
+      // aggs + join-backs — never a per-session event collect: stage
+      // k+1's candidates filter on stage k's min timestamp, so the
+      // sequencing constraint is a join predicate, not a state machine.
+      // The only window is q11's session assignment (keyed by user —
+      // high-cardinality at scale); everything after is hash-join +
+      // keyed-agg shaped. Strictly-greater timestamps make the stage
+      // order deterministic in both engines.
+      val ev = Tables.events(spark, dir)
+        .select("user_id", "event_id", "ts_us", "event_type")
+      val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = ev
+        .withColumn("prev_ts", lag("ts_us", 1).over(wU))
+        .withColumn("brk", when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .persist() // four funnel stages read it
+      val v = sess.filter(col("event_type") === "view")
+        .groupBy("user_id", "sid").agg(min("ts_us").as("tv"))
+      val c = sess.join(v, Seq("user_id", "sid"))
+        .filter(col("event_type") === "click" && col("ts_us") > col("tv"))
+        .groupBy("user_id", "sid").agg(min("ts_us").as("tc"))
+      val p = sess.join(c, Seq("user_id", "sid"))
+        .filter(col("event_type") === "purchase" && col("ts_us") > col("tc"))
+        .groupBy("user_id", "sid").agg(min("ts_us").as("tp"))
+      sess.select("user_id", "sid").distinct()
+        .join(v, Seq("user_id", "sid"), "left")
+        .join(c, Seq("user_id", "sid"), "left")
+        .join(p, Seq("user_id", "sid"), "left")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
+          sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
+        .withColumn("funnel_frac",
+          expr("CAST(n_full_funnel AS DOUBLE) / n_sessions"))
+        .orderBy("user_id")
+    },
     "q04_order_priority" -> t { (spark, dir) =>
       // EXISTS → left_semi: the lineitem side is reduced to distinct keys
       // before the join, so no row multiplication ever happens.
@@ -799,6 +840,41 @@ object RelationalQueries {
       )
       SELECT q_user, sim_user, rnk, dot, cos FROM rk
       WHERE rnk <= 3 ORDER BY q_user, rnk""",
+    "q33_session_funnel" -> """
+      WITH gaps AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        FROM events
+      ), se AS (
+        SELECT user_id, event_id, event_type, ts_us,
+          sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+      ), v AS (
+        SELECT user_id, sid, min(ts_us) AS tv FROM se
+        WHERE event_type = 'view' GROUP BY 1, 2
+      ), c AS (
+        SELECT s.user_id, s.sid, min(s.ts_us) AS tc
+        FROM se s JOIN v ON s.user_id = v.user_id AND s.sid = v.sid
+        WHERE s.event_type = 'click' AND s.ts_us > v.tv GROUP BY 1, 2
+      ), p AS (
+        SELECT s.user_id, s.sid, min(s.ts_us) AS tp
+        FROM se s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+        WHERE s.event_type = 'purchase' AND s.ts_us > c.tc GROUP BY 1, 2
+      ), ps AS (
+        SELECT DISTINCT user_id, sid FROM se
+      )
+      SELECT ps.user_id,
+        CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(sum(CASE WHEN v.tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(sum(CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+        CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+        CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS funnel_frac
+      FROM ps
+      LEFT JOIN v ON ps.user_id = v.user_id AND ps.sid = v.sid
+      LEFT JOIN c ON ps.user_id = c.user_id AND ps.sid = c.sid
+      LEFT JOIN p ON ps.user_id = p.user_id AND ps.sid = p.sid
+      GROUP BY ps.user_id ORDER BY ps.user_id""",
     "q04_order_priority" -> """
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
       FROM orders
