@@ -41,6 +41,7 @@ object Bench {
     "q24_window_suite", "q25_skew_salted", "q26_cube_mix", "q27_stats_moments",
     "q28_promo_window", "q29_cohort_retention", "q30_conversion_funnel",
     "q31_zorder_cells", "q32_activity_similarity", "q33_session_funnel",
+    "q34_rate_anomaly",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "d7_simhash_near", "d8_dedup_agreement", "d9_dedup_savings",

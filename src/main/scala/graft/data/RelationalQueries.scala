@@ -243,6 +243,35 @@ object RelationalQueries {
           expr("CAST(n_full_funnel AS DOUBLE) / n_sessions"))
         .orderBy("user_id")
     },
+    "q34_rate_anomaly" -> t { (spark, dir) =>
+      // event-rate anomaly flags: per (event_type, time bucket), is the
+      // bucket's count a >3σ outlier against the type's own rate? The
+      // 3-sigma rule in CROSS-MULTIPLIED exact integers — flag iff
+      // (B·n − S)² > 9·(B·SS − S²), i.e. (n − mean)² > 9·var with every
+      // division cleared — so the flag, deviation and threshold are all
+      // BIGINT-exact (the money-math discipline applied to variance).
+      // ZERO buckets participate via the dense type×bucket grid (an
+      // explode over a 64-literal sequence — a silent bucket IS the
+      // anomaly a monitor must catch); the grid is O(#types · B), the
+      // stats one keyed agg, the span a 1-row whitelisted broadcast.
+      val ev = Tables.events(spark, dir).select("event_type", "ts_us")
+      val span = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+      val cnt = ev.crossJoin(broadcast(span))
+        .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      val grid = cnt.select("event_type").distinct()
+        .withColumn("bucket", explode(sequence(lit(0L), lit(63L))))
+        .join(cnt, Seq("event_type", "bucket"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val st = grid.groupBy("event_type")
+        .agg(sum("n").as("s"), sum(expr("n * n")).as("ss"))
+      grid.join(st, "event_type")
+        .withColumn("dev2", expr("(64 * n - s) * (64 * n - s)"))
+        .withColumn("thr", expr("9 * (64 * ss - s * s)"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          col("dev2"), col("thr"), (col("dev2") > col("thr")).as("is_anomaly"))
+        .orderBy("event_type", "bucket")
+    },
     "q04_order_priority" -> t { (spark, dir) =>
       // EXISTS → left_semi: the lineitem side is reduced to distinct keys
       // before the join, so no row multiplication ever happens.
@@ -875,6 +904,30 @@ object RelationalQueries {
       LEFT JOIN c ON ps.user_id = c.user_id AND ps.sid = c.sid
       LEFT JOIN p ON ps.user_id = p.user_id AND ps.sid = p.sid
       GROUP BY ps.user_id ORDER BY ps.user_id""",
+    "q34_rate_anomaly" -> """
+      WITH s AS (
+        SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+      ), cnt AS (
+        SELECT event_type,
+               ((epoch_us(ts) - s.t0) * 64) // (s.t1 - s.t0 + 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, s GROUP BY 1, 2
+      ), grid AS (
+        SELECT et.event_type, g.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM (SELECT DISTINCT event_type FROM cnt) et
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) g
+        LEFT JOIN cnt c ON c.event_type = et.event_type AND c.bucket = g.bucket
+      ), st AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS sm,
+               CAST(sum(n * n) AS BIGINT) AS ss
+        FROM grid GROUP BY 1
+      )
+      SELECT g.event_type, CAST(g.bucket AS BIGINT) AS bucket, g.n,
+             CAST((64 * g.n - st.sm) * (64 * g.n - st.sm) AS BIGINT) AS dev2,
+             CAST(9 * (64 * st.ss - st.sm * st.sm) AS BIGINT) AS thr,
+             (64 * g.n - st.sm) * (64 * g.n - st.sm) > 9 * (64 * st.ss - st.sm * st.sm) AS is_anomaly
+      FROM grid g JOIN st ON g.event_type = st.event_type
+      ORDER BY g.event_type, g.bucket""",
     "q04_order_priority" -> """
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
       FROM orders
