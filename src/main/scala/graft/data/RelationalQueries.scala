@@ -186,6 +186,13 @@ object RelationalQueries {
       val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
       val q = sparse.filter(col("user_id") % 5 === 0)
         .select(col("user_id").as("q_user"), col("bucket"), col("n").as("q_n"))
+      // buckets are the predicted hot keys: B join keys total caps pair
+      // generation at B tasks. The parallelism lever at scale is B
+      // ITSELF — a finer grid multiplies join keys AND sharpens the
+      // profiles — with q25's replicated-salt join as the fallback when
+      // B must stay coarse (measured here: salting costs ~20% locally
+      // from query-side replication, so it stays a deployment knob, not
+      // the default).
       q.join(sparse, "bucket")
         .filter(col("user_id") =!= col("q_user"))
         .groupBy("q_user", "user_id")
