@@ -200,6 +200,41 @@ object StreamingAnalytics {
         initState)(fn)
   }
 
+  /** Streaming event-rate anomaly monitor — q34's continuous form: the
+    * per-type rate baseline (S = Σn, SS = Σn² over the B training
+    * buckets) is batch-trained and ships as a LocalRelation of O(#types)
+    * rows; each finalized event-time window's count then flags by q34's
+    * cross-multiplied 3σ rule, (B·n − S)² > 9·(B·SS − S²) — exact
+    * BIGINTs end to end. The window length must equal the baseline's
+    * bucket width for the test to be dimensionally right (the caller
+    * owns that contract; the convergence spec constructs it exactly).
+    *
+    * Shape: one watermarked windowed count (state = types·windows rows)
+    * + a post-aggregation static join against the baseline + a narrow
+    * flag projection — append-compatible, indefinitely runnable. A
+    * window with ZERO events of a type emits nothing here, so the
+    * silent-bucket anomaly stays the BATCH audit's job (q34's dense
+    * grid); the stream catches spikes as they finalize. */
+  def rateAnomalyStream(events: DataFrame, baseline: Map[String, (Long, Long)],
+      b: Int = 64, windowLength: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bl = baseline.toSeq.map { case (t, (s, ss)) => (t, s, ss) }
+      .toDF("event_type", "s", "ss")
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(bl, "event_type")
+      .withColumn("dev2", expr(s"($b * n - s) * ($b * n - s)"))
+      .withColumn("thr", expr(s"9 * ($b * ss - s * s)"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("dev2"), col("thr"),
+        (col("dev2") > col("thr")).as("is_anomaly"))
+  }
+
   final case class PhashRow(bucket: Long, doc_id: Long, phash: Long)
   final case class PhashPair(doc_a: Long, doc_b: Long, hamming: Int)
 

@@ -307,6 +307,48 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming rate-anomaly monitor flags the spike window by the exact batch rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 16 one-minute training buckets: fifteen at 10 events, one spike at
+    // 100 — baseline (S, SS) computed the way batch q34 trains them
+    val counts = (0 until 16).map(i => if (i == 7) 100 else 10)
+    val S = counts.map(_.toLong).sum            // 250
+    val SS = counts.map(c => c.toLong * c).sum  // 11500
+    val T0A = (T0 / min(1)) * min(1)            // minute-aligned start
+    val rows = for {
+      (c, i) <- counts.zipWithIndex
+      j <- 0 until c
+    } yield ("click", T0A + i * min(1) + j * 100L)
+
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingAnalytics.rateAnomalyStream(
+        input.toDF().toDF("event_type", "ts_us"),
+        Map("click" -> (S, SS)), b = 16,
+        windowLength = "1 minute", watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("ratemon").outputMode("append").start()
+    val (w1, w2) = rows.splitAt(rows.size / 2)
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    input.addData(("click", T0A + min(60))) // advance watermark: close all
+    q.processAllAvailable()
+
+    val out = spark.table("ratemon")
+      .select(unix_micros(col("window_start")).as("ws"), col("n"),
+        col("dev2"), col("thr"), col("is_anomaly"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.size == 16, s"all 16 training windows must finalize, got ${out.size}")
+    for ((c, i) <- counts.zipWithIndex) {
+      val (n, dev2, thr, flag) = out(T0A + i * min(1))
+      assert(n == c)
+      assert(dev2 == (16L * c - S) * (16L * c - S), s"window $i dev2")
+      assert(thr == 9L * (16L * SS - S * S), s"window $i thr")
+      assert(flag == (i == 7), s"window $i flag must be ${i == 7}")
+    }
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
