@@ -42,6 +42,55 @@ class CdcChunkingSpec extends AnyFunSuite {
       s"aligned chunking should lose all sharing under the shift, got $aligned")
   }
 
+  test("randomized equivalence: distributed CDC chunking agrees with a straight-line reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xCDC1)
+    // straight-line reference: same hash fold, same 3-window boundary
+    // rule, same shared-chunk contract as MultimodalOps.cdcChunks
+    def hex13(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(13).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val ws = text.split(" ", -1).toSeq
+      val th = ws.map(w => hex13(w) % 1048576L)
+      val bounds = th.indices.map { i =>
+        i >= 2 && (th(i - 2) * 961 + th(i - 1) * 31 + th(i)) % 8 == 0
+      }
+      val out = Seq.newBuilder[String]
+      var cur = Seq.newBuilder[String]
+      ws.indices.foreach { i =>
+        cur += ws(i)
+        if (bounds(i)) { out += cur.result().mkString(" "); cur = Seq.newBuilder[String] }
+      }
+      val tail = cur.result()
+      if (tail.nonEmpty) out += tail.mkString(" ")
+      out.result()
+    }
+    for (round <- 1 to 3) {
+      val vocab = (1 to 40).map(i => s"v$i")
+      val base = (1 to 12).map { id =>
+        (id.toLong, (1 to 50 + rnd.nextInt(150)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant a near-dup: a copy of doc 1 with a random inserted prefix
+      val planted = (100L, (1 to 1 + rnd.nextInt(9)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") + " " + base.head._2)
+      val docs = base :+ planted
+      val expected = {
+        val ch = docs.map { case (id, t) => id -> chunksOf(t) }
+        val df = ch.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+        ch.map { case (id, cs) =>
+          id -> (cs.size.toLong, cs.count(c => df(c) >= 2).toLong)
+        }.toMap
+      }
+      val got = MultimodalOps.cdcChunks(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected, s"round $round: distributed != reference\n${
+        (got.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- got.toSet).take(3)}")
+    }
+  }
+
   test("cdcChunks covers every token exactly once: chunk token counts sum to the doc's") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
