@@ -45,6 +45,36 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
       assert(r == ref, s"x35 under layout '$name' diverged from '$refName'")
   }
 
+  test("x44 shard manifest is layout-invariant and its checksum detects reorder/substitution") {
+    import org.apache.spark.sql.functions._
+    // layout-invariance: the manifest derives from x34's deterministic
+    // positions, so any input layout yields byte-identical manifests
+    val results = layouts.map { case (name, d) =>
+      name -> TextOps.shardManifest(d).collect().map(_.toString).toSeq
+    }
+    val (refName, ref) = results.head
+    for ((name, r) <- results.tail)
+      assert(r == ref, s"x44 under layout '$name' diverged from '$refName'")
+    // the integrity contract: swapping two members' CONTENT (same doc
+    // ids, exchanged texts — a substitution a count/token-sum manifest
+    // could miss if lengths matched) changes some shard's checksum
+    val docs = Tables.documents(spark, sfDir)
+    val two = docs.select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    val t1 = docs.filter(col("doc_id") === two(1)).select(col("text").as("t1x")).collect()(0).getString(0)
+    val t0 = docs.filter(col("doc_id") === two(0)).select(col("text").as("t0x")).collect()(0).getString(0)
+    assume(t0 != t1, "corpus degenerate: first two docs identical")
+    val sub = docs.withColumn("text",
+      when(col("doc_id") === two(0), lit(t1))
+        .when(col("doc_id") === two(1), lit(t0))
+        .otherwise(col("text")))
+    val a = TextOps.shardManifest(docs).select("shard", "checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = TextOps.shardManifest(sub).select("shard", "checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a != b, "swapping two members' content must change a checksum")
+  }
+
   test("x41 mixture expand is identical under every input layout") {
     val results = layouts.map { case (name, d) =>
       name -> TextOps.mixtureExpand(d).collect().map(_.toString).sorted.toSeq
