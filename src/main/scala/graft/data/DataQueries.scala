@@ -93,6 +93,7 @@ object DataQueries {
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
     "x43_dedup_mixture" -> docs(TextOps.dedupMixture),
     "x44_shard_manifest" -> docs(TextOps.shardManifest(_)),
+    "x45_filter_agreement" -> docs(TextOps.filterAgreement),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -2296,6 +2297,18 @@ ORDER BY g.s, g.code"""),
       ORDER BY src_a, src_b"""),
     "x36_phrase_search" -> phraseSearchSql(TextOps.PhraseQueries),
     "x37_perceptron_filter" -> perceptronSql(buckets = 64, rounds = 16),
+    // x45 wraps the full unrolled x37 chain as a subquery and rolls the
+    // joint rule/model verdicts up per source
+    "x45_filter_agreement" -> s"""
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN p.y > 0 AND p.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+        CAST(sum(CASE WHEN p.y > 0 AND NOT p.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
+        CAST(sum(CASE WHEN p.y < 0 AND p.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_model_only,
+        CAST(sum(CASE WHEN p.y < 0 AND NOT p.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+        CAST(sum(CASE WHEN (p.y > 0) = p.pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agree_frac
+      FROM (${perceptronSql(buckets = 64, rounds = 16)}) p
+      JOIN documents d ON p.doc_id = d.doc_id
+      GROUP BY d.source ORDER BY d.source""",
     "x38_data_card" -> s"""
       WITH pd AS (
         SELECT doc_id, source, lang, n_words,

@@ -2068,6 +2068,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x45 — rule-vs-model filter agreement, d8's signal-fusion audit
+    * applied to QUALITY detectors: the joint verdict distribution of
+    * x16's rule gate (x37's training label `y`) and x37's trained
+    * linear classifier, rolled up per source — the check DataComp-LM
+    * class pipelines run before swapping a heuristic filter for a
+    * model-based one. The disagreement cells are the interesting docs:
+    * `n_model_only` is what the model would rescue from the rules,
+    * `n_rule_only` what it would newly drop; a source whose agreement
+    * collapses is where the model generalized past (or against) the
+    * rules. Costs one doc_id hash join and one O(#sources) rollup on
+    * top of x37's memoized trained weights — the training loop is never
+    * re-paid. */
+  def filterAgreement(documents: DataFrame): DataFrame =
+    perceptronFilter(documents)
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") > 0 && col("pred"), 1L).otherwise(0L)).as("n_both_keep"),
+        sum(when(col("y") > 0 && !col("pred"), 1L).otherwise(0L)).as("n_rule_only"),
+        sum(when(col("y") < 0 && col("pred"), 1L).otherwise(0L)).as("n_model_only"),
+        sum(when(col("y") < 0 && !col("pred"), 1L).otherwise(0L)).as("n_both_drop"))
+      .withColumn("agree_frac",
+        expr("CAST(n_both_keep + n_both_drop AS DOUBLE) / n"))
+      .orderBy("source")
+
   /** x38 — the per-source data card: the one-table summary a curated
     * release ships (and the dashboard a 100 TB ingest is steered by) —
     * per source: volume (docs, tokens), the x16 quality-gate keep rate,

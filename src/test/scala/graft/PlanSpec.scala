@@ -432,6 +432,7 @@ class PlanSpec extends AnyFunSuite {
       "s10_ivf_drift" -> 2,        // centroids ×2 tree refs: O(k) (totals hint is scalar-whitelisted)
       "x36_phrase_search" -> 1,    // phrase slot table: O(#query phrase terms)
       "x37_perceptron_filter" -> 1, // trained weight vector: O(#buckets)
+      "x45_filter_agreement" -> 1, // inherits x37's trained weight vector: O(#buckets)
       "s5_ann_int8" -> 0,          // Q-scaled winners frames de-hinted (r7): AQE-sized
       "s6_ann_ivf_trained" -> 3,   // trained centroids ×3 (query-cells frame de-hinted: Q-scaled)
       "s7_ann_pq" -> 3,            // codebook ×2 + the ADC distance table (query-BATCH-bounded by design)
