@@ -66,6 +66,7 @@ object Bench {
     "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",
     "x36_phrase_search", "x37_perceptron_filter", "x38_data_card",
     "x39_eval_span_contamination", "x40_tokenizer_fertility",
+    "x46_eval_span_scrub",
     "x41_mixture_expand", "x42_cross_source_dups", "x43_dedup_mixture",
     "x44_shard_manifest", "x45_filter_agreement",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",

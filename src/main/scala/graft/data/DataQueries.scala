@@ -97,6 +97,7 @@ object DataQueries {
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
+    "x46_eval_span_scrub" -> docs(TextOps.evalSpanScrub(_).orderBy("doc_id")),
     "x40_tokenizer_fertility" -> docs(TextOps.tokenizerFertility(_)),
     "x37_perceptron_filter" -> docs(TextOps.perceptronFilter(_)),
     "x38_data_card" -> docs(TextOps.dataCard),
@@ -1029,6 +1030,37 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       LEFT JOIN contam c ON d.doc_id = c.doc_id
       LEFT JOIN winhits w ON d.doc_id = w.doc_id
       WHERE d.doc_id >= 10 ORDER BY d.doc_id""",
+    // x46: x32's surgery with x39's benchmark coverage set
+    "x46_eval_span_scrub" -> """
+      WITH wsx6 AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), tok6 AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+              FROM wsx6 WHERE doc_id >= 10) q
+      ), win6 AS (
+        SELECT doc_id, i, md5(array_to_string(ws[i : i+3], ' ')) AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+              FROM wsx6 WHERE len(ws) >= 4) q
+      ), bench6 AS (
+        SELECT DISTINCT h FROM win6 WHERE doc_id < 10
+      ), cov6 AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT w.doc_id, unnest(generate_series(w.i - 1, w.i + 2)) AS pos
+          FROM win6 w JOIN bench6 b ON w.h = b.h WHERE w.doc_id >= 10) q
+      ), marked6 AS (
+        SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS is_cov
+        FROM tok6 t LEFT JOIN cov6 c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      ), agg6 AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN is_cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          md5(coalesce(string_agg(CASE WHEN NOT is_cov THEN w END, ' ' ORDER BY pos),
+            '')) AS clean_md5
+        FROM marked6 GROUP BY 1
+      )
+      SELECT doc_id, n_tokens, n_removed,
+        CAST(n_tokens - n_removed AS DOUBLE) / n_tokens AS kept_frac, clean_md5
+      FROM agg6 ORDER BY doc_id""",
     // per-token surprisal quantized once per vocab entry, per-doc exact
     // integer sum (unigram-LM bits: the CCNet-style quality ranking)
     "x25_unigram_surprisal" -> """

@@ -1518,6 +1518,44 @@ object TextOps {
         expr("CAST(coalesce(n_contam_tokens, 0) AS DOUBLE) / n_tokens").as("contam_frac"))
   }
 
+  /** x46 — eval-span SCRUB: the ACTION x39's contamination report
+    * drives, completing the report→surgery symmetry x27→x32 set (drop
+    * only the overlapping spans, keep the document): every training-doc
+    * token covered by a window that also appears in the benchmark set is
+    * removed and the cleaned document reassembled in original order —
+    * the span-level alternative to x12's whole-doc drop, which is what
+    * published pipelines actually ship when a long document merely
+    * quotes an eval item. Plan shape is x32's surgery with x39's
+    * coverage set: the window frames are the SAME memoized artifacts
+    * both reports use (never recomputed), coverage is one hash join +
+    * explode + distinct, and the reassembly is per-doc bounded. */
+  def evalSpanScrub(documents: DataFrame, spanWords: Int = 4,
+      benchMaxId: Long = 10): DataFrame = {
+    val toks = documents.filter(col("doc_id") >= benchMaxId)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val wins = spanWindows(documents, spanWords)
+    val bench = evalBenchmarkWindows(documents, spanWords, benchMaxId)
+    val covered = wins.filter(col("doc_id") >= benchMaxId).join(bench, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i") - 1, col("i") + (spanWords - 2))).as("pos"))
+      .distinct()
+    toks.join(covered.withColumn("is_cov", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("is_cov"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("is_cov").isNull,
+            struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ")).as("clean_md5"))
+      .withColumn("kept_frac",
+        expr("CAST(n_tokens - n_removed AS DOUBLE) / n_tokens"))
+      // UNORDERED output by contract (see shardExport) — the registry
+      // wrapper orders by doc_id for the driver's hash gate only
+      .select("doc_id", "n_tokens", "n_removed", "kept_frac", "clean_md5")
+  }
+
   /** x25 — unigram-LM surprisal scoring (the CCNet-style "how unusual is
     * this document under a corpus LM" quality signal, with the LM reduced
     * to unigrams so it is exactly checkable): per-token surprisal is
