@@ -94,6 +94,7 @@ object DataQueries {
     "x43_dedup_mixture" -> docs(TextOps.dedupMixture),
     "x44_shard_manifest" -> docs(TextOps.shardManifest(_)),
     "x45_filter_agreement" -> docs(TextOps.filterAgreement),
+    "x47_cms_audit" -> docs(TextOps.cmsAudit(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -1061,6 +1062,32 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT doc_id, n_tokens, n_removed,
         CAST(n_tokens - n_removed AS DOUBLE) / n_tokens AS kept_frac, clean_md5
       FROM agg6 ORDER BY doc_id""",
+    // x47: the CMS build (4×64 cells over exact term counts) + the
+    // min-over-rows probe for the top-20 exact terms
+    "x47_cms_audit" -> s"""
+      WITH tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS exact
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) q
+        GROUP BY 1
+      ), hx AS (
+        SELECT term, exact, j,
+               (${TextOps.hex13NumFragment("md5(CAST(j AS STRING) || ':' || term)")}) % 64 AS cell
+        FROM tc, (SELECT unnest(generate_series(0, 3)) AS j) tj
+      ), cms AS (
+        SELECT j, cell, CAST(sum(exact) AS BIGINT) AS c FROM hx GROUP BY 1, 2
+      ), topx AS (
+        SELECT term, exact,
+               CAST(row_number() OVER (ORDER BY exact DESC, term) AS INT) AS rnk
+        FROM tc ORDER BY exact DESC, term LIMIT 20
+      ), est AS (
+        SELECT t.rnk, t.term, t.exact, CAST(min(c.c) AS BIGINT) AS cms_est
+        FROM topx t
+        JOIN hx h ON t.term = h.term
+        JOIN cms c ON h.j = c.j AND h.cell = c.cell
+        GROUP BY 1, 2, 3
+      )
+      SELECT rnk, term, exact, cms_est, cms_est - exact AS overestimate
+      FROM est ORDER BY rnk""",
     // per-token surprisal quantized once per vocab entry, per-doc exact
     // integer sum (unigram-LM bits: the CCNet-style quality ranking)
     "x25_unigram_surprisal" -> """

@@ -1088,6 +1088,50 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** x47 — Count-Min sketch heavy-hitter audit, d10's
+    * calibration-before-trust pattern applied to frequency sketching:
+    * build the d×w CMS over the corpus token stream (d=4 md5-derived
+    * row hashes, w=64 counters — the O(d·w) state that replaces an
+    * O(|vocab|) exact count at 100 TB), then for the top-k exact terms
+    * report the sketch estimate next to the exact count and the signed
+    * overestimate. CMS guarantees estimate ≥ exact (each cell
+    * upper-bounds every term hashing into it), which the spec pins; the
+    * measured overestimate is the evidence that sizes (d, w) before
+    * anyone trusts the sketch alone.
+    *
+    * Shape: term counts are ONE map-side-combinable keyed agg; the
+    * sketch is a second keyed agg over (row, cell) — 256 cells
+    * regardless of vocabulary — and the probe joins each audited term's
+    * d cells back against that tiny frame (AQE-sized, never hinted).
+    * Every counter is an exact BIGINT and the row hashes are the
+    * portable hex13(md5) fold, so the audit hash-matches the oracle. */
+  def cmsAudit(documents: DataFrame, depth: Int = 4, width: Int = 64,
+      topK: Int = 20): DataFrame = {
+    val counts = documents
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+      .persist() // sketch build and audited-term probe share it
+    val hashed = counts
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell", expr(
+        s"(${hex13Num("md5(concat(CAST(j AS STRING), ':', term))")}) % $width"))
+    val cms = hashed.groupBy("j", "cell").agg(sum("exact").as("c"))
+    // TakeOrdered top-k (x6's idiom), then rank within the k-row frame —
+    // never a global window over the vocabulary
+    val top = counts.orderBy(col("exact").desc, col("term")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("exact").desc, col("term"))).cast("int"))
+    top.withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell", expr(
+        s"(${hex13Num("md5(concat(CAST(j AS STRING), ':', term))")}) % $width"))
+      .join(cms, Seq("j", "cell"))
+      .groupBy("term", "exact", "rnk")
+      .agg(min("c").as("cms_est"))
+      .withColumn("overestimate", col("cms_est") - col("exact"))
+      .select("rnk", "term", "exact", "cms_est", "overestimate")
+      .orderBy("rnk")
+  }
+
   /** x6 — corpus bigram vocabulary, top-N by frequency: the vocabulary-
     * building pass of a BPE-ish tokenizer pipeline. One hash shuffle on
     * the bigram (map-side combined), then a top-N sort of the tiny

@@ -15,6 +15,25 @@ import scala.util.Random
   */
 class TextOpsPropertySpec extends AnyFunSuite {
 
+  test("CMS audit: estimates upper-bound exact counts on random corpora, tight when under-loaded") {
+    val sp = Tables.session("textops-property-spec", "4")
+    import sp.implicits._
+    val rnd = new Random(0xC35)
+    for (round <- 1 to 3) {
+      val vocab = (1 to 30 + rnd.nextInt(200)).map(i => s"t$i")
+      val docs = (1 to 10).map { id =>
+        (id.toLong, (1 to 100).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = TextOps.cmsAudit(docs).collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val (exact, est) = (r.getLong(2), r.getLong(3))
+        assert(est >= exact,
+          s"round $round: CMS under-estimated '${r.getString(1)}' ($est < $exact) — impossible for a correct CMS")
+      }
+    }
+  }
+
   // Tables.session, NOT a bare builder: getOrCreate would otherwise let
   // this suite win the JVM-wide session race WITHOUT GraftExtensions,
   // breaking any concurrently-run suite that needs the native functions
