@@ -235,6 +235,36 @@ object StreamingAnalytics {
         (col("dev2") > col("thr")).as("is_anomaly"))
   }
 
+  /** Streaming Count-Min sketch maintenance — x47's continuous form,
+    * and the shape CMS was DESIGNED for (it is the canonical streaming
+    * frequency sketch): every arriving document's tokens hash into the
+    * d×w grid as a narrow projection (the same portable md5 fold as the
+    * batch audit), and ONE watermarked windowed aggregation maintains
+    * per-(window, row, cell) counters — state is d·w·windows rows
+    * regardless of vocabulary or stream length, the whole point of the
+    * sketch. A consumer answers "estimate of term t over window W" by
+    * probing the d cells of t and taking the min — exactly the batch
+    * audit's probe — and merging windows is counter addition (CMS is
+    * linear), so coarser horizons need no extra state. Spec: per-cell
+    * counters over a replayed corpus equal an independent re-derivation
+    * of the batch grid. */
+  def cmsIngestStream(docs: DataFrame, depth: Int = 4, width: Int = 64,
+      windowLength: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val cellExpr = graft.data.TextOps.hex13NumFragment(
+      "md5(concat(CAST(j AS STRING), ':', term))")
+    docs
+      .select(col("ts_us"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell", expr(s"($cellExpr) % $width"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("j"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("j"), col("cell"), col("c"))
+  }
+
   final case class PhashRow(bucket: Long, doc_id: Long, phash: Long)
   final case class PhashPair(doc_a: Long, doc_b: Long, hamming: Int)
 

@@ -349,6 +349,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming CMS counters equal an independent re-derivation of the batch grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    // independent straight-line reference of the 4x64 grid
+    def hex13(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(13).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    }
+    val expected = docs.flatMap { case (_, t) => t.split(" ", -1) }
+      .flatMap(term => (0 until 4).map(j => (j.toLong, hex13(s"$j:$term") % 64)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+
+    val rows = docs.map { case (id, t) => (id, t, T0 + id * 1000L) }
+    val (w1, w2) = rows.splitAt(rows.size / 3)
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamingAnalytics.cmsIngestStream(
+        input.toDF().toDF("doc_id", "text", "ts_us"), windowLength = "60 minutes")
+      .writeStream.format("memory").queryName("cmsstream")
+      .outputMode("complete").start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+
+    val streaming = spark.table("cmsstream")
+      .groupBy("j", "cell").agg(sum("c").as("c")).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streaming.values.sum == expected.values.sum, "total mass must match")
+    assert(streaming == expected,
+      s"streaming CMS grid diverged: only-stream=${(streaming.toSet -- expected.toSet).take(3)} " +
+        s"only-expected=${(expected.toSet -- streaming.toSet).take(3)}")
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
