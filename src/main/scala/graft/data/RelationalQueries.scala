@@ -266,10 +266,12 @@ object RelationalQueries {
       val cnt = ev.crossJoin(broadcast(span))
         .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
         .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+        .persist() // the type list and the grid join both read it
       val grid = cnt.select("event_type").distinct()
         .withColumn("bucket", explode(sequence(lit(0L), lit(63L))))
         .join(cnt, Seq("event_type", "bucket"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
+        .persist() // the stats agg and the final flag join both read it
       val st = grid.groupBy("event_type")
         .agg(sum("n").as("s"), sum(expr("n * n")).as("ss"))
       grid.join(st, "event_type")
