@@ -542,7 +542,9 @@ object VectorOps {
   def annIvfFiltered(embeddings: DataFrame, documents: DataFrame,
       k: Int = 0, everyNth: Int = 50, nProbe: Int = 2, topK: Int = 3): DataFrame = {
     val kk = if (k > 0) k else autoCells(embeddings)
-    val v = quantized(embeddings)
+    // persist: the interpreted quantization HOF feeds the centroid
+    // filter, the assignment and the probe ranking (the s5 lesson)
+    val v = quantized(embeddings).persist()
     val cent = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
     val meta = documents.select(col("doc_id").as("vec_id"), col("lang"))
@@ -594,7 +596,7 @@ object VectorOps {
   def hardNegatives(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
       nProbe: Int = 2, topK: Int = 3): DataFrame = {
     val kk = if (k > 0) k else autoCells(embeddings)
-    val v = quantized(embeddings)
+    val v = quantized(embeddings).persist() // 3 consumers (see annIvfFiltered)
     val cent = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
     val assigned = assignToCentroids(v, cent)
@@ -638,7 +640,7 @@ object VectorOps {
   def annRange(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
       nProbe: Int = 2, minCos: Double = 0.4): DataFrame = {
     val kk = if (k > 0) k else autoCells(embeddings)
-    val v = quantized(embeddings)
+    val v = quantized(embeddings).persist() // 3 consumers (see annIvfFiltered)
     val cent = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
     val assigned = assignToCentroids(v, cent)
