@@ -35,6 +35,68 @@ object RelationalQueries {
 
   private def t(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
 
+  /** Per-side block cap for the q32 hot-bucket grid join: ≤4096 rows per
+    * side per task caps pair work at 4096² ≈ 16.7M multiply-adds — a
+    * right-sized task. At the sf≤0.1 gates every bucket holds <4096 users
+    * so the grid is 1×1 (plan ≡ the plain bucket join); at 10× events the
+    * query axis stays 1 and the candidate axis fans out ~4-wide; at 100 TB
+    * a 1.5M-user bucket fans out to a ~367×74 task grid automatically. */
+  private[data] val SkewBlockRows = 4096
+
+  /** q32 body — time-series similarity search (the EDBT/ICDE
+    * streaming-similarity family) as a SPARSE inner-product join: each
+    * user's activity profile is their event count per 1/64th of the
+    * global time span, and cos(u, v) is computed WITHOUT ever
+    * materializing dense vectors — the (user, bucket, n) frame self-joins
+    * on the bucket key, so dot(u, v) = Σ n_u·n_v accumulates in one keyed
+    * agg over pairs that share ≥1 active bucket. No per-user array, no
+    * all-pairs scan.
+    *
+    * Buckets are the KNOWN hot keys (every active user touches most of
+    * the 64 buckets), so the bucket join runs through
+    * [[SkewOps.gridJoin]]: per-bucket contributor counts (a 64-row
+    * broadcast aggregate) derive a 2-D block grid with ≤`rowsPerBlock`
+    * rows per side per task, capping per-task pair work at rowsPerBlock²
+    * while keeping the result row-identical — cold buckets get a 1×1 grid
+    * and pay nothing, hot buckets fan out in BOTH dimensions. This
+    * replaces the former deployment-knob mitigation (finer B / manual
+    * salting) with measured, automatic, exact skew handling. Exact:
+    * bucket arithmetic and dots are BIGINT, cosine one IEEE division; the
+    * span frame is a 1-row aggregate (whitelisted broadcast class).
+    */
+  private[data] def activitySimilarity(spark: SparkSession, dir: String,
+                                       rowsPerBlock: Int): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts_us")
+    // norms, query side and candidate side (and repeated bench
+    // invocations) share the bucketed profile frame — session memo, not a
+    // per-invocation persist that would linger unreleased (r8 ADVICE)
+    val sparse = SharedFrames.memo(ev, "q32-sparse-b64") {
+      val sp = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+      ev.crossJoin(broadcast(sp))
+        .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
+        .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+    }
+    val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
+    val q = sparse.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"), col("bucket"), col("n").as("q_n"))
+    val out = SkewOps.gridJoin(sparse, q, "bucket", rowsPerBlock)
+      .filter(col("user_id") =!= col("q_user"))
+      .groupBy("q_user", "user_id")
+      .agg(sum(expr("q_n * n")).as("dot"))
+      .join(norms.select(col("user_id").as("q_user"), col("nn").as("q_nn")), "q_user")
+      .join(norms, "user_id")
+      .withColumn("cos", expr(
+        "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("q_user").orderBy(col("cos").desc, col("user_id")))
+        .cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_user"), col("user_id").as("sim_user"), col("rnk"),
+        col("dot"), col("cos"))
+      .orderBy("q_user", "rnk")
+    out
+  }
+
   private val priceD = "CAST(l_extendedprice AS DECIMAL(12,2))"
   private val discD = "CAST(l_discount AS DECIMAL(12,2))"
   private val qtyD = "CAST(l_quantity AS DECIMAL(12,2))"
@@ -163,51 +225,7 @@ object RelationalQueries {
         .orderBy("user_id")
     },
     "q32_activity_similarity" -> t { (spark, dir) =>
-      // time-series similarity search (the EDBT/ICDE streaming-similarity
-      // family) as a SPARSE inner-product join: each user's activity
-      // profile is their event count per 1/64th of the global time span,
-      // and cos(u, v) is computed WITHOUT ever materializing dense
-      // vectors — the (user, bucket, n) frame self-joins on the bucket
-      // key, so dot(u, v) = Σ n_u·n_v accumulates in one keyed agg over
-      // pairs that share ≥1 active bucket. This is the classic sparse
-      // similarity-join plan: no per-user array, no all-pairs scan —
-      // pair work is bounded by per-bucket activity. Buckets are the
-      // known hot keys (every active user touches most of them); at
-      // 100 TB the standard mitigations are prefix filtering on the
-      // heaviest buckets and a finer B — same plan shape. Exact: bucket
-      // arithmetic and dots are BIGINT, cosine one IEEE division; the
-      // span frame is a 1-row aggregate (whitelisted broadcast class).
-      val ev = Tables.events(spark, dir).select("user_id", "ts_us")
-      val span = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
-      val sparse = ev.crossJoin(broadcast(span))
-        .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
-        .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
-        .persist() // norms, query side and candidate side share it
-      val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
-      val q = sparse.filter(col("user_id") % 5 === 0)
-        .select(col("user_id").as("q_user"), col("bucket"), col("n").as("q_n"))
-      // buckets are the predicted hot keys: B join keys total caps pair
-      // generation at B tasks. The parallelism lever at scale is B
-      // ITSELF — a finer grid multiplies join keys AND sharpens the
-      // profiles — with q25's replicated-salt join as the fallback when
-      // B must stay coarse (measured here: salting costs ~20% locally
-      // from query-side replication, so it stays a deployment knob, not
-      // the default).
-      q.join(sparse, "bucket")
-        .filter(col("user_id") =!= col("q_user"))
-        .groupBy("q_user", "user_id")
-        .agg(sum(expr("q_n * n")).as("dot"))
-        .join(norms.select(col("user_id").as("q_user"), col("nn").as("q_nn")), "q_user")
-        .join(norms, "user_id")
-        .withColumn("cos", expr(
-          "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
-        .withColumn("rnk", row_number()
-          .over(Window.partitionBy("q_user").orderBy(col("cos").desc, col("user_id")))
-          .cast("int"))
-        .filter(col("rnk") <= 3)
-        .select(col("q_user"), col("user_id").as("sim_user"), col("rnk"),
-          col("dot"), col("cos"))
-        .orderBy("q_user", "rnk")
+      activitySimilarity(spark, dir, SkewBlockRows)
     },
     "q33_session_funnel" -> t { (spark, dir) =>
       // the product-analytics ORDERED funnel (view → click → purchase
@@ -222,13 +240,15 @@ object RelationalQueries {
       val ev = Tables.events(spark, dir)
         .select("user_id", "event_id", "ts_us", "event_type")
       val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val sess = ev
-        .withColumn("prev_ts", lag("ts_us", 1).over(wU))
-        .withColumn("brk", when(col("prev_ts").isNull ||
-          col("ts_us") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
-        .withColumn("sid", sum("brk").over(
-          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .persist() // four funnel stages read it
+      // four funnel stages read the sessionized frame — session memo, not
+      // a per-invocation persist that would linger unreleased (r8 ADVICE)
+      val sess = SharedFrames.memo(ev, "q33-sessionized") {
+        ev.withColumn("prev_ts", lag("ts_us", 1).over(wU))
+          .withColumn("brk", when(col("prev_ts").isNull ||
+            col("ts_us") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
       val v = sess.filter(col("event_type") === "view")
         .groupBy("user_id", "sid").agg(min("ts_us").as("tv"))
       val c = sess.join(v, Seq("user_id", "sid"))
@@ -262,16 +282,22 @@ object RelationalQueries {
       // anomaly a monitor must catch); the grid is O(#types · B), the
       // stats one keyed agg, the span a 1-row whitelisted broadcast.
       val ev = Tables.events(spark, dir).select("event_type", "ts_us")
-      val span = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
-      val cnt = ev.crossJoin(broadcast(span))
-        .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
-        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
-        .persist() // the type list and the grid join both read it
-      val grid = cnt.select("event_type").distinct()
-        .withColumn("bucket", explode(sequence(lit(0L), lit(63L))))
-        .join(cnt, Seq("event_type", "bucket"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
-        .persist() // the stats agg and the final flag join both read it
+      // the stats agg and the final flag join both read the dense grid;
+      // inside its one-time compute the bucketed count frame is read
+      // twice (type list + grid join) — memoReleasing pins it only for
+      // the materialization, then frees it (r8 ADVICE persist-leak class)
+      val grid = SharedFrames.memoReleasing(ev, "q34-grid-b64") {
+        val span = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+        val cnt = ev.crossJoin(broadcast(span))
+          .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+          .persist()
+        val g = cnt.select("event_type").distinct()
+          .withColumn("bucket", explode(sequence(lit(0L), lit(63L))))
+          .join(cnt, Seq("event_type", "bucket"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+        (g, () => { cnt.unpersist(); () })
+      }
       val st = grid.groupBy("event_type")
         .agg(sum("n").as("s"), sum(expr("n * n")).as("ss"))
       grid.join(st, "event_type")
@@ -522,14 +548,15 @@ object RelationalQueries {
       // are matched point-in-interval per supplier key. Bucket width 16
       // days ⇒ ≤ 2 replicas per interval; the join itself is a hash join
       // on (suppkey, bucket) — no theta nested loop (PlanSpec-asserted).
-      // persist: the projected fact frame feeds both the window
-      // derivation and the range join's point side
-      val li = Tables.lineitem(spark, dir)
+      // the projected fact frame feeds both the window derivation and the
+      // range join's point side — session memo (r8 ADVICE persist-leak
+      // class: a bare per-invocation persist lingers for the session)
+      val liBase = Tables.lineitem(spark, dir)
         .withColumn("d",
           expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"))
         .withColumn("rev_u", expr(revU))
         .select("l_suppkey", "d", "rev_u")
-        .persist()
+      val li = SharedFrames.memo(liBase, "q28-li-proj")(liBase)
       val windows = li.groupBy("l_suppkey")
         .agg(min("d").as("w_start"))
         .withColumn("w_end", col("w_start") + 14)

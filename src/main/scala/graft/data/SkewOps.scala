@@ -30,4 +30,52 @@ object SkewOps {
       explode(sequence(lit(0), lit(salts - 1))))
     factSalted.join(dimSalted, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Inner equi-join on `key` with ADAPTIVE 2-D blocking for hot keys.
+    *
+    * `saltedJoin` spreads a hot key's fact rows over a fixed number of
+    * tasks, but per-task pair work still grows with the OTHER side's
+    * population under that key. When both sides of a key are hot (the
+    * sparse-similarity bucket join: every active user touches most
+    * buckets, so pairs through one bucket grow quadratically), the exact
+    * mitigation is a blocked cartesian per key: split each side into
+    * `ceil(n / rowsPerBlock)` deterministic blocks and join on
+    * `(key, factBlock, probeBlock)`, replicating each fact row across the
+    * probe's block axis and vice versa. Every qualifying pair meets in
+    * EXACTLY one task — the result is row-identical to the plain join —
+    * and per-task pair work is capped at `rowsPerBlock²` no matter how hot
+    * the key is. Block counts are measured from the data (two per-key
+    * count aggregates), so cold keys get a 1×1 grid and pay zero
+    * replication: at gate scale the plan degenerates to the plain join,
+    * while a 100× key automatically fans out to a 100×20 grid of tasks.
+    *
+    * The per-key count frames are broadcast, so this targets joins whose
+    * KEYSPACE is bounded (e.g. q32's 64 time buckets) even when the rows
+    * per key are not — exactly the hot-key class where AQE's skew split
+    * cannot help (one join value cannot be split by a partition planner;
+    * it needs the key extended, which only the query author can do
+    * exactly).
+    */
+  def gridJoin(fact: DataFrame, probe: DataFrame, key: String,
+               rowsPerBlock: Int = 4096): DataFrame = {
+    val fCnt = fact.groupBy(key)
+      .agg(((count(lit(1)) + rowsPerBlock - 1) / rowsPerBlock)
+        .cast("int").as("__nf"))
+    val pCnt = probe.groupBy(key)
+      .agg(((count(lit(1)) + rowsPerBlock - 1) / rowsPerBlock)
+        .cast("int").as("__np"))
+    val factB = fact
+      .join(broadcast(fCnt), key).join(broadcast(pCnt), key)
+      .withColumn("__bf",
+        pmod(hash(fact.columns.toIndexedSeq.map(col): _*), col("__nf")))
+      .withColumn("__bp", explode(sequence(lit(0), col("__np") - 1)))
+      .drop("__nf", "__np")
+    val probeB = probe
+      .join(broadcast(fCnt), key).join(broadcast(pCnt), key)
+      .withColumn("__bp",
+        pmod(hash(probe.columns.toIndexedSeq.map(col): _*), col("__np")))
+      .withColumn("__bf", explode(sequence(lit(0), col("__nf") - 1)))
+      .drop("__nf", "__np")
+    factB.join(probeB, Seq(key, "__bf", "__bp")).drop("__bf", "__bp")
+  }
 }

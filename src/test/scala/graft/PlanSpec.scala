@@ -363,6 +363,19 @@ class PlanSpec extends AnyFunSuite {
       case s: SubqueryAlias => scalarRoot(s.child)
       case _ => false
     }
+    // SkewOps.gridJoin's per-key block-count aggregates: output is exactly
+    // (key, __nf) or (key, __np) — one row per DISTINCT join key, and
+    // gridJoin is documented/used only on bounded keyspaces (q32's 64 time
+    // buckets), so the frame is O(#keys) at every SF. The marker columns
+    // are private to gridJoin; nothing else produces them.
+    def gridCountRoot(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate =>
+        val names = a.aggregateExpressions.map(_.name)
+        names.size == 2 && (names.contains("__nf") || names.contains("__np"))
+      case pr: Project => gridCountRoot(pr.child)
+      case s: SubqueryAlias => gridCountRoot(s.child)
+      case _ => false
+    }
     df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.filterNot { h =>
       val fixedDim = {
         val leaves = h.child.collectLeaves()
@@ -371,7 +384,7 @@ class PlanSpec extends AnyFunSuite {
           cols.nonEmpty && cols.forall(c => c.startsWith("n_") || c.startsWith("r_"))
         }
       }
-      scalarRoot(h.child) || fixedDim
+      scalarRoot(h.child) || gridCountRoot(h.child) || fixedDim
     }
   }
 

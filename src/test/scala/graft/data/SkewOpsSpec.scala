@@ -25,6 +25,59 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("gridJoin equals the plain join when both sides of a key are hot") {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("skey", when(col("l_suppkey") % 4 === 0, lit(1L)).otherwise(col("l_suppkey")))
+      .select("skey", "l_orderkey", "l_linenumber")
+    val probe = Tables.lineitem(spark, sfDir)
+      .withColumn("skey", when(col("l_suppkey") % 3 === 0, lit(1L)).otherwise(col("l_suppkey")))
+      .filter(col("l_linenumber") === 1)
+      .select(col("skey"), col("l_orderkey").as("p_orderkey"))
+
+    val plain = probe.join(li, "skey")
+      .select("skey", "l_orderkey", "l_linenumber", "p_orderkey")
+    // rowsPerBlock=16 forces multi-block grids on the folded hot key
+    val grid = SkewOps.gridJoin(li, probe, "skey", rowsPerBlock = 16)
+      .select("skey", "l_orderkey", "l_linenumber", "p_orderkey")
+
+    assert(grid.count() == plain.count())
+    assert(grid.exceptAll(plain).isEmpty && plain.exceptAll(grid).isEmpty)
+  }
+
+  test("gridJoin fans a hot key out over a bounded-block task grid") {
+    // one 100%-hot key: N fact rows, M probe rows. With cap c the join
+    // key space must widen to ceil(N/c) x ceil(M/c) blocks — pair
+    // generation is no longer capped at #distinct-keys tasks.
+    val fact = Tables.lineitem(spark, sfDir).withColumn("k", lit(1L))
+      .select("k", "l_orderkey", "l_linenumber")
+    val probe = fact.filter(col("l_linenumber") === 1)
+      .select(col("k"), col("l_orderkey").as("p_orderkey"))
+    val cap = 64
+    val nF = fact.count(); val nP = probe.count()
+    val wantF = (nF + cap - 1) / cap; val wantP = (nP + cap - 1) / cap
+    assert(wantF > 1 && wantP > 1, "test data must force both axes wide")
+
+    // reproduce the helper's block assignment to count occupied cells
+    val fCnt = fact.groupBy("k").agg((( count(lit(1)) + cap - 1) / cap).cast("int").as("__nf"))
+    val fB = fact.join(broadcast(fCnt), "k")
+      .withColumn("__bf", pmod(hash(fact.columns.toIndexedSeq.map(col): _*), col("__nf")))
+    val occupied = fB.select("__bf").distinct().count()
+    assert(occupied == wantF, s"hot key spread over $occupied of $wantF fact blocks")
+
+    // and the full grid result stays row-identical to the plain join
+    val plain = probe.join(fact, "k").count()
+    val grid = SkewOps.gridJoin(fact, probe, "k", cap).count()
+    assert(grid == plain)
+  }
+
+  test("q32 body with forced tiny blocks equals the default-cap body") {
+    import graft.data.{RelationalQueries => RQ}
+    val tiny = RQ.activitySimilarity(spark, sfDir, rowsPerBlock = 2).collect()
+    val dflt = RQ.activitySimilarity(spark, sfDir, RQ.SkewBlockRows).collect()
+    assert(tiny.toSeq == dflt.toSeq)
+    assert(dflt.nonEmpty)
+  }
+
   test("the salt column spreads a hot key over many sub-keys") {
     val li = Tables.lineitem(spark, sfDir).withColumn("skey", lit(1L)) // 100% skew
     val salted = li.withColumn("__salt", pmod(hash(li.columns.map(col) :+ col("skey"): _*), lit(16)))
