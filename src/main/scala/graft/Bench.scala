@@ -133,19 +133,30 @@ object Bench {
         if (times.exists(_ < 0)) -1.0 else median(times),
         if (times.exists(_ < 0)) -1.0 else spread(times))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val iqrs = results.map { case (k, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
+    // Contract line kept COMPACT (medians rounded to 0.1 ms, no iqr block)
+    // so it parses even from a truncated stdout tail: rounds 7 and 8 both
+    // shipped "parsed": null because the single ~10 KB medians+iqr line
+    // was cut mid-line by the driver's tail window. The compact line is
+    // ~3 KB and printed BOTH before and after the diagnostics, so a tail
+    // window anchored at either end of the output contains one complete
+    // copy; the iqr diagnostics line deliberately avoids the substring
+    // "metric" so a grep for the contract never half-matches it.
+    def r4(x: Double): String =
+      if (x < 0) "-1" else BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val iqrs = results.map { case (k, _, s) => "\"" + k + "\":" + r4(s) }.mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iqr":$iqrs,"reps":$reps,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
-    // Sidecar copy of the contract line: the driver captures only a stdout
-    // tail, and in round 4 the tail window landed on the iqr block — the
-    // round artifact carried spreads but lost the medians. A file write
-    // (same pattern as ScaleRehearsal's BENCH_sf1.json) makes the full
-    // line durable regardless of how stdout gets truncated.
+    println(s"""{"bench_diag":"iqr","iqr":$iqrs}""")
+    println(json)
+    // Sidecar copy (full form, with iqr): the durable artifact regardless
+    // of how stdout gets truncated (same pattern as ScaleRehearsal's
+    // BENCH_sf1.json).
+    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"iqr":$iqrs,"reps":$reps,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
     if (failed.nonEmpty) {
