@@ -2250,9 +2250,14 @@ ORDER BY g.s, g.code"""),
                CAST(sum(tokens_s) AS BIGINT) AS t_all
         FROM srcx
       ), planx AS (
+        -- w·T exceeds 2^63 near ~2.6e10 total tokens (w ~ 1000·sqrt(t_s)),
+        -- so the product runs in HUGEINT exactly like the Spark side's
+        -- DECIMAL(38,0) chain; target_s <= 9/4·T collapses back to BIGINT
         SELECT source,
-               (w * (t_all * 9 // 4) // w_total) // tokens_s AS full_ep,
-               (w * (t_all * 9 // 4) // w_total) % tokens_s AS rem_s
+               CAST((CAST(w AS HUGEINT) * CAST(t_all * 9 // 4 AS HUGEINT)
+                     // CAST(w_total AS HUGEINT)) // tokens_s AS BIGINT) AS full_ep,
+               CAST((CAST(w AS HUGEINT) * CAST(t_all * 9 // 4 AS HUGEINT)
+                     // CAST(w_total AS HUGEINT)) % tokens_s AS BIGINT) AS rem_s
         FROM srcx, totx
       ), fullx AS (
         SELECT doc_id, source,

@@ -39,6 +39,15 @@ object SharedFrames {
 
   private val cache = TrieMap.empty[(Int, LogicalPlan, String), Memoized]
 
+  /** `localCheckpoint` PRESERVES attribute ids, so two callers of the same
+    * memo entry — or two different memo entries derived from one another
+    * (quantized → cellAssigned) — would share expr-ids and trip Spark's
+    * ambiguous-self-join detection when their frames meet in one query.
+    * A per-call re-aliasing projection mints fresh ids, matching the
+    * pre-memo semantics where every invocation built a fresh plan. */
+  private def freshIds(df: DataFrame): DataFrame =
+    df.select(df.columns.toIndexedSeq.map(c => df(c).alias(c)): _*)
+
   /** Memoize `compute` for this (input, tag): first caller pays, later
     * callers get the materialized frame. `compute` must be a pure function
     * of the input frame — the tag must encode every other parameter.
@@ -53,7 +62,7 @@ object SharedFrames {
     val key = (System.identityHashCode(input.sparkSession),
       input.queryExecution.analyzed.canonicalized, tag)
     val fresh = new Memoized(() => compute.localCheckpoint(true))
-    cache.putIfAbsent(key, fresh).getOrElse(fresh).value
+    freshIds(cache.putIfAbsent(key, fresh).getOrElse(fresh).value)
   }
 
   /** [[memo]] variant for computes that pin upstream persists/checkpoints
@@ -71,7 +80,7 @@ object SharedFrames {
       val (df, release) = compute
       try df.localCheckpoint(true) finally release()
     })
-    cache.putIfAbsent(key, fresh).getOrElse(fresh).value
+    freshIds(cache.putIfAbsent(key, fresh).getOrElse(fresh).value)
   }
 
   /** Number of distinct memoized entries (test observability). */

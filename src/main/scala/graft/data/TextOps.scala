@@ -457,10 +457,13 @@ object TextOps {
     * remainder budget — deterministic, seed-reproducible, within one
     * document of the target per source.
     *
-    * All arithmetic is exact BIGINT division chains (w_s·T stays under
-    * 2^63 up to ~10^18-token corpora; past that the same chain runs in
-    * DECIMAL(38,0)); the only doubles are x17's already-quantized
-    * weights.
+    * All arithmetic is exact: the w_s·T product runs in DECIMAL(38,0)
+    * because it exceeds 2^63 already near ~2.6·10^10 total tokens
+    * (w ≈ 1000·√tokens_s, so w·T grows as T^1.5) — far below any real
+    * corpus. The decimal chain is exact to 38 digits (w·T ≤ ~10^24 at a
+    * 10^18-token corpus) and collapses back to BIGINT at target_s, which
+    * is ≤ 9/4·T and fits; the only doubles are x17's already-quantized
+    * weights. The plan frame is O(#sources), so decimal costs nothing.
     *
     * Scale: the per-source plan is an O(#sources) broadcast; full epochs
     * are a narrow explode (output ∝ target tokens, the rows a trainer
@@ -480,7 +483,9 @@ object TextOps {
         "CAST(floor(sqrt(CAST(tokens_s AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
     val tot = perSource.agg(sum("w").as("w_total"), sum("tokens_s").as("t_all"))
     val plan = perSource.crossJoin(broadcast(tot))
-      .withColumn("target_s", expr(s"w * (t_all * $num DIV $den) DIV w_total"))
+      .withColumn("target_s", expr(
+        s"""CAST((CAST(w AS DECIMAL(38,0)) * CAST(t_all * $num DIV $den AS DECIMAL(38,0)))
+                 DIV CAST(w_total AS DECIMAL(38,0)) AS BIGINT)"""))
       .withColumn("full_ep", expr("target_s DIV tokens_s"))
       .withColumn("rem_s", expr("target_s % tokens_s"))
       .select("source", "full_ep", "rem_s")

@@ -80,12 +80,23 @@ object VectorOps {
       (corpusCount(embeddings) / everyNth + batchSize - 1) / batchSize).toInt
 
   /** Quantized vectors + exact squared norm (norm via the native codegen'd
-    * [[graft.functions.LongDotProduct]] of the vector with itself). */
+    * [[graft.functions.LongDotProduct]] of the vector with itself).
+    *
+    * Session-memoized: the quantization chain is interpreted HOF lambdas
+    * (the one place codegen can't follow) and EVERY s-op consumes it —
+    * formerly each op `.persist()`ed its own copy per invocation with no
+    * release, accumulating session-lifetime cache entries (r8 ADVICE's
+    * lingering-persist class). One [[SharedFrames.memo]] entry per
+    * (session, input plan) pays the chain once and frees the per-op
+    * persists entirely; at 100 TB the analogue is writing the quantized
+    * columns once (see [[SharedFrames]]' bucketed-write note). */
   def quantized(embeddings: DataFrame): DataFrame =
-    embeddings
-      .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
-      .withColumn("nn", expr("graft_dot_long(qv, qv)"))
-      .select("vec_id", "label", "qv", "nn")
+    SharedFrames.memo(embeddings, "vector-quantized") {
+      embeddings
+        .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
+        .withColumn("nn", expr("graft_dot_long(qv, qv)"))
+        .select("vec_id", "label", "qv", "nn")
+    }
 
   /** Pair dot product — native expression, generated into whole-stage
     * codegen (the HOF aggregate/zip_with form runs interpreted and
@@ -183,23 +194,26 @@ object VectorOps {
     * BIGINT sums via the native codegen'd dot, and the rerank reuses the
     * 2^20 quantization — every output column hash-matches the oracle. */
   def annInt8(embeddings: DataFrame, everyNth: Int = 50, k: Int = 5): DataFrame = {
-    // persist: the quantization chain is interpreted HOF lambdas (the one
-    // place codegen can't follow); without it the q8 frame is recomputed
-    // for the query side, the candidate side, and under the broadcast
-    val v8 = embeddings
-      .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-      // a zero-magnitude embedding has no direction: x/mx would emit NULL
-      // q8 entries that silently sink to the bottom of the ranking. Fail
-      // loudly instead (the oracle SQL carries the same guard).
-      .withColumn("mx", when(col("mx") <= 0d,
-        raise_error(lit("annInt8: zero-magnitude embedding cannot be quantized; " +
-          "filter zero vectors upstream")).cast("double"))
-        .otherwise(col("mx")))
-      .withColumn("q8", expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127e0 + 0.5e0) AS BIGINT))"))
-      .withColumn("nn8", expr("graft_dot_long(q8, q8)"))
-      .select("vec_id", "q8", "nn8")
-      .persist()
+    // session memo: the quantization chain is interpreted HOF lambdas (the
+    // one place codegen can't follow); without sharing, the q8 frame is
+    // recomputed for the query side, the candidate side, and under the
+    // broadcast — and a bare per-invocation persist lingered unreleased
+    // for the session (r8 ADVICE)
+    val v8 = SharedFrames.memo(embeddings, "int8-quantized") {
+      embeddings
+        .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        // a zero-magnitude embedding has no direction: x/mx would emit NULL
+        // q8 entries that silently sink to the bottom of the ranking. Fail
+        // loudly instead (the oracle SQL carries the same guard).
+        .withColumn("mx", when(col("mx") <= 0d,
+          raise_error(lit("annInt8: zero-magnitude embedding cannot be quantized; " +
+            "filter zero vectors upstream")).cast("double"))
+          .otherwise(col("mx")))
+        .withColumn("q8", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127e0 + 0.5e0) AS BIGINT))"))
+        .withColumn("nn8", expr("graft_dot_long(q8, q8)"))
+        .select("vec_id", "q8", "nn8")
+    }
     val q = v8.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("q8").as("q_q8"), col("nn8").as("q_nn8"))
     val top = q.join(v8, col("vec_id") =!= col("query_id"))
@@ -215,7 +229,7 @@ object VectorOps {
     // exact rerank of the Q·k winners only — the winners frame scales
     // with the QUERY set, so it is AQE-sized, not force-broadcast (the
     // 100× vector rehearsal measured Q-scaled frames at 100+ MB)
-    val exact = quantized(embeddings).persist()
+    val exact = quantized(embeddings) // session-memoized checkpoint scan
     val withQ = top
       .join(exact.select(col("vec_id").as("query_id"),
         col("qv").as("q_qv"), col("nn").as("q_nn")), "query_id")
@@ -267,14 +281,16 @@ object VectorOps {
     // so the oracle plan is unchanged there
     val nb = if (queryBatches > 0) queryBatches
              else queryBatchCount(embeddings, everyNth)
-    val v = quantized(embeddings).persist()
-    // one row per (vector, subspace): the sliced sub-vector + exact norm
-    val subs = v
-      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
-      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
-      .select("vec_id", "label", "s", "sub", "sub_nn")
-      .persist() // feeds the codebook, the encoding, and the query tables
+    val v = quantized(embeddings) // session-memoized checkpoint scan
+    // one row per (vector, subspace): the sliced sub-vector + exact norm —
+    // feeds the codebook, the encoding, and the query tables (session
+    // memo, not a lingering per-invocation persist: r8 ADVICE)
+    val subs = SharedFrames.memo(embeddings, s"pq-subs:$m:$subDim") {
+      v.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+        .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+        .select("vec_id", "label", "s", "sub", "sub_nn")
+    }
     val cb = subs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("c_id"), col("s").as("c_s"),
         col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
@@ -283,7 +299,9 @@ object VectorOps {
       .groupBy("vec_id", "label", "s")
       .agg(expr("min_by(c_id, struct(dist2, c_id))").as("code"))
     // the corpus-scaled codes frame is scanned once per batch
-    val codes = if (nb > 1) codesRaw.persist() else codesRaw
+    val codes = if (nb > 1)
+      SharedFrames.memo(embeddings, s"pq-codes:$nCodes:$m:$subDim")(codesRaw)
+    else codesRaw
     // per-query ADC table: exact query sub-vector vs every codeword
     val qd = subs.filter(col("vec_id") % everyNth === 0)
       .join(broadcast(cb), col("s") === col("c_s"))
@@ -361,18 +379,21 @@ object VectorOps {
     val kk = if (k > 0) k else autoCells(embeddings)
     val nb = if (queryBatches > 0) queryBatches
              else queryBatchCount(embeddings, everyNth)
-    val v = quantized(embeddings).persist()
+    val v = quantized(embeddings) // session-memoized checkpoint scan
     val cent = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
-    // residual vs the OWN cell's centroid, sliced into m subspaces
-    val subs = assignToCentroids(v, cent)
-      .join(broadcast(cent), "c_id")
-      .withColumn("rv", expr("zip_with(qv, c_qv, (a, b) -> a - b)"))
-      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("sub", expr(s"slice(rv, s * $subDim + 1, $subDim)"))
-      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
-      .select(col("vec_id"), col("c_id").as("cell"), col("s"), col("sub"), col("sub_nn"))
-      .persist() // feeds the codebook and the encoding
+    // residual vs the OWN cell's centroid, sliced into m subspaces —
+    // feeds the codebook and the encoding (session memo, not a lingering
+    // per-invocation persist: r8 ADVICE)
+    val subs = SharedFrames.memo(embeddings, s"ivfpq-subs:$kk:$m:$subDim") {
+      assignToCentroids(v, cent)
+        .join(broadcast(cent), "c_id")
+        .withColumn("rv", expr("zip_with(qv, c_qv, (a, b) -> a - b)"))
+        .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn("sub", expr(s"slice(rv, s * $subDim + 1, $subDim)"))
+        .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+        .select(col("vec_id"), col("c_id").as("cell"), col("s"), col("sub"), col("sub_nn"))
+    }
     val cb = subs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("code_id"), col("s").as("c_s"),
         col("sub").as("c_sub"), col("sub_nn").as("cb_nn"))
@@ -381,7 +402,9 @@ object VectorOps {
       .groupBy("vec_id", "cell", "s")
       .agg(expr("min_by(code_id, struct(dist2, code_id))").as("code"))
     // the corpus-scaled codes frame is scanned once per query batch
-    val codes = if (nb > 1) codesRaw.persist() else codesRaw
+    val codes = if (nb > 1)
+      SharedFrames.memo(embeddings, s"ivfpq-codes:$kk:$nCodes:$m:$subDim")(codesRaw)
+    else codesRaw
     // query probes its nProbe nearest cells; its residual differs per cell
     val probes = v.filter(col("vec_id") % everyNth === 0)
       .crossJoin(broadcast(cent))
@@ -446,6 +469,23 @@ object VectorOps {
       .select(col("vec_id"), col("s.label").as("label"), col("s.qv").as("qv"),
         col("s.nn").as("nn"), col("s.c_id").as("c_id"))
 
+  /** The first-kk-vectors seed centroid frame (O(kk) rows). */
+  private def seedCentroids(v: DataFrame, kk: Int): DataFrame =
+    v.filter(col("vec_id") < kk)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+
+  /** Corpus assigned to the seed-centroid cells — the shared input of the
+    * untrained-IVF family (s6 both sides, s14/s15/s16 candidate side).
+    * Session-memoized per (input, kk): formerly each op persisted its own
+    * copy per invocation with no release (r8 ADVICE's lingering-persist
+    * class); one memo entry pays the assignment once and every consumer
+    * reads the checkpointed frame. */
+  private def cellAssigned(embeddings: DataFrame, kk: Int): DataFrame =
+    SharedFrames.memo(embeddings, s"ivf-assigned:$kk") {
+      val v = quantized(embeddings)
+      assignToCentroids(v, seedCentroids(v, kk)).withColumnRenamed("c_id", "cell")
+    }
+
   /** s6 — IVF over a TRAINED coarse index: cluster assignment comes from
     * k-means centroids (s4's assignment step — exact integer argmin
     * against broadcast centroids), not a given label column; the query
@@ -456,12 +496,8 @@ object VectorOps {
   def annIvfTrained(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
       topK: Int = 3): DataFrame = {
     val kk = if (k > 0) k else autoCells(embeddings) // cells sized, not counted
-    val v = quantized(embeddings)
-    val cent = v.filter(col("vec_id") < kk)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
-    val assigned = assignToCentroids(v, cent)
-      .withColumnRenamed("c_id", "cell")
-      .persist() // both sides of the cell-pruned search read it
+    // both sides of the cell-pruned search read the memoized assignment
+    val assigned = cellAssigned(embeddings, kk)
     val q = assigned.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nn").as("q_nn"), col("cell").as("q_cell"))
@@ -542,15 +578,10 @@ object VectorOps {
   def annIvfFiltered(embeddings: DataFrame, documents: DataFrame,
       k: Int = 0, everyNth: Int = 50, nProbe: Int = 2, topK: Int = 3): DataFrame = {
     val kk = if (k > 0) k else autoCells(embeddings)
-    // persist: the interpreted quantization HOF feeds the centroid
-    // filter, the assignment and the probe ranking (the s5 lesson)
-    val v = quantized(embeddings).persist()
-    val cent = v.filter(col("vec_id") < kk)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+    val v = quantized(embeddings) // session-memoized checkpoint scan
+    val cent = seedCentroids(v, kk)
     val meta = documents.select(col("doc_id").as("vec_id"), col("lang"))
-    val assigned = assignToCentroids(v, cent)
-      .withColumnRenamed("c_id", "cell")
-      .join(meta, "vec_id")
+    val assigned = cellAssigned(embeddings, kk).join(meta, "vec_id")
     val probes = v.filter(col("vec_id") % everyNth === 0)
       .crossJoin(broadcast(cent))
       .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
@@ -596,11 +627,9 @@ object VectorOps {
   def hardNegatives(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
       nProbe: Int = 2, topK: Int = 3): DataFrame = {
     val kk = if (k > 0) k else autoCells(embeddings)
-    val v = quantized(embeddings).persist() // 3 consumers (see annIvfFiltered)
-    val cent = v.filter(col("vec_id") < kk)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
-    val assigned = assignToCentroids(v, cent)
-      .withColumnRenamed("c_id", "cell")
+    val v = quantized(embeddings) // session-memoized checkpoint scan
+    val cent = seedCentroids(v, kk)
+    val assigned = cellAssigned(embeddings, kk)
     val ranked = v.filter(col("vec_id") % everyNth === 0)
       .crossJoin(broadcast(cent))
       .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
@@ -640,11 +669,9 @@ object VectorOps {
   def annRange(embeddings: DataFrame, k: Int = 0, everyNth: Int = 50,
       nProbe: Int = 2, minCos: Double = 0.4): DataFrame = {
     val kk = if (k > 0) k else autoCells(embeddings)
-    val v = quantized(embeddings).persist() // 3 consumers (see annIvfFiltered)
-    val cent = v.filter(col("vec_id") < kk)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
-    val assigned = assignToCentroids(v, cent)
-      .withColumnRenamed("c_id", "cell")
+    val v = quantized(embeddings) // session-memoized checkpoint scan
+    val cent = seedCentroids(v, kk)
+    val assigned = cellAssigned(embeddings, kk)
     val probes = v.filter(col("vec_id") % everyNth === 0)
       .crossJoin(broadcast(cent))
       .withColumn("dist2", expr("nn - 2 * graft_dot_long(qv, c_qv) + c_nn"))
@@ -706,12 +733,15 @@ object VectorOps {
       nProbe: Int = 2, topK: Int = 3, dims: Int = 64): DataFrame = {
     val half = dims / 2
     val kk = if (kHalf > 0) kHalf else imiHalfCells(embeddings)
-    val v = quantized(embeddings)
-      .withColumn("qa", expr(s"slice(qv, 1, $half)"))
-      .withColumn("qb", expr(s"slice(qv, ${half + 1}, $half)"))
-      .withColumn("na", expr("graft_dot_long(qa, qa)"))
-      .withColumn("nb", expr("graft_dot_long(qb, qb)"))
-      .persist() // centroids, both assignments, queries, and the scan read it
+    // centroids, both assignments, queries, and the scan read the halves
+    // frame (session memo, not a lingering per-invocation persist)
+    val v = SharedFrames.memo(embeddings, s"imi-halves:$half") {
+      quantized(embeddings)
+        .withColumn("qa", expr(s"slice(qv, 1, $half)"))
+        .withColumn("qb", expr(s"slice(qv, ${half + 1}, $half)"))
+        .withColumn("na", expr("graft_dot_long(qa, qa)"))
+        .withColumn("nb", expr("graft_dot_long(qb, qb)"))
+    }
     val centA = v.filter(col("vec_id") < kk)
       .select(col("vec_id").as("a_id"), col("qa").as("ca"), col("na").as("cna"))
     val centB = v.filter(col("vec_id") < kk)
@@ -809,12 +839,14 @@ object VectorOps {
   def pqHealth(embeddings: DataFrame, nCodes: Int = 16, m: Int = 8,
       subDim: Int = 8): DataFrame = {
     val v = quantized(embeddings)
-    val subs = v
-      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
-      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
-      .select("vec_id", "s", "sub", "sub_nn")
-      .persist() // feeds the codebook and the encode scan
+    // feeds the codebook and the encode scan (session memo, not a
+    // lingering per-invocation persist)
+    val subs = SharedFrames.memo(embeddings, s"pqhealth-subs:$m:$subDim") {
+      v.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+        .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+        .select("vec_id", "s", "sub", "sub_nn")
+    }
     val cb = subs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("c_id"), col("s").as("c_s"),
         col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
@@ -912,7 +944,7 @@ object VectorOps {
       maxIter: Int): Seq[(Long, Seq[Long], Long)] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val v = quantized(embeddings).persist()
+    val v = quantized(embeddings) // session-memoized checkpoint scan
     try {
       val seed: Seq[(Long, Seq[Long])] = v.filter(col("vec_id") < k)
         .select(col("vec_id"), col("qv")).as[(Long, Seq[Long])]
@@ -1090,12 +1122,15 @@ object VectorOps {
     // query metadata: a 1-row control-plane lookup (cell + raw vector)
     val qLabel = v.filter(col("vec_id") === queryId)
       .select("label").collect()(0).getAs[Number](0).longValue()
-    val qsubs = v.filter(col("vec_id") === queryId || col("vec_id") < nCodes)
-      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
-      .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
-      .select("vec_id", "s", "sub", "sub_nn")
-      .persist() // feeds the codebook AND the query distance table
+    // feeds the codebook AND the query distance table — O((1+nCodes)·m)
+    // rows, so memo entries stay control-plane tiny per probed query
+    val qsubs = SharedFrames.memo(embeddings, s"pq-probe-subs:$queryId:$nCodes:$m:$subDim") {
+      v.filter(col("vec_id") === queryId || col("vec_id") < nCodes)
+        .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
+        .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
+        .select("vec_id", "s", "sub", "sub_nn")
+    }
     val cb = qsubs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("c_id"), col("s").as("c_s"),
         col("sub").as("c_sub"), col("sub_nn").as("c_nn"))
@@ -1427,7 +1462,9 @@ object VectorOps {
     val newRanked0 = semRankedOf(v.filter(col("vec_id") >= baseMaxId), cdf)
     val keeperBlocks = keepers.groupBy("b_cid")
       .agg(max("b_blk").as("max_blk")) // O(k) rows: AQE-sized, never hinted
-    val newRanked = newRanked0.persist()
+    // session memo, not a lingering per-invocation persist (r8 ADVICE)
+    val newRanked = SharedFrames.memo(embeddings,
+      s"d14_new_ranked:$baseMaxId:$k:$maxIter")(newRanked0)
     val dupOfBase = newRanked
       .join(keeperBlocks, col("c_id") === col("b_cid"))
       .withColumn("jb", explode(sequence(lit(0L), col("max_blk"))))

@@ -466,24 +466,36 @@ object CdcPipeline {
                 // instead of one all-tables union — Catalyst re-walking a
                 // single growing union made per-table plan cost 1.58× per
                 // table-count doubling (BENCH_wire r7); narrow per-group
-                // unions keep it flat. A replayed/crashed attempt of THIS
-                // batch may have left partial group output, so the batch
-                // dir is cleared before the group appends (the Overwrite
-                // of the single-write form, made explicit). The quarantine
-                // slice writes last and unconditionally (possibly empty),
-                // so EVERY committed batch has its batch=<id> directory —
-                // the same sink contract as [[processBatch]]; a DDL-only
-                // batch writes an empty one.
+                // unions keep it flat. The N+1 group appends land in a
+                // DOT-PREFIXED staging dir (hidden from Spark/Hadoop file
+                // listing), then ONE rename publishes batch=<id> — so a
+                // concurrent reader listing batch directories never
+                // observes a partially-written batch (r8 ADVICE: the
+                // explicit delete+N-appends form had widened the
+                // visible-partial window from one write to N+1; rename on
+                // a local FS / HDFS is the atomic publish point). A
+                // replayed/crashed attempt may have left either dir, so
+                // both are cleared first. The quarantine slice writes last
+                // and unconditionally (possibly empty), so EVERY committed
+                // batch has its batch=<id> directory — the same sink
+                // contract as [[processBatch]]; a DDL-only batch writes an
+                // empty one.
                 val batchDir = s"$outDir/batch=$batchId"
-                val dirPath = new org.apache.hadoop.fs.Path(batchDir)
-                dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                  .delete(dirPath, true)
+                val stageDir = s"$outDir/.batch_$batchId.staging"
+                val fs = new org.apache.hadoop.fs.Path(outDir)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+                fs.delete(new org.apache.hadoop.fs.Path(batchDir), true)
                 (groupedUnions(outs.result()) :+ quarantine).foreach { g =>
                   g.repartition(col("topic"))
                     .sortWithinPartitions("pos_key")
                     .write.mode(SaveMode.Append)
-                    .parquet(batchDir)
+                    .parquet(stageDir)
                 }
+                if (!fs.rename(new org.apache.hadoop.fs.Path(stageDir),
+                    new org.apache.hadoop.fs.Path(batchDir)))
+                  throw new java.io.IOException(
+                    s"wire sink: failed to publish $stageDir -> $batchDir")
 
                 // ---- position mirror: the max binlog coordinate across
                 // data AND schema-change events (a DDL-only batch still

@@ -210,11 +210,15 @@ object StreamingAnalytics {
     * owns that contract; the convergence spec constructs it exactly).
     *
     * Shape: one watermarked windowed count (state = types·windows rows)
-    * + a post-aggregation static join against the baseline + a narrow
-    * flag projection — append-compatible, indefinitely runnable. A
-    * window with ZERO events of a type emits nothing here, so the
-    * silent-bucket anomaly stays the BATCH audit's job (q34's dense
-    * grid); the stream catches spikes as they finalize. */
+    * + a post-aggregation static LEFT join against the baseline + a
+    * narrow flag projection — append-compatible, indefinitely runnable.
+    * An event type ABSENT from training (a brand-new type, arguably the
+    * loudest anomaly) gets a zero baseline (s = ss = 0), under which the
+    * 3σ rule degenerates to (B·n)² > 0 — any nonzero count flags, which
+    * is the right answer for a never-seen type. A window with ZERO
+    * events of a type emits nothing here, so the silent-bucket anomaly
+    * stays the BATCH audit's job (q34's dense grid); the stream catches
+    * spikes as they finalize. */
   def rateAnomalyStream(events: DataFrame, baseline: Map[String, (Long, Long)],
       b: Int = 64, windowLength: String = "1 minute",
       watermarkDelay: String = "10 minutes"): DataFrame = {
@@ -227,7 +231,9 @@ object StreamingAnalytics {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .join(bl, "event_type")
+      .join(bl, Seq("event_type"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("ss", coalesce(col("ss"), lit(0L)))
       .withColumn("dev2", expr(s"($b * n - s) * ($b * n - s)"))
       .withColumn("thr", expr(s"9 * ($b * ss - s * s)"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),

@@ -45,7 +45,19 @@ class SharedFramesSpec extends AnyFunSuite {
     val fa1 = SharedFrames.memo(a, "key-test")(a.limit(5).toDF())
     val fa2 = SharedFrames.memo(a, "key-test")(a.limit(7).toDF()) // must NOT recompute
     val fb = SharedFrames.memo(b, "key-test")(b.toDF())
-    assert(fa1 eq fa2, "same (plan, tag) must return the identical frame")
+    // both callers read the ONE materialization (same checkpoint scan
+    // below the per-call re-aliasing projection)...
+    assert(fa1.queryExecution.analyzed.children == fa2.queryExecution.analyzed.children,
+      "same (plan, tag) must share the one materialized checkpoint")
+    // ...but each call mints fresh attribute ids, so two returns of the
+    // same entry can meet in one query without tripping Spark's
+    // ambiguous-self-join detection (quantized → cellAssigned class)
+    assert(fa1.queryExecution.analyzed.output.map(_.exprId) !=
+      fa2.queryExecution.analyzed.output.map(_.exprId),
+      "per-call returns must carry fresh attribute ids")
+    assert(fa1.join(fa2.withColumnRenamed("doc_id", "d2"),
+      fa1("doc_id") === org.apache.spark.sql.functions.col("d2")).count() == 5,
+      "two returns of one entry must be joinable (no ambiguous-self-join trip)")
     assert(fa2.count() == 5, "second caller must get the FIRST computation")
     assert(fb.count() == 3, "a structurally different input plan is its own key")
     assert(SharedFrames.size == 2)

@@ -349,6 +349,40 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming rate-anomaly monitor flags a type absent from the baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the baseline trained on "click" only; the stream also carries a
+    // brand-new "signup" type — the loudest anomaly a monitor can see.
+    // Under the zero baseline (s = ss = 0) the exact rule degenerates to
+    // (B·n)² > 0, so ANY nonzero signup window must flag.
+    val T0A = (T0 / min(1)) * min(1)
+    val rows = (0 until 10).map(j => ("click", T0A + j * 100L)) ++
+      (0 until 3).map(j => ("signup", T0A + j * 100L))
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingAnalytics.rateAnomalyStream(
+        input.toDF().toDF("event_type", "ts_us"),
+        Map("click" -> (160L, 1600L)), b = 16,
+        windowLength = "1 minute", watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("ratemon2").outputMode("append").start()
+    input.addData(rows); q.processAllAvailable()
+    input.addData(("click", T0A + min(60))) // advance watermark: close all
+    q.processAllAvailable()
+
+    val out = spark.table("ratemon2")
+      .select("event_type", "n", "dev2", "thr", "is_anomaly")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.contains("signup"), "unseen type must emit a row, not vanish in the join")
+    val (n, dev2, thr, flag) = out("signup")
+    assert(n == 3 && dev2 == 48L * 48L && thr == 0L && flag,
+      s"unseen type must flag under the zero baseline: n=$n dev2=$dev2 thr=$thr flag=$flag")
+    // the trained type's uniform-rate window stays quiet (10/min, baseline
+    // 10/bucket over 16 buckets: dev2 = 0)
+    assert(out("click") == ((10L, 0L, 9L * (16L * 1600L - 160L * 160L), false)))
+    q.stop()
+  }
+
   test("streaming CMS counters equal an independent re-derivation of the batch grid") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
