@@ -51,7 +51,7 @@ object Bench {
     "s6_ann_ivf_trained", "s7_ann_pq", "s8_ann_ivf_multiprobe", "s9_ann_ivfpq",
     "s10_ivf_drift", "s11_ann_imi", "s12_ann_recall", "s13_pq_health",
     "s14_ann_filtered", "s15_hard_negatives", "s16_ann_range",
-    "d14_semdedup_incremental",
+    "s17_ivf_retrain", "d14_semdedup_incremental",
     "x1_lang_id", "x2_quality_score", "x3_token_count", "x4_fingerprint",
     "x5_top_terms", "x6_vocab_bigrams", "x7_repetition", "x8_length_quantiles",
     "x9_distinct_kmv", "x10_distinct_by_lang",

@@ -88,6 +88,7 @@ object DataQueries {
       Tables.embeddings(spark, sfDir), Tables.documents(spark, sfDir))),
     "s15_hard_negatives" -> embs(VectorOps.hardNegatives(_)),
     "s16_ann_range" -> embs(VectorOps.annRange(_)),
+    "s17_ivf_retrain" -> embs(VectorOps.ivfRetrainReport(_)),
     "x41_mixture_expand" ->
       docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
@@ -731,6 +732,54 @@ SELECT c_id, CAST(d - 1 AS INT) AS d, n, qv[d] AS cq,
        CAST(qv[d] AS DOUBLE) / 1048576.0 AS mean
 FROM (SELECT c_id, n, qv, unnest(generate_series(1, $dims)) AS d FROM k$maxIter) q
 ORDER BY c_id, d"""
+
+  /** s17's oracle: the unrolled k-means chain, then BOTH assignments —
+    * seed (k0's first-k centroids, what the shipped layout used) and
+    * trained (k$maxIter) — rolled up into the per-cell migration report.
+    * Mirrors [[VectorOps.ivfRetrainReport]]; the argmin tiebreak
+    * (dist2, c_id) matches assignToCentroids'. */
+  private def ivfRetrainSql(k: Int, maxIter: Int, dims: Int): String =
+    vecProlog + s"""
+, k0 AS MATERIALIZED (
+  SELECT vec_id AS c_id, qv, CAST(0 AS BIGINT) AS n FROM qn WHERE vec_id < $k
+)""" +
+      (1 to maxIter).map(kmeansRoundSql(_, dims)).mkString + s"""
+, a_old AS (
+  SELECT vec_id, c_id AS cell_old FROM (
+    SELECT v.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * ${pairDot("v", "c")}
+               + CAST(list_sum(list_transform(generate_series(1, $dims), d -> c.qv[d] * c.qv[d])) AS BIGINT),
+             c.c_id) AS rn
+    FROM qn v, k0 c) q WHERE rn = 1
+), a_new AS (
+  SELECT vec_id, c_id AS cell_new FROM (
+    SELECT v.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             v.nn - 2 * ${pairDot("v", "c")}
+               + CAST(list_sum(list_transform(generate_series(1, $dims), d -> c.qv[d] * c.qv[d])) AS BIGINT),
+             c.c_id) AS rn
+    FROM qn v, k$maxIter c) q WHERE rn = 1
+), tr AS (
+  SELECT o.cell_old, n.cell_new, CAST(count(*) AS BIGINT) AS c
+  FROM a_old o JOIN a_new n USING (vec_id) GROUP BY 1, 2
+), oa AS (
+  SELECT cell_old AS cell, CAST(sum(c) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN cell_new <> cell_old THEN c ELSE 0 END) AS BIGINT) AS moved_out
+  FROM tr GROUP BY 1
+), na AS (
+  SELECT cell_new AS cell, CAST(sum(c) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN cell_new <> cell_old THEN c ELSE 0 END) AS BIGINT) AS moved_in
+  FROM tr GROUP BY 1
+)
+SELECT coalesce(oa.cell, na.cell) AS cell,
+       CAST(coalesce(oa.n_old, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(na.n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(na.moved_in, 0) AS BIGINT) AS moved_in,
+       CAST(coalesce(oa.moved_out, 0) AS BIGINT) AS moved_out,
+       (coalesce(na.moved_in, 0) > 0 OR coalesce(oa.moved_out, 0) > 0) AS needs_rewrite
+FROM oa FULL JOIN na ON oa.cell = na.cell
+ORDER BY 1"""
 
   /** One unrolled BPE merge round (see [[TextOps.bpeMerges]]): weighted
     * pair counts over vocab v${k-1}, argmax by (count DESC, pair ASC),
@@ -2174,6 +2223,7 @@ ORDER BY doc_a, doc_b"""),
     // round 14 (sf0.001) / 18 (sf0.01), so the cap only binds at scales
     // where BOTH sides cap identically
     "s4b_kmeans_converged" -> kmeansConvergedSql(k = 4, maxIter = 24, dims = 64),
+    "s17_ivf_retrain" -> ivfRetrainSql(k = 4, maxIter = 24, dims = 64),
     // k = 4 below is the GATE-SCALE FLOOR of the Spark side's auto-derived
     // cell count (VectorOps.autoCells: max(4, n/target) = 4 at both 500-
     // and 2000-vector gate corpora), pinned so the static SQL stays

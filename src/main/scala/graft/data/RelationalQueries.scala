@@ -41,7 +41,27 @@ object RelationalQueries {
     * so the grid is 1×1 (plan ≡ the plain bucket join); at 10× events the
     * query axis stays 1 and the candidate axis fans out ~4-wide; at 100 TB
     * a 1.5M-user bucket fans out to a ~367×74 task grid automatically. */
-  private[data] val SkewBlockRows = 4096
+  private[graft] val SkewBlockRows = 4096
+
+  /** q32's (candidate, query) sparse activity-profile frames — exposed so
+    * the events-scale rehearsal can run [[SkewOps.gridBlockStats]] over
+    * the REAL inputs and gate the per-task pair bound at 10×/100×. */
+  private[graft] def activityProfiles(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame) = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts_us")
+    // norms, query side and candidate side (and repeated bench
+    // invocations) share the bucketed profile frame — session memo, not a
+    // per-invocation persist that would linger unreleased (r8 ADVICE)
+    val sparse = SharedFrames.memo(ev, "q32-sparse-b64") {
+      val sp = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+      ev.crossJoin(broadcast(sp))
+        .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
+        .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+    }
+    val q = sparse.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"), col("bucket"), col("n").as("q_n"))
+    (sparse, q)
+  }
 
   /** q32 body — time-series similarity search (the EDBT/ICDE
     * streaming-similarity family) as a SPARSE inner-product join: each
@@ -64,21 +84,10 @@ object RelationalQueries {
     * bucket arithmetic and dots are BIGINT, cosine one IEEE division; the
     * span frame is a 1-row aggregate (whitelisted broadcast class).
     */
-  private[data] def activitySimilarity(spark: SparkSession, dir: String,
-                                       rowsPerBlock: Int): DataFrame = {
-    val ev = Tables.events(spark, dir).select("user_id", "ts_us")
-    // norms, query side and candidate side (and repeated bench
-    // invocations) share the bucketed profile frame — session memo, not a
-    // per-invocation persist that would linger unreleased (r8 ADVICE)
-    val sparse = SharedFrames.memo(ev, "q32-sparse-b64") {
-      val sp = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
-      ev.crossJoin(broadcast(sp))
-        .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
-        .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
-    }
+  private[graft] def activitySimilarity(spark: SparkSession, dir: String,
+                                        rowsPerBlock: Int): DataFrame = {
+    val (sparse, q) = activityProfiles(spark, dir)
     val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
-    val q = sparse.filter(col("user_id") % 5 === 0)
-      .select(col("user_id").as("q_user"), col("bucket"), col("n").as("q_n"))
     val out = SkewOps.gridJoin(sparse, q, "bucket", rowsPerBlock)
       .filter(col("user_id") =!= col("q_user"))
       .groupBy("q_user", "user_id")

@@ -58,24 +58,61 @@ object SkewOps {
     */
   def gridJoin(fact: DataFrame, probe: DataFrame, key: String,
                rowsPerBlock: Int = 4096): DataFrame = {
-    val fCnt = fact.groupBy(key)
-      .agg(((count(lit(1)) + rowsPerBlock - 1) / rowsPerBlock)
-        .cast("int").as("__nf"))
-    val pCnt = probe.groupBy(key)
-      .agg(((count(lit(1)) + rowsPerBlock - 1) / rowsPerBlock)
-        .cast("int").as("__np"))
+    val fCnt = blockCounts(fact, key, rowsPerBlock, "__nf")
+    val pCnt = blockCounts(probe, key, rowsPerBlock, "__np")
     val factB = fact
       .join(broadcast(fCnt), key).join(broadcast(pCnt), key)
-      .withColumn("__bf",
-        pmod(hash(fact.columns.toIndexedSeq.map(col): _*), col("__nf")))
+      .withColumn("__bf", blockId(fact, col("__nf")))
       .withColumn("__bp", explode(sequence(lit(0), col("__np") - 1)))
       .drop("__nf", "__np")
     val probeB = probe
       .join(broadcast(fCnt), key).join(broadcast(pCnt), key)
-      .withColumn("__bp",
-        pmod(hash(probe.columns.toIndexedSeq.map(col): _*), col("__np")))
+      .withColumn("__bp", blockId(probe, col("__np")))
       .withColumn("__bf", explode(sequence(lit(0), col("__nf") - 1)))
       .drop("__nf", "__np")
     factB.join(probeB, Seq(key, "__bf", "__bp")).drop("__bf", "__bp")
+  }
+
+  /** ceil(rows-per-key / rowsPerBlock), the per-side block count frame —
+    * O(#distinct keys) rows, the boundedness that lets gridJoin broadcast
+    * it. */
+  private def blockCounts(df: DataFrame, key: String, rowsPerBlock: Int,
+      out: String): DataFrame =
+    df.groupBy(key)
+      .agg(((count(lit(1)) + rowsPerBlock - 1) / rowsPerBlock)
+        .cast("int").as(out))
+
+  /** Deterministic block assignment: hash of the row's ORIGINAL columns
+    * mod the key's block count (captured before any join widens the
+    * frame, so [[gridBlockStats]] reproduces [[gridJoin]]'s assignment
+    * exactly). */
+  private def blockId(df: DataFrame, n: org.apache.spark.sql.Column) =
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), n)
+
+  /** Per-key audit of [[gridJoin]]'s task grid — the scale-rehearsal gate
+    * that per-task pair work stays bounded: for each key, the grid
+    * dimensions (nf × np), the LARGEST realized block on each side, and
+    * their product = the worst single task's pair count under this key.
+    * Uses the same hash assignment as gridJoin, so the numbers are the
+    * real task sizes, not estimates. Expected block size is ≤
+    * rowsPerBlock; hash non-uniformity can push a block somewhat over,
+    * which is why the gate carries slack rather than an exact cap. */
+  def gridBlockStats(fact: DataFrame, probe: DataFrame, key: String,
+      rowsPerBlock: Int = 4096): DataFrame = {
+    val fCnt = blockCounts(fact, key, rowsPerBlock, "__nf")
+    val pCnt = blockCounts(probe, key, rowsPerBlock, "__np")
+    val fBlocks = fact.join(broadcast(fCnt), key)
+      .withColumn("__bf", blockId(fact, col("__nf")))
+      .groupBy(col(key), col("__nf"), col("__bf")).agg(count(lit(1)).as("c"))
+      .groupBy(key, "__nf").agg(max("c").as("max_fact_block"))
+    val pBlocks = probe.join(broadcast(pCnt), key)
+      .withColumn("__bp", blockId(probe, col("__np")))
+      .groupBy(col(key), col("__np"), col("__bp")).agg(count(lit(1)).as("c"))
+      .groupBy(key, "__np").agg(max("c").as("max_probe_block"))
+    fBlocks.join(pBlocks, key)
+      .select(col(key), col("__nf").as("nf"), col("__np").as("np"),
+        col("max_fact_block"), col("max_probe_block"),
+        (col("max_fact_block") * col("max_probe_block")).as("max_task_pairs"),
+        (col("__nf") * col("__np")).cast("long").as("grid_cells"))
   }
 }

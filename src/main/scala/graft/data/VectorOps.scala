@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1060,6 +1060,137 @@ object VectorOps {
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
     rankTopK(q.join(assigned, col("vec_id") =!= col("query_id")), topK)
+  }
+
+  /** The converged k-means centroids as an O(k) plan-time literal frame
+    * (c_id, c_qv, c_nn) — the trained counterpart of [[seedCentroids]],
+    * entering plans the way every trained artifact here does: as a
+    * LocalRelation, never a join against the corpus. */
+  private def trainedCentroidFrame(embeddings: DataFrame, kk: Int,
+      maxIter: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    convergedCentroids(embeddings, kk, maxIter)
+      .map { case (cId, qv, _) => (cId, qv) }.toDF("c_id", "c_qv")
+      .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
+  }
+
+  /** Corpus assigned to the CONVERGED centroids — one broadcast-argmin
+    * pass, the write-time column of a retrained [[writeCellPartitioned]]
+    * layout. `trainOn` picks the training corpus (default: the corpus
+    * itself = a full retrain; pass the BASE slice for d14's
+    * increment-invariance discipline, where an ingest migrates under the
+    * shipped centroids and retraining is a separate decision s17
+    * informs). */
+  def trainedAssignment(embeddings: DataFrame, k: Int = 0,
+      maxIter: Int = 24, trainOn: Option[DataFrame] = None): DataFrame = {
+    val t = trainOn.getOrElse(embeddings)
+    val kk = if (k > 0) k else autoCells(t)
+    assignToCentroids(quantized(embeddings),
+        trainedCentroidFrame(t, kk, maxIter))
+      .withColumnRenamed("c_id", "cell")
+  }
+
+  /** s17 — the RETRAIN decision report, closing the index lifecycle that
+    * s10 (centroid drift), s12 (recall) and s13 (codebook health) only
+    * monitor: re-train the coarse centroids on the current corpus
+    * (base + ingest, [[convergedCentroids]]), re-assign, and report per
+    * cell what a migration would move — old/new populations, movers in
+    * and out, and whether the cell's files need rewriting at all. This is
+    * the reference's full-refresh-through-the-same-path discipline (a
+    * refresh re-enters the normal pipeline rather than a side channel;
+    * `replication_handler/components/low_level_binlog_stream_reader_wrapper.py:118-124`)
+    * applied to the vector index: the retrained layout ships through the
+    * SAME assign→partition write as the original.
+    *
+    * Scale: two broadcast-argmin corpus passes (seed + trained centroids,
+    * both O(k) literals), ONE keyed (cell_old, cell_new) count — an O(k²)
+    * transition frame — and a tiny rollup. No pairwise work anywhere;
+    * [[migrateCellLayout]] consumes the same diff to rewrite only the
+    * `needs_rewrite` cells. */
+  def ivfRetrainReport(embeddings: DataFrame, k: Int = 0,
+      maxIter: Int = 24): DataFrame = {
+    val kk = if (k > 0) k else autoCells(embeddings)
+    val v = quantized(embeddings)
+    val oldA = assignToCentroids(v, seedCentroids(v, kk))
+      .select(col("vec_id"), col("c_id").as("cell_old"))
+    val newA = trainedAssignment(embeddings, kk, maxIter)
+      .select(col("vec_id"), col("cell").as("cell_new"))
+    val trans = oldA.join(newA, "vec_id")
+      .groupBy("cell_old", "cell_new").agg(count(lit(1)).as("c"))
+    val o = trans.groupBy(col("cell_old").as("cell")).agg(
+      sum("c").as("n_old"),
+      sum(when(col("cell_new") =!= col("cell_old"), col("c"))
+        .otherwise(lit(0L))).as("moved_out"))
+    val n = trans.groupBy(col("cell_new").as("cell")).agg(
+      sum("c").as("n_new"),
+      sum(when(col("cell_new") =!= col("cell_old"), col("c"))
+        .otherwise(lit(0L))).as("moved_in"))
+    o.join(n, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"),
+        coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+        (coalesce(col("moved_in"), lit(0L)) > 0 ||
+          coalesce(col("moved_out"), lit(0L)) > 0).as("needs_rewrite"))
+      .orderBy("cell")
+  }
+
+  /** [[writeCellPartitioned]] with TRAINED centroids — the layout a
+    * retrain ships. Same partition directory contract; only the
+    * assignment column's provenance differs. */
+  def writeCellPartitionedTrained(embeddings: DataFrame, path: String,
+      k: Int = 0, maxIter: Int = 24, trainOn: Option[DataFrame] = None): Unit =
+    trainedAssignment(embeddings, k, maxIter, trainOn)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Incrementally migrate a [[writeCellPartitioned]]-shaped layout at
+    * `path` to the RETRAINED assignment of `embeddings`: only cells whose
+    * membership changed are rewritten (dynamic partition overwrite of the
+    * changed-cell slice), cells emptied by the retrain are deleted, and
+    * untouched cell directories are left byte-identical — at 100 TB the
+    * difference between an overnight full rewrite and a bounded
+    * incremental one. New vectors absent from the old layout and dropped
+    * vectors absent from the corpus both mark their cells changed, so the
+    * same path migrates pure ingest, pure retirement, and retrain drift.
+    *
+    * The changed-cell list is a control-plane collect bounded by the cell
+    * count (O(k), the same class as the centroid collect). Returns
+    * (rewritten cells, deleted cells, total cells in the new layout) —
+    * IvfMigrationSpec pins migrated ≡ full re-write with strictly fewer
+    * cell directories touched. */
+  def migrateCellLayout(embeddings: DataFrame, path: String, k: Int = 0,
+      maxIter: Int = 24, trainOn: Option[DataFrame] = None):
+      (Seq[Long], Seq[Long], Long) = {
+    val spark = embeddings.sparkSession
+    val newA = trainedAssignment(embeddings, k, maxIter, trainOn)
+    // one materialization: the diff and the rewrite slice both read it
+    val newM = SharedFrames.memo(embeddings,
+      s"ivf-migrate-assign:$k:$maxIter:${trainOn.isDefined}")(newA)
+    val oldA = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell").as("cell_old"))
+    val changedCells = newM.select(col("vec_id"), col("cell").as("cell_new"))
+      .join(oldA, Seq("vec_id"), "full")
+      .filter(col("cell_old").isNull || col("cell_new").isNull ||
+        col("cell_old") =!= col("cell_new"))
+      .select(explode(array(col("cell_old"), col("cell_new"))).as("cell"))
+      .filter(col("cell").isNotNull)
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val newCells = newM.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (rewrite, empty) = changedCells.partition(newCells.contains)
+    if (rewrite.nonEmpty)
+      newM.filter(col("cell").isInCollection(rewrite))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    empty.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+    }
+    (rewrite, empty, newCells.size.toLong)
   }
 
   /** The s7/s13 codebook (the first nCodes vectors' sub-vectors)

@@ -382,6 +382,85 @@ object ScaleRehearsal {
       flLayout.filter(col("cell") === flRow.getAs[Number]("cell").longValue()))
     val flFilesTotal = filesRead(flLayout)
 
+    // ---- events-family rehearsal (r9) ---------------------------------
+    // A ~N× events slice: user_id/event_id shift per copy, timestamps stay
+    // VERBATIM — so every copy's users are active across the same global
+    // time span and the per-bucket contributor count grows ~linearly with
+    // the corpus. That is exactly q32's hot-key regime: the 64 bucket keys
+    // stay fixed while the rows under each explode, the shape the
+    // gridJoin's 2-D blocking exists for. q33/q34/q11 scale linearly
+    // (per-user windows / per-type grids) and ride along under the same
+    // flip/broadcast audit. On top, the gridJoin task grid is audited
+    // DIRECTLY on q32's real profile frames: max per-task pair work must
+    // stay ≤ cap² (with 2×-per-side hash-spread slack) no matter how hot
+    // the buckets get, and at ≥10× the candidate axis must actually have
+    // fanned out (nf > 1) — the gate that the mitigation is engaged, not
+    // just present.
+    val evtCopies = sys.env.get("SPARK_GRAFT_SF1_EVT_COPIES")
+      .map(_.toInt).getOrElse(copies)
+    val U_OFF = 1000000L // multiple of 5: shifted ids keep q32's query-set rule
+    val E_OFF = 1000000000L
+    val evtDir = s"$workDir/evt"
+    val evtMeta = s"$workDir/evt_meta.txt"
+    val evtFp = s"src=$src copies=$evtCopies"
+    if (!sliceIsCurrent(evtMeta, evtFp)) {
+      new java.io.File(evtDir).mkdirs()
+      val ev = Tables.load(spark, src, "events") // raw: ts column verbatim
+      (0 until evtCopies).map { i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * U_OFF))
+          .withColumn("event_id", col("event_id") + lit(i * E_OFF))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$evtDir/events.parquet")
+      commitSlice(evtMeta, evtFp)
+    }
+    val nEvents = spark.read.parquet(s"$evtDir/events.parquet").count()
+
+    // q32 is EXACT all-pairs similarity: pair volume grows quadratically
+    // with users BY SEMANTICS (measured ~linear wall-clock in pair volume
+    // at 10×: 2.6 s → 581 s for 100× the pairs). Above 20 copies only its
+    // grid audit runs — the task-shape bound is the scale gate; executing
+    // 10,000× the pair volume proves nothing new about the plan.
+    val evtRehearsed = (if (evtCopies <= 20) Seq("q32_activity_similarity") else Nil) ++
+      Seq("q33_session_funnel", "q34_rate_anomaly", "q11_user_sessions")
+    val evtResults = evtRehearsed.map { name =>
+      val t0e = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, evtDir)
+      execute(df)
+      val secs = (System.nanoTime() - t0e) / 1e9
+      val nodes = walk(df.queryExecution.executedPlan)
+      (name, secs, planKillers(nodes), broadcastSizes(nodes))
+    }
+
+    // gridJoin task-grid audit on q32's real profile frames
+    val cap = graft.data.RelationalQueries.SkewBlockRows
+    val (sparseProf, qProf) =
+      graft.data.RelationalQueries.activityProfiles(spark, evtDir)
+    val gridStats = graft.data.SkewOps
+      .gridBlockStats(sparseProf, qProf, "bucket", cap)
+      .agg(max("nf").as("max_nf"), max("np").as("max_np"),
+        max("max_fact_block").as("max_fact_block"),
+        max("max_probe_block").as("max_probe_block"),
+        max("max_task_pairs").as("max_task_pairs"),
+        sum("grid_cells").as("grid_cells"))
+      .collect()(0)
+    val (gMaxNf, gMaxNp) = (gridStats.getInt(0), gridStats.getInt(1))
+    val (gMaxF, gMaxP) = (gridStats.getLong(2), gridStats.getLong(3))
+    val gMaxPairs = gridStats.getLong(4)
+    val gCells = gridStats.getLong(5)
+    // the query's INHERENT pair volume (Σ_bucket cand·query rows) — the
+    // wall-clock denominator: q32's cost is this, spread over gCells
+    // bounded tasks
+    val gPairVolume = sparseProf.groupBy("bucket").agg(count(lit(1)).as("cf"))
+      .join(qProf.groupBy("bucket").agg(count(lit(1)).as("cp")), "bucket")
+      .agg(sum(expr("cf * cp"))).collect()(0).getLong(0)
+    val gridFlips =
+      (if (gMaxF > 2L * cap || gMaxP > 2L * cap)
+        Seq(s"q32:block_overflow(f=$gMaxF,p=$gMaxP,cap=$cap)") else Nil) ++
+      (if (gMaxPairs > 4L * cap * cap)
+        Seq(s"q32:task_pairs_unbounded($gMaxPairs)") else Nil) ++
+      (if (evtCopies >= 10 && gMaxNf <= 1)
+        Seq("q32:grid_not_engaged") else Nil)
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relBcast = relResults.map { case (k, _, _, bs) =>
@@ -392,6 +471,8 @@ object ScaleRehearsal {
       prFlips.map(x => s"d13_raw:$x") ++
       relResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
       vecResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
+      evtResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
+      gridFlips ++
       // an unpruned probe is the vector family's scale-killer: the layout
       // exists precisely so a probe never scans the whole corpus
       (if (ivfFilesProbe >= ivfFilesTotal) Seq("ivf:probe_unpruned") else Nil) ++
@@ -400,8 +481,8 @@ object ScaleRehearsal {
       // probe opens strictly fewer files than the cell alone
       (if (flFilesProbe >= flFilesCellOnly || flFilesCellOnly >= flFilesTotal)
         Seq("ivf_lang:probe_unpruned") else Nil)
-    val unmeasured = (relResults ++ vecResults).flatMap { case (k, _, _, bs) =>
-      if (bs.contains(-1L)) Seq(k) else Nil
+    val unmeasured = (relResults ++ vecResults ++ evtResults).flatMap {
+      case (k, _, _, bs) => if (bs.contains(-1L)) Seq(k) else Nil
     }
     // r8 gate: no vector-family broadcast may approach the unbounded
     // forced-broadcast class the ADC query batching + auto-k exist to
@@ -438,6 +519,17 @@ object ScaleRehearsal {
         s""""ivf_lang_files_probe":$flFilesProbe,""" +
         s""""ivf_lang_files_cell_only":$flFilesCellOnly,""" +
         s""""ivf_lang_files_total":$flFilesTotal,""" +
+        s""""evt_queries":${
+          evtResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")},"n_events":$nEvents,""" +
+        s""""evt_broadcast_bytes":${
+          evtResults.map { case (k, _, _, bs) =>
+            "\"" + k + "\":[" + bs.mkString(",") + "]"
+          }.mkString("{", ",", "}")},""" +
+        s""""q32_grid":{"cap":$cap,"max_nf":$gMaxNf,"max_np":$gMaxNp,""" +
+        s""""max_fact_block":$gMaxF,"max_probe_block":$gMaxP,""" +
+        s""""max_task_pairs":$gMaxPairs,"grid_cells":$gCells,""" +
+        s""""pair_volume":$gPairVolume},""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

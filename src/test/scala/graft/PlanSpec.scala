@@ -453,6 +453,7 @@ class PlanSpec extends AnyFunSuite {
       "s14_ann_filtered" -> 2,     // centroids ×2 (assign + probe ranking): O(k); the metadata join is AQE-sized
       "s15_hard_negatives" -> 3,   // centroids O(k): assign + the ranked-probe subtree ×2 tree refs (shifted probes + anchor cell)
       "s16_ann_range" -> 2,        // centroids ×2 (assign + probe ranking): O(k)
+      "s17_ivf_retrain" -> 4,      // seed + trained centroid frames O(k), ×2 tree refs each (old/new rollups re-reference the transition join)
       "s11_ann_imi" -> 4,          // half-space centroids ×2 halves ×(assign + probe): O(kHalf) each — the IMI codebook is O(√cells) by design
       "s12_ann_recall" -> 4,       // inherits s11's centroid hints through the approximate side; ground truth carries none
       "s13_pq_health" -> 3,        // m·nCodes codebook ×2 (encode + dead-code grid reuse) + O(m) per-subspace totals
