@@ -114,6 +114,33 @@ object DataQueries {
 
   // ---- DuckDB oracle --------------------------------------------------
 
+  /** DuckDB mirror of [[graft.functions.RollingSpanHashes]]: per window a
+    * power-weighted HUGEINT sum of the 48-bit token hashes mod 2^48 —
+    * congruent to the Spark side's O(1)-per-window rolling form. `thCol`
+    * is the per-doc token-hash list; the base powers are plan-time
+    * literals. */
+  private def spanHashExpr(thCol: String, iCol: String, span: Int): String = {
+    val mask = (1L << 48) - 1
+    var p = 1L
+    val pows = new Array[Long](span)
+    for (j <- (span - 1) to 0 by -1) { pows(j) = p; p = (p * 8191L) & mask }
+    s"""CAST(CAST(list_sum(list_transform(generate_series(1, $span),
+          j -> CAST($thCol[$iCol + j - 1] AS HUGEINT) * (${pows.mkString("[", ", ", "]")})[j]))
+        % 281474976710656 AS BIGINT) AS BIGINT)"""
+  }
+
+  /** The per-doc 48-bit token-hash list (md5 computed once per token). */
+  private def spanTokenHashes(wsCol: String): String =
+    s"list_transform(list_transform($wsCol, w -> md5(w)), m -> ${TextOps.hex12NumFragment("m")})"
+
+  /** Splice the rolling-span-hash fragments into an oracle body (the
+    * bodies stay plain literals; the fragments carry Scala-computed base
+    * powers). */
+  private def spanHashPatch(sql: String): String =
+    sql.replace("__TH__", spanTokenHashes("ws"))
+      .replace("__H16__", spanHashExpr("th", "i", 16))
+      .replace("__H4__", spanHashExpr("th", "i", 4))
+
   private def cnt(w: String): String =
     s"len(list_filter(string_split(text, ' '), x -> x = '$w'))"
   private def cntSum(ws: Seq[String]): String = ws.map(cnt).mkString(" + ")
@@ -1021,13 +1048,15 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       FROM cum ORDER BY doc_id""",
     // 16-word stride-1 windows; a window in >=2 distinct docs is a
     // duplicated span; per-doc instance counts + fraction
-    "x27_duplicated_spans" -> """
+    "x27_duplicated_spans" -> spanHashPatch("""
       WITH wordsx AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), thx AS (
+        SELECT doc_id, ws, __TH__ AS th FROM wordsx
       ), wins AS (
-        SELECT doc_id, md5(array_to_string(ws[i : i+15], ' ')) AS h
-        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i
-              FROM wordsx WHERE len(ws) >= 16) q
+        SELECT doc_id, __H16__ AS h
+        FROM (SELECT doc_id, th, unnest(generate_series(1, len(ws) - 15)) AS i
+              FROM thx WHERE len(ws) >= 16) q
       ), dup AS (
         SELECT h FROM (
           SELECT h, count(DISTINCT doc_id) AS docs FROM wins GROUP BY 1) b
@@ -1045,16 +1074,18 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
         CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0e0
              ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END AS dup_frac
       FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
-      ORDER BY doc.doc_id""",
+      ORDER BY doc.doc_id"""),
     // x39 mirrors TextOps.evalSpanContamination: 4-word windows, benchmark
     // = docs 0-9, coverage = distinct (doc, pos) under every hit window
-    "x39_eval_span_contamination" -> """
+    "x39_eval_span_contamination" -> spanHashPatch("""
       WITH wordsc AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), thc AS (
+        SELECT doc_id, ws, __TH__ AS th FROM wordsc
       ), winsc AS (
-        SELECT doc_id, i, md5(array_to_string(ws[i : i+3], ' ')) AS h
-        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
-              FROM wordsc WHERE len(ws) >= 4) q
+        SELECT doc_id, i, __H4__ AS h
+        FROM (SELECT doc_id, th, unnest(generate_series(1, len(ws) - 3)) AS i
+              FROM thc WHERE len(ws) >= 4) q
       ), benchc AS (
         SELECT DISTINCT h FROM winsc WHERE doc_id < 10
       ), hitsc AS (
@@ -1079,19 +1110,21 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       FROM documents d
       LEFT JOIN contam c ON d.doc_id = c.doc_id
       LEFT JOIN winhits w ON d.doc_id = w.doc_id
-      WHERE d.doc_id >= 10 ORDER BY d.doc_id""",
+      WHERE d.doc_id >= 10 ORDER BY d.doc_id"""),
     // x46: x32's surgery with x39's benchmark coverage set
-    "x46_eval_span_scrub" -> """
+    "x46_eval_span_scrub" -> spanHashPatch("""
       WITH wsx6 AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ), tok6 AS (
         SELECT doc_id, i - 1 AS pos, ws[i] AS w
         FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
               FROM wsx6 WHERE doc_id >= 10) q
+      ), th6 AS (
+        SELECT doc_id, ws, __TH__ AS th FROM wsx6
       ), win6 AS (
-        SELECT doc_id, i, md5(array_to_string(ws[i : i+3], ' ')) AS h
-        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
-              FROM wsx6 WHERE len(ws) >= 4) q
+        SELECT doc_id, i, __H4__ AS h
+        FROM (SELECT doc_id, th, unnest(generate_series(1, len(ws) - 3)) AS i
+              FROM th6 WHERE len(ws) >= 4) q
       ), bench6 AS (
         SELECT DISTINCT h FROM win6 WHERE doc_id < 10
       ), cov6 AS (
@@ -1110,7 +1143,7 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       )
       SELECT doc_id, n_tokens, n_removed,
         CAST(n_tokens - n_removed AS DOUBLE) / n_tokens AS kept_frac, clean_md5
-      FROM agg6 ORDER BY doc_id""",
+      FROM agg6 ORDER BY doc_id"""),
     // x47: the CMS build (4×64 cells over exact term counts) + the
     // min-over-rows probe for the top-20 exact terms
     "x47_cms_audit" -> s"""
@@ -1200,16 +1233,18 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       FROM bucketed GROUP BY bucket ORDER BY bucket""",
     // duplicated-span removal: tokens covered by any >=2-doc 16-word
     // window are dropped; cleaned doc reassembled in order (x27's scrub)
-    "x32_span_scrub" -> """
+    "x32_span_scrub" -> spanHashPatch("""
       WITH wsx2 AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ), tok2 AS (
         SELECT doc_id, i - 1 AS pos, ws[i] AS w
         FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM wsx2) q
+      ), th2 AS (
+        SELECT doc_id, ws, __TH__ AS th FROM wsx2
       ), win2 AS (
-        SELECT doc_id, i, md5(array_to_string(ws[i : i+15], ' ')) AS h
-        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i
-              FROM wsx2 WHERE len(ws) >= 16) q
+        SELECT doc_id, i, __H16__ AS h
+        FROM (SELECT doc_id, th, unnest(generate_series(1, len(ws) - 15)) AS i
+              FROM th2 WHERE len(ws) >= 16) q
       ), dup2 AS (
         SELECT h FROM (
           SELECT h, count(DISTINCT doc_id) AS docs FROM win2 GROUP BY 1) b
@@ -1230,7 +1265,7 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       )
       SELECT doc_id, n_tokens, n_removed,
         CAST(n_tokens - n_removed AS DOUBLE) / n_tokens AS kept_frac, clean_md5
-      FROM agg2 ORDER BY doc_id""",
+      FROM agg2 ORDER BY doc_id"""),
     // per-source unigram KL drift: each (source, word) contribution
     // quantized to the 2^20 grid, exact BIGINT per-source sum
     "x30_source_drift" -> """

@@ -205,6 +205,17 @@ object TextOps {
     * dialects — instr and substring behave the same in Spark and DuckDB). */
   def hex13NumFragment(col: String): String = hex13Num(col)
 
+  /** 48-bit variant (12 hex chars) — the per-token hash of the rolling
+    * span-window hash ([[graft.functions.RollingSpanHashes.tokenHash]]):
+    * the oracle applies it to md5(token) and power-weights per window. */
+  def hex12NumFragment(col: String): String = {
+    val terms = (1 to 12).map { i =>
+      val w = 1L << (4 * (12 - i))
+      s"(instr('0123456789abcdef', substring($col, $i, 1)) - 1) * CAST($w AS BIGINT)"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
   /** x10 — PER-GROUP distinct estimation via the mergeable KMV aggregator
     * (`graft_kmv`, a typed Aggregator with map-side partial buffers): one
     * hash shuffle carrying ≤k hashes per (group, partition) instead of
@@ -1422,15 +1433,23 @@ object TextOps {
 
   /** The (doc_id, start, window-hash) frame shared by x27's detection and
     * x32's scrub — a SharedFrames pay-once artifact, like the d3 dup-pair
-    * frame: one bench session computes the stride-1 window hashes once. */
+    * frame: one bench session computes the stride-1 window hashes once.
+    *
+    * The hash is the native ROLLING polynomial
+    * ([[graft.functions.RollingSpanHashes]], r9): one O(n_words) pass per
+    * document emits every window hash at ANY span length — the
+    * md5-of-joined-window form cost O(n_words · spanWords) and was the
+    * promised-but-deferred 100 TB fix. Same narrow no-shuffle plan shape;
+    * `h` is a 48-bit BIGINT now instead of an md5 hex string (smaller
+    * shuffle keys for every downstream join, too). */
   private def spanWindows(documents: DataFrame, spanWords: Int): DataFrame =
     SharedFrames.memo(documents, s"span-windows-$spanWords") {
       documents
         .withColumn("ws", split(col("text"), " "))
         .filter(size(col("ws")) >= spanWords)
-        .withColumn("i", explode(sequence(lit(1), size(col("ws")) - (spanWords - 1))))
-        .select(col("doc_id"), col("i"),
-          md5(array_join(expr(s"slice(ws, i, $spanWords)"), " ")).as("h"))
+        .select(col("doc_id"),
+          posexplode(expr(s"graft_span_hashes(ws, $spanWords)")).as(Seq("i0", "h")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("h"))
     }
 
   /** Window hashes appearing in ≥2 distinct docs — the dup table both
@@ -1454,11 +1473,12 @@ object TextOps {
     * line-level removal (x22) both miss.
     *
     * Scale: ~n_words window rows per document feed ONE keyed hash agg on
-    * the window's md5 (map-side partials), and the per-doc rollup joins
-    * back on that key — all hash-partitioned, nothing pairwise. At 100 TB
-    * the md5-of-concat becomes a rolling (Rabin-Karp) hash so each window
-    * costs O(1), not O(spanWords); the plan shape is unchanged. Documents
-    * shorter than a window report zero windows (kept via left join). */
+    * the window hash (map-side partials), and the per-doc rollup joins
+    * back on that key — all hash-partitioned, nothing pairwise. The hash
+    * IS the rolling (Rabin-Karp) polynomial since r9
+    * ([[graft.functions.RollingSpanHashes]]): each window costs O(1)
+    * regardless of `spanWords`, so arbitrary span lengths price the same.
+    * Documents shorter than a window report zero windows (left join). */
   def duplicatedSpans(documents: DataFrame, spanWords: Int = 16): DataFrame = {
     val wins = spanWindows(documents, spanWords)
     val dup = spanDupSet(documents, spanWords).withColumn("is_dup", lit(true))

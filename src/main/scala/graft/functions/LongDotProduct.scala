@@ -67,5 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_long"),
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_span_hashes"),
+      new ExpressionInfo(classOf[RollingSpanHashes].getName, "graft_span_hashes"),
+      (children: Seq[Expression]) => RollingSpanHashes(children(0), children(1))))
   }
 }

@@ -325,7 +325,7 @@ object StreamingAnalytics {
   }
 
   final case class WinRow(doc_id: Long, n_tokens: Long, i: Int,
-      h: Option[String], hit: Boolean)
+      h: Option[Long], hit: Boolean)
   final case class ContamReport(doc_id: Long, n_tokens: Long,
       n_contam_tokens: Long, n_hit_windows: Long, contam_frac: Double)
 
@@ -355,10 +355,13 @@ object StreamingAnalytics {
     val wins = docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_tokens", size(col("ws")).cast("long"))
+      // one rolling pass per document (the batch x39's hash), then the
+      // per-window explode; a too-short doc still emits its one null-hash
+      // row so the report covers it with zero hits
+      .withColumn("hs", expr(s"graft_span_hashes(ws, $spanWords)"))
       .withColumn("i", explode(expr(
         s"sequence(1, greatest(size(ws) - ${spanWords - 1}, 1))")))
-      .withColumn("h", when(col("n_tokens") >= spanWords,
-        md5(concat_ws(" ", expr(s"slice(ws, i, $spanWords)")))))
+      .withColumn("h", when(col("n_tokens") >= spanWords, expr("hs[i - 1]")))
       .select("doc_id", "n_tokens", "i", "h")
     val joined = wins
       .join(benchWindowHashes.select(col("h"), lit(true).as("hit")), Seq("h"), "left")
@@ -593,4 +596,119 @@ object StreamingAnalytics {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  final case class FunnelEv(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String)
+  final case class FunnelState(startUs: Long, lastUs: Long,
+      tv: Option[Long], tc: Option[Long], tp: Option[Long])
+  final case class FunnelSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, reached_view: Boolean,
+      reached_click_after_view: Boolean, reached_full_funnel: Boolean)
+
+  /** Streaming ordered-funnel tracker — q33's continuous form: per user
+    * session (the q11/[[sessionize]] 30-min-gap rule), did the session
+    * reach view, then a click STRICTLY AFTER the first view, then a
+    * purchase strictly after that click? The batch form computes each
+    * stage as a keyed min + join-back; here the same first-qualifying
+    * timestamps fall out of processing a session's events in ascending
+    * event time, so the state machine carries only (start, last, tv, tc,
+    * tp) — O(1) per user, reclaimed by event-time timeout when the
+    * watermark passes the session gap. A closed session emits exactly
+    * one row; the per-user rollup (n_sessions, stage counts, fraction)
+    * is a trivial downstream batch agg over emitted rows, which is what
+    * the convergence spec pins against batch q33. */
+  def funnelStream(events: Dataset[FunnelEv],
+      gapUs: Long = 30L * 60 * 1000000): Dataset[FunnelSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(userId: Long, s: FunnelState): FunnelSession =
+      FunnelSession(userId, s.startUs, s.lastUs,
+        s.tv.isDefined, s.tc.isDefined, s.tp.isDefined)
+    def advance(s: FunnelState, ts: Long, tpe: String): FunnelState = {
+      val tv = if (s.tv.isEmpty && tpe == "view") Some(ts) else s.tv
+      // strict ordering: a click at EXACTLY the first view's timestamp
+      // does not qualify (batch uses ts > tv), same for purchase
+      val tc = if (tv.isDefined && s.tc.isEmpty && tpe == "click" &&
+        ts > tv.get) Some(ts) else s.tc
+      val tp = if (tc.isDefined && s.tp.isEmpty && tpe == "purchase" &&
+        ts > tc.get) Some(ts) else s.tp
+      FunnelState(s.startUs, ts, tv, tc, tp)
+    }
+    def fn(userId: Long, rows: Iterator[FunnelEv],
+        state: GroupState[FunnelState]): Iterator[FunnelSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        // ascending (ts, event_id) — the batch session/stage order
+        val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+        var cur = state.getOption
+        val closed = Seq.newBuilder[FunnelSession]
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+              cur = Some(advance(s, e.ts_us, e.event_type))
+            case Some(s) =>
+              closed += close(userId, s)
+              cur = Some(advance(
+                FunnelState(e.ts_us, e.ts_us, None, None, None),
+                e.ts_us, e.event_type))
+            case None =>
+              cur = Some(advance(
+                FunnelState(e.ts_us, e.ts_us, None, None, None),
+                e.ts_us, e.event_type))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000) // ms epoch
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming sparse-similarity ADMISSION monitor — q32's continuous
+    * form: as events arrive, score each active user's windowed activity
+    * against a STORED set of query-user profiles (q32's sparse
+    * (q_user, bucket, q_n) frame — at deployment, the batch artifact of
+    * the users being watched) and flag windows whose inner product
+    * crosses the admission threshold (correlated-activity detection: a
+    * new account moving like a watched one).
+    *
+    * The trick that keeps this ONE stateful operator: an event of user u
+    * in bucket β contributes exactly q_n[β] to dot(u, q) — so the dot is
+    * a windowed SUM over the stream-static join of events against the
+    * profile table, never a profile-vs-profile join. State is the
+    * windowed agg's (windows × users × matched watch-users) rows, bounded
+    * by the watermark; the profile table is static and joins stateless.
+    * The bucket grid (t0, span, B) is fixed configuration at deployment —
+    * the batch q32 derives it from the data, so the convergence spec
+    * passes the batch corpus's own span. Over a window covering the whole
+    * span, dot(u, q) equals batch q32's dot exactly (the spec's pin). */
+  def activityAdmissionStream(events: DataFrame, queryProfiles: DataFrame,
+      t0Us: Long, spanUs: Long, b: Int = 64, dotThreshold: Long = 0L,
+      windowLength: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("bucket", expr(s"((ts_us - ${t0Us}L) * $b) div ${spanUs}L"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .join(queryProfiles, Seq("bucket")) // stream-static: stateless
+      .filter(col("user_id") =!= col("q_user"))
+      .groupBy(window(col("ts"), windowLength).as("w"),
+        col("user_id"), col("q_user"))
+      .agg(sum("q_n").as("dot"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("user_id"), col("q_user"), col("dot"), col("n_events"),
+        (col("dot") >= dotThreshold).as("flagged"))
 }

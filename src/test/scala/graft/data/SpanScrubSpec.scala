@@ -75,4 +75,30 @@ class SpanScrubSpec extends AnyFunSuite {
       assert(run(docs, k) === reference(docs, k), s"trial $trial (k=$k)")
     }
   }
+
+  test("x32 scrub agrees with the reference at arbitrary span lengths (rolling hash)") {
+    // r9: the window hash is the O(1)-per-position rolling polynomial
+    // (graft_span_hashes) — this pins the Lee-et-al exact-substring
+    // semantics at ARBITRARY span length, including the degenerate k=1
+    // (token-level dedup), a long k=16 window over docs that barely fit
+    // it, and spans overlapping at a shared prefix (the rolling update's
+    // subtract-then-shift step is exercised at every position).
+    val rnd = new Random(41)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (k <- Seq(1, 2, 5, 9, 16)) {
+      val planted = Vector.fill(3)(
+        (0 until k + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.size))))
+      val docs = (0L until 20L).map { id =>
+        val base = (0 until rnd.nextInt(3 * k + 8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        val withSpan =
+          if (id % 2 == 0) {
+            val at = if (base.isEmpty) 0 else rnd.nextInt(base.size + 1)
+            val (l, r) = base.splitAt(at)
+            l ++ planted(rnd.nextInt(planted.size)) ++ r
+          } else base
+        id -> withSpan.mkString(" ")
+      } :+ (200L -> planted(1).mkString(" ")) :+ (201L -> planted(1).mkString(" "))
+      assert(run(docs, k) === reference(docs, k), s"span length k=$k")
+    }
+  }
 }

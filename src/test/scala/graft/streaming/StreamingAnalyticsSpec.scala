@@ -612,4 +612,146 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         s"streaming/batch diverge: extra=${got -- want} missing=${want -- got}")
     } finally q.stop()
   }
+
+  test("streaming funnel tracker converges to the batch q33 rollup under any wave split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .as[StreamingAnalytics.FunnelEv].collect().sortBy(e => (e.ts_us, e.event_id))
+    val sentinel = -1L
+    val flushTs = all.map(_.ts_us).max + 100L * 86400000000L
+
+    val input = MemoryStream[StreamingAnalytics.FunnelEv]
+    val q = StreamingAnalytics.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnelq33")
+      .outputMode("append").start()
+    try {
+      // deliberately uneven waves (1/5, then the rest in 3 chunks)
+      val chunks = all.splitAt(all.length / 5) match {
+        case (w1, rest) => w1 +: rest.grouped((rest.length + 2) / 3).toSeq
+      }
+      chunks.foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      input.addData(StreamingAnalytics.FunnelEv(sentinel, 0L, flushTs, "view"))
+      q.processAllAvailable()
+      input.addData(StreamingAnalytics.FunnelEv(sentinel, 1L, flushTs + 1, "view"))
+      q.processAllAvailable()
+
+      val got = spark.table("funnelq33")
+        .filter(col("user_id") =!= sentinel)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("reached_view"), 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("reached_click_after_view"), 1L).otherwise(0L)).as("n_click_after_view"),
+          sum(when(col("reached_full_funnel"), 1L).otherwise(0L)).as("n_full_funnel"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = graft.data.RelationalQueries
+        .queries("q33_session_funnel")(spark, sfDir)
+        .select("user_id", "n_sessions", "n_view", "n_click_after_view", "n_full_funnel")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "degenerate: batch q33 returned no users")
+      // sf0.001 has click-after-view sessions but no full funnel — the
+      // full-funnel leg is pinned by the synthetic test below
+      assert(want.exists(_._4 > 0), "degenerate: no click-after-view anywhere")
+      assert(got == want,
+        s"streaming/batch diverge: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel tracker: full funnel, strict ordering, session split across waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAnalytics.FunnelEv]
+    val q = StreamingAnalytics.funnelStream(input.toDS(), gapUs = min(30))
+      .writeStream.format("memory").queryName("funnelsyn")
+      .outputMode("append").start()
+    try {
+      // user 1, session A: view → click → purchase COMPLETED, split
+      // across two waves mid-session; session B (after >30min gap):
+      // click-before-view then view — click must NOT count (strict order)
+      // user 2: purchase-only session — reaches nothing
+      input.addData(
+        StreamingAnalytics.FunnelEv(1L, 1, T0, "view"),
+        StreamingAnalytics.FunnelEv(1L, 2, T0 + min(1), "click"),
+        StreamingAnalytics.FunnelEv(2L, 3, T0, "purchase"))
+      q.processAllAvailable()
+      input.addData(
+        StreamingAnalytics.FunnelEv(1L, 4, T0 + min(2), "purchase"), // completes A
+        StreamingAnalytics.FunnelEv(1L, 5, T0 + min(60), "click"),   // opens B
+        StreamingAnalytics.FunnelEv(1L, 6, T0 + min(61), "view"))
+      q.processAllAvailable()
+      // flush everything via watermark + timeout
+      input.addData(StreamingAnalytics.FunnelEv(-1L, 7, T0 + min(600), "view"))
+      q.processAllAvailable()
+      input.addData(StreamingAnalytics.FunnelEv(-1L, 8, T0 + min(600) + 1, "view"))
+      q.processAllAvailable()
+
+      val got = spark.table("funnelsyn")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "session_start_us", "reached_view",
+          "reached_click_after_view", "reached_full_funnel")
+        .as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSet
+      assert(got == Set(
+        (1L, T0, true, true, true),            // the full funnel, split mid-wave
+        (1L, T0 + min(60), true, false, false), // click BEFORE view: no credit
+        (2L, T0, false, false, false)),         // purchase without view/click
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming admission monitor's full-span dots equal batch q32's inner products") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts_us")
+    val span = ev.agg(org.apache.spark.sql.functions.min("ts_us"),
+      org.apache.spark.sql.functions.max("ts_us")).collect()(0)
+    val (t0, t1) = (span.getLong(0), span.getLong(1))
+    val (sparse, qprof) = graft.data.RelationalQueries.activityProfiles(spark, sfDir)
+    // the batch inner products (q32's dot column before top-k ranking)
+    val want = sparse.join(qprof, "bucket")
+      .filter(col("user_id") =!= col("q_user"))
+      .groupBy("user_id", "q_user").agg(sum(expr("q_n * n")).as("dot"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "degenerate: no co-active (user, watch-user) pairs")
+
+    val rows = ev.as[(Long, Long)].collect().sortBy(_._2)
+    val input = MemoryStream[(Long, Long)]
+    // one window covering the whole span (watch-window = full history),
+    // so the finalized dots must equal the batch inner products exactly
+    val q = StreamingAnalytics.activityAdmissionStream(
+        input.toDF().toDF("user_id", "ts_us"), qprof.collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("q_user", "bucket", "q_n"),
+        t0Us = t0, spanUs = t1 - t0 + 1, dotThreshold = 5L,
+        windowLength = "1051200 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("admq32")
+      .outputMode("append").start()
+    try {
+      val (w1, w2) = rows.splitAt(rows.length / 3) // uneven waves
+      input.addData(w1.toIndexedSeq); q.processAllAvailable()
+      input.addData(w2.toIndexedSeq); q.processAllAvailable()
+      // flush: a sentinel far past the window's end closes it (its own
+      // bucket is far outside the grid, so it matches no profile row)
+      input.addData((-1L, t1 + 200L * 365 * 86400000000L))
+      q.processAllAvailable()
+      input.addData((-1L, t1 + 200L * 365 * 86400000000L + 1))
+      q.processAllAvailable()
+
+      val got = spark.table("admq32")
+        .select("user_id", "q_user", "dot")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"streaming/batch dots diverge: extra=${(got -- want).take(5)} " +
+          s"missing=${(want -- got).take(5)}")
+      // the flag is the threshold applied to the exact dot
+      val flags = spark.table("admq32").select("dot", "flagged")
+        .as[(Long, Boolean)].collect()
+      assert(flags.forall { case (d, f) => f == (d >= 5L) })
+    } finally q.stop()
+  }
 }
