@@ -60,7 +60,8 @@ object Bench {
     "x15_pack_sequences", "x16_filter_audit", "x17_mixture_temperature",
     "x18_curation_funnel", "x19_novelty", "x20_chunk_sliding",
     "x21_split_leakage", "x22_boilerplate_lines", "x23_pii_redact",
-    "x24_cluster_reps", "x25_unigram_surprisal", "x26_bpe_merges",
+    "x24_cluster_reps", "x25_unigram_surprisal", "x48_bigram_surprisal",
+    "x26_bpe_merges",
     "x27_duplicated_spans", "x28_dsir_importance", "x29_bm25_topk",
     "x30_source_drift", "x31_bpe_encode", "x32_span_scrub",
     "x33_perplexity_buckets", "x34_shard_export", "x35_budget_cap",

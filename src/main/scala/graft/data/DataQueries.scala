@@ -59,6 +59,7 @@ object DataQueries {
     "x23_pii_redact" -> docs(TextOps.piiRedact),
     "x24_cluster_reps" -> docs(TextOps.clusterRepresentatives),
     "x25_unigram_surprisal" -> docs(TextOps.unigramSurprisal),
+    "x48_bigram_surprisal" -> docs(TextOps.bigramSurprisal),
     "x26_bpe_merges" -> docs(TextOps.bpeMerges(_)),
     "x28_dsir_importance" -> docs(TextOps.dsirImportance(_)),
     "x29_bm25_topk" -> docs(TextOps.bm25TopK(_)),
@@ -1187,6 +1188,35 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
              CAST(sum(b.b) AS BIGINT) AS bits_q,
              CAST(sum(b.b) AS DOUBLE) / count(*) / 1048576e0 AS bits_per_token
       FROM tok t JOIN bits b ON t.w = b.w
+      GROUP BY 1 ORDER BY 1""",
+    // x48: interpolated bigram surprisal — the quantization fragment is
+    // the SAME Scala constant the Spark side compiles, so the IEEE chain
+    // cannot drift between engines
+    "x48_bigram_surprisal" -> s"""
+      WITH wsx8 AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), big8 AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM wsx8 WHERE len(ws) >= 2) q
+      ), bcnt8 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi FROM big8 GROUP BY 1, 2
+      ), ctx8 AS (
+        SELECT w1, CAST(sum(c_bi) AS BIGINT) AS c_ctx FROM bcnt8 GROUP BY 1
+      ), uni8 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c_uni
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) q
+        GROUP BY 1
+      ), tot8 AS (
+        SELECT CAST(sum(c_uni) AS BIGINT) AS t_total FROM uni8
+      ), model8 AS (
+        SELECT b.w1, b.w2, ${TextOps.BigramBitsExpr} AS b
+        FROM bcnt8 b JOIN ctx8 USING (w1) JOIN uni8 u ON b.w2 = u.w, tot8
+      )
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(m.b) AS BIGINT) AS bits_q,
+             CAST(sum(m.b) AS DOUBLE) / count(*) / 1048576e0 AS bits_per_bigram
+      FROM big8 g JOIN model8 m ON g.w1 = m.w1 AND g.w2 = m.w2
       GROUP BY 1 ORDER BY 1""",
     "x26_bpe_merges" -> bpeMergesSql(8),
     "x31_bpe_encode" -> bpeEncodeSql(8),

@@ -88,8 +88,25 @@ object RelationalQueries {
                                         rowsPerBlock: Int): DataFrame = {
     val (sparse, q) = activityProfiles(spark, dir)
     val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
+    // Size the pair-aggregation shuffle to the MEASURED pair volume: the
+    // joined pair stream has no map-side reduction (a (q, cand) pair
+    // appears once per shared bucket, each in a DIFFERENT grid task), so
+    // the dot agg's reducer count must scale with Σ_bucket cf·cp or the
+    // reducers spill — the 10× rehearsal measured 526 s at the session's
+    // 32 partitions (~700 MB/reducer) for a 1.2B-pair stream. One
+    // control-plane agg (same class as autoCells) sizes reducers at ~2M
+    // pair rows each; ≤32 at both gate scales, so the oracle plan is
+    // unchanged there. AQE only coalesces DOWN from
+    // spark.sql.shuffle.partitions, which is why this must be explicit.
+    val pairVol = SharedFrames.memoValue(sparse, "q32-pair-volume") {
+      sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
+        .join(q.groupBy("bucket").agg(count(lit(1)).as("cp")), "bucket")
+        .agg(sum(expr("cf * cp"))).collect()(0).getLong(0)
+    }
+    val aggParts = math.max(32L, math.min(2048L, pairVol >> 21)).toInt
     val out = SkewOps.gridJoin(sparse, q, "bucket", rowsPerBlock)
       .filter(col("user_id") =!= col("q_user"))
+      .repartition(aggParts, col("q_user"), col("user_id"))
       .groupBy("q_user", "user_id")
       .agg(sum(expr("q_n * n")).as("dot"))
       .join(norms.select(col("user_id").as("q_user"), col("nn").as("q_nn")), "q_user")

@@ -1675,6 +1675,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x48 — interpolated BIGRAM-LM surprisal: one model order past x25's
+    * unigram score, the next rung toward CCNet's KenLM perplexity filter
+    * while staying exactly checkable. Per bigram position,
+    * p(w2 | w1) = (3·p_bi + p_uni)/4 — Jelinek-Mercer interpolation with
+    * a rational λ = 3/4, so the unigram backoff covers contexts the
+    * corpus barely saw (the reason raw-bigram surprisal is unusable as a
+    * quality score). The surprisal -log2 p is quantized ONCE per
+    * DISTINCT bigram to the 2^20 grid (x25's discipline — the per-doc
+    * aggregation is then an order-independent BIGINT sum; the shared-
+    * libm log2 assumption documented at x25 applies).
+    *
+    * Scale: the bigram model table grows ~linearly with the corpus
+    * (Heaps' law on bigrams), so it joins back by HASH on (w1, w2) —
+    * never broadcast; context counts derive from the bigram frame
+    * (never a second scan), the unigram side is x25's one keyed agg.
+    * Docs with <2 tokens have no bigram positions and emit no row —
+    * score them with x25. */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val big = documents
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(col("doc_id"), expr("ws[i - 1]").as("w1"), expr("ws[i]").as("w2"))
+    val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val ctx = bcnt.groupBy("w1").agg(sum("c_bi").as("c_ctx"))
+    val uni = documents.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val tot = uni.agg(sum("c_uni").as("t_total"))
+    val model = bcnt.join(ctx, "w1")
+      .join(uni.select(col("w").as("w2"), col("c_uni")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("b", expr(BigramBitsExpr))
+      .select("w1", "w2", "b")
+    big.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("b").as("bits_q"))
+      .withColumn("bits_per_bigram",
+        expr("CAST(bits_q AS DOUBLE) / n_bigrams / 1048576e0"))
+      .select("doc_id", "n_bigrams", "bits_q", "bits_per_bigram")
+      .orderBy("doc_id")
+  }
+
+  /** x48's quantized interpolated surprisal — ONE shared fragment spliced
+    * into both engines so the double arithmetic cannot drift (both parse
+    * `/` on integers as IEEE division; the casts are explicit where the
+    * engines' implicit rules differ). */
+  val BigramBitsExpr: String =
+    "CAST(floor(log2(4e0 / (3e0 * c_bi / c_ctx + CAST(c_uni AS DOUBLE) / t_total)) " +
+      "* 1048576e0) AS BIGINT)"
+
   /** x33 — CCNet-style perplexity bucketing: split the corpus into
     * head/middle/tail tertiles by unigram-LM bits-per-token (x25's
     * signal) and report each bucket's size, token mass, and mean
