@@ -1692,22 +1692,46 @@ object TextOps {
     * (never a second scan), the unigram side is x25's one keyed agg.
     * Docs with <2 tokens have no bigram positions and emit no row —
     * score them with x25. */
-  def bigramSurprisal(documents: DataFrame): DataFrame = {
-    val big = documents
+  /** The per-document adjacent-bigram stream (narrow explode). */
+  private[graft] def bigramStream(documents: DataFrame): DataFrame =
+    documents
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
       .select(col("doc_id"), expr("ws[i - 1]").as("w1"), expr("ws[i]").as("w2"))
-    val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+
+  /** x48's trained LM as stored artifacts: the (w1, w2, b) quantized
+    * interpolated-surprisal table plus the (w2, b_uni) unigram-BACKOFF
+    * table — b_uni is the c_bi = 0 limit of the same interpolation
+    * (p = p_uni/4), which is what a bigram UNSEEN in training costs a
+    * streaming document ([[graft.streaming.StreamingAnalytics.lmQualityAdmissionStream]]).
+    * Session-memoized like every trained artifact. */
+  private[graft] def bigramLmModel(documents: DataFrame): (DataFrame, DataFrame) = {
+    val bcnt = bigramStream(documents).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_bi"))
     val ctx = bcnt.groupBy("w1").agg(sum("c_bi").as("c_ctx"))
     val uni = documents.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_uni"))
     val tot = uni.agg(sum("c_uni").as("t_total"))
-    val model = bcnt.join(ctx, "w1")
-      .join(uni.select(col("w").as("w2"), col("c_uni")), "w2")
-      .crossJoin(broadcast(tot))
-      .withColumn("b", expr(BigramBitsExpr))
-      .select("w1", "w2", "b")
+    val bi = SharedFrames.memo(documents, "x48-bigram-model") {
+      bcnt.join(ctx, "w1")
+        .join(uni.select(col("w").as("w2"), col("c_uni")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("b", expr(BigramBitsExpr))
+        .select("w1", "w2", "b")
+    }
+    val uniBackoff = SharedFrames.memo(documents, "x48-unigram-backoff") {
+      uni.crossJoin(broadcast(tot))
+        .withColumn("b_uni", expr(
+          "CAST(floor(log2(4e0 * t_total / c_uni) * 1048576e0) AS BIGINT)"))
+        .select(col("w").as("w2"), col("b_uni"))
+    }
+    (bi, uniBackoff)
+  }
+
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val big = bigramStream(documents)
+    val (model, _) = bigramLmModel(documents)
     big.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("b").as("bits_q"))

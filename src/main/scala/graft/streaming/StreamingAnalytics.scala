@@ -677,6 +677,52 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class LmScore(doc_id: Long, n_bigrams: Long, bits_q: Long,
+      bits_per_bigram: Double, admitted: Boolean)
+
+  /** Streaming LM quality admission — x48's continuous form, the CCNet
+    * admission gate run at ingest: each arriving document scores under
+    * the STORED interpolated bigram model
+    * ([[graft.data.TextOps.bigramLmModel]]) and is admitted iff its
+    * bits-per-bigram stays under the perplexity ceiling. Two stream-
+    * static LEFT joins supply the backoff chain a live stream forces
+    * (training saw every training bigram; ingest will not be so polite):
+    * bigram hit → its quantized surprisal; known w2 under an unseen
+    * context → the unigram-backoff limit of the same interpolation
+    * (p_uni/4); fully unseen token → the caller's OOV surprisal. Per-doc
+    * scoring is a flatMapGroups over the doc's exploded bigram rows
+    * (document-atomic arrival, the same contract as
+    * [[evalContaminationStream]]); no state is carried, so the operator
+    * runs indefinitely with state bounded by a micro-batch. Convergence:
+    * for documents drawn from the training corpus every bigram hits the
+    * model, so stream scores equal batch x48 exactly (spec-pinned). */
+  def lmQualityAdmissionStream(docs: DataFrame, bigramModel: DataFrame,
+      unigramBackoff: DataFrame, oovBits: Long,
+      maxBitsPerBigram: Double): Dataset[LmScore] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(col("doc_id"), expr("ws[i - 1]").as("w1"), expr("ws[i]").as("w2"))
+      .join(bigramModel, Seq("w1", "w2"), "left")
+      .join(unigramBackoff, Seq("w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("b"), col("b_uni"), lit(oovBits)).as("b_eff"))
+      .as[(Long, Long)]
+    def fn(docId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[Long]): Iterator[LmScore] = {
+      val bs = rows.map(_._2).toArray
+      val n = bs.length.toLong
+      val bitsQ = bs.sum
+      val bpb = bitsQ.toDouble / n / 1048576.0
+      Iterator.single(LmScore(docId, n, bitsQ, bpb, bpb <= maxBitsPerBigram))
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming sparse-similarity ADMISSION monitor — q32's continuous
     * form: as events arrive, score each active user's windowed activity
     * against a STORED set of query-user profiles (q32's sparse

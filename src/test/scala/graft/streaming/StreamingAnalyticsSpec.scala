@@ -703,6 +703,52 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM admission scores equal batch x48 for in-corpus docs; backoff covers OOV") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sfDir)
+    val (bi, uniB) = graft.data.TextOps.bigramLmModel(corpus)
+    val oov = 99L << 20 // a surprisal no real token reaches
+    val thr = 5.1
+
+    val want = graft.data.TextOps.bigramSurprisal(corpus)
+      .select("doc_id", "n_bigrams", "bits_q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+
+    val rows = corpus.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.lmQualityAdmissionStream(
+        input.toDF().toDF("doc_id", "text"), bi, uniB, oov, thr)
+      .writeStream.format("memory").queryName("lmadm").outputMode("append").start()
+    try {
+      val (w1, w2) = rows.splitAt(rows.size / 3)
+      input.addData(w1); q.processAllAvailable()
+      input.addData(w2); q.processAllAvailable()
+      // synthetic ingest: "qqq" never occurs in the corpus → both its
+      // bigrams pay the OOV surprisal; a real pair of corpus tokens that
+      // never co-occur would take the b_uni branch, covered implicitly by
+      // coalesce order (b is null, b_uni is not)
+      input.addData((900000L, "qqq qqq qqq"))
+      q.processAllAvailable()
+
+      val out = spark.table("lmadm")
+        .select("doc_id", "n_bigrams", "bits_q", "bits_per_bigram", "admitted")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+      val got = out.view.filterKeys(_ != 900000L)
+        .map { case (id, (n, b, _, _)) => (id, n, b) }.toSet
+      assert(got == want,
+        s"stream/batch diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      // every admission flag is the threshold applied to the exact score
+      out.values.foreach { case (_, _, bpb, adm) => assert(adm == (bpb <= thr)) }
+      // the OOV doc pays oovBits per bigram and is rejected
+      val (nO, bO, bpbO, admO) = out(900000L)
+      assert(nO == 2 && bO == 2 * oov && bpbO > thr && !admO)
+    } finally q.stop()
+  }
+
   test("streaming admission monitor's full-span dots equal batch q32's inner products") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
