@@ -88,25 +88,28 @@ object RelationalQueries {
                                         rowsPerBlock: Int): DataFrame = {
     val (sparse, q) = activityProfiles(spark, dir)
     val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
-    // Size the pair-aggregation shuffle to the MEASURED pair volume: the
-    // joined pair stream has no map-side reduction (a (q, cand) pair
-    // appears once per shared bucket, each in a DIFFERENT grid task), so
-    // the dot agg's reducer count must scale with Σ_bucket cf·cp or the
-    // reducers spill — the 10× rehearsal measured 526 s at the session's
-    // 32 partitions (~700 MB/reducer) for a 1.2B-pair stream. One
-    // control-plane agg (same class as autoCells) sizes reducers at ~2M
-    // pair rows each; ≤32 at both gate scales, so the oracle plan is
-    // unchanged there. AQE only coalesces DOWN from
-    // spark.sql.shuffle.partitions, which is why this must be explicit.
+    // Block-matrix (SpGEMM) pair join, sized from the MEASURED pair
+    // volume (one control-plane agg, the autoCells class): blocking by
+    // hash(user) × hash(q_user) — not by the bucket key — puts EVERY
+    // shared bucket of a (candidate, query) pair in one task, so the
+    // partial aggregate collapses the pair-bucket stream to one row per
+    // pair BEFORE the shuffle. The bucket-keyed grid join bounded task
+    // work but scattered a pair's buckets across tasks: no map-side
+    // reduction, a 1.2B-row shuffle for 45M distinct pairs, 161-526 s at
+    // the 10× events point. Per-task pair work ≈ pairVol/(F·P), held at
+    // ~rowsPerBlock² by F = P = ceil(sqrt(pairVol/budget)); 1×1 at both
+    // gate scales, so the oracle plan is the plain bucket join there.
     val pairVol = SharedFrames.memoValue(sparse, "q32-pair-volume") {
       sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
         .join(q.groupBy("bucket").agg(count(lit(1)).as("cp")), "bucket")
         .agg(sum(expr("cf * cp"))).collect()(0).getLong(0)
     }
-    val aggParts = math.max(32L, math.min(2048L, pairVol >> 21)).toInt
-    val out = SkewOps.gridJoin(sparse, q, "bucket", rowsPerBlock)
+    val budget = rowsPerBlock.toLong * rowsPerBlock
+    val blocks = math.max(1L,
+      math.min(64L, math.ceil(math.sqrt(pairVol.toDouble / budget)).toLong)).toInt
+    val out = SkewOps.pairBlockJoin(sparse, q, "bucket",
+        "user_id", "q_user", blocks, blocks)
       .filter(col("user_id") =!= col("q_user"))
-      .repartition(aggParts, col("q_user"), col("user_id"))
       .groupBy("q_user", "user_id")
       .agg(sum(expr("q_n * n")).as("dot"))
       .join(norms.select(col("user_id").as("q_user"), col("nn").as("q_nn")), "q_user")

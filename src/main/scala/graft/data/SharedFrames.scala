@@ -57,11 +57,23 @@ object SharedFrames {
     * alone costs seconds per action (and lazily-checkpointed inner rounds
     * re-trigger under AQE-cached plans — measured SLOWER than recompute).
     * The eager checkpoint runs the plan exactly once and hands every
-    * consumer a plain scan over the computed partitions. */
+    * consumer a plain scan over the computed partitions.
+    *
+    * Storage is MEMORY_AND_DISK_SER, not the checkpoint default
+    * (deserialized): checkpoint blocks are NON-RECOMPUTABLE, so unlike a
+    * persist they can never be evicted outright — at the 100× vector
+    * point the deserialized default pinned enough heap to OOM the 8g
+    * driver (SparkExitCode 52) once the whole s-family memoized through
+    * here. Serialized long-array rows pack tightly and spill to disk
+    * cleanly; consumers pay one deserialization per read, noise next to
+    * the compute being memoized. */
+  private val MemoLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   def memo(input: DataFrame, tag: String)(compute: => DataFrame): DataFrame = {
     val key = (System.identityHashCode(input.sparkSession),
       input.queryExecution.analyzed.canonicalized, tag)
-    val fresh = new Memoized(() => compute.localCheckpoint(true))
+    val fresh = new Memoized(() => compute.localCheckpoint(true, MemoLevel))
     freshIds(cache.putIfAbsent(key, fresh).getOrElse(fresh).value)
   }
 
@@ -78,7 +90,7 @@ object SharedFrames {
       input.queryExecution.analyzed.canonicalized, tag)
     val fresh = new Memoized(() => {
       val (df, release) = compute
-      try df.localCheckpoint(true) finally release()
+      try df.localCheckpoint(true, MemoLevel) finally release()
     })
     freshIds(cache.putIfAbsent(key, fresh).getOrElse(fresh).value)
   }

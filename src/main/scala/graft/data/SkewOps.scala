@@ -89,6 +89,55 @@ object SkewOps {
   private def blockId(df: DataFrame, n: org.apache.spark.sql.Column) =
     pmod(hash(df.columns.toIndexedSeq.map(col): _*), n)
 
+  /** Block-matrix pair join (the SpGEMM shape): inner equi-join on `key`
+    * with the task grid keyed by the ENTITY columns the downstream
+    * aggregation groups on, not by the join key. [[gridJoin]] bounds
+    * per-task pair work but scatters one (factEntity, probeEntity)
+    * pair's contributions across as many tasks as keys they share — so a
+    * downstream `groupBy(entity pair)` gets NO map-side reduction and
+    * shuffles every pair-key incidence (q32 at 10×: a 1.2B-row shuffle
+    * for 45M distinct pairs). Blocking by hash(factEntity) ×
+    * hash(probeEntity) instead puts EVERY shared key of a pair in the
+    * same task: the join inputs replicate only ×probeBlocks / ×factBlocks
+    * (cheap — they are entity-profile frames, not pair streams), the
+    * pair-key rows stay pipelined inside the task, and the partial
+    * aggregate collapses them to one row per pair BEFORE the shuffle.
+    * Row-identical to the plain join: a qualifying (fact, probe) row
+    * pair meets exactly once, at (hash(fe) % F, hash(pe) % P).
+    *
+    * Use when the consumer aggregates per (factEntity, probeEntity) —
+    * sparse inner products, co-occurrence counts. Use [[gridJoin]] when
+    * the raw pair stream itself is the output. */
+  def pairBlockJoin(fact: DataFrame, probe: DataFrame, key: String,
+      factEntity: String, probeEntity: String,
+      factBlocks: Int, probeBlocks: Int): DataFrame = {
+    require(factBlocks >= 1 && probeBlocks >= 1)
+    val fB = fact
+      .withColumn("__bf", pmod(hash(col(factEntity)), lit(factBlocks)))
+      .withColumn("__bp", explode(sequence(lit(0), lit(probeBlocks - 1))))
+    val pB = probe
+      .withColumn("__bp", pmod(hash(col(probeEntity)), lit(probeBlocks)))
+      .withColumn("__bf", explode(sequence(lit(0), lit(factBlocks - 1))))
+    fB.join(pB, Seq(key, "__bf", "__bp")).drop("__bf", "__bp")
+  }
+
+  /** Per-task audit of [[pairBlockJoin]]'s grid — realized pair count of
+    * every (bf, bp) task (Σ_key factRows(key, bf) · probeRows(key, bp)),
+    * computed with the same hash assignment: the rehearsal gate that the
+    * worst task stays near pairVolume / (F·P). */
+  def pairBlockStats(fact: DataFrame, probe: DataFrame, key: String,
+      factEntity: String, probeEntity: String,
+      factBlocks: Int, probeBlocks: Int): DataFrame = {
+    val f = fact
+      .withColumn("__bf", pmod(hash(col(factEntity)), lit(factBlocks)))
+      .groupBy(col(key), col("__bf")).agg(count(lit(1)).as("cf"))
+    val p = probe
+      .withColumn("__bp", pmod(hash(col(probeEntity)), lit(probeBlocks)))
+      .groupBy(col(key), col("__bp")).agg(count(lit(1)).as("cp"))
+    f.join(p, key)
+      .groupBy("__bf", "__bp").agg(sum(expr("cf * cp")).as("task_pairs"))
+  }
+
   /** Per-key audit of [[gridJoin]]'s task grid — the scale-rehearsal gate
     * that per-task pair work stays bounded: for each key, the grid
     * dimensions (nf × np), the LARGEST realized block on each side, and

@@ -192,6 +192,12 @@ object ScaleRehearsal {
     val prBcast = broadcastSizes(prNodes)
     prRelease()
 
+    // one corpus family at a time: release the previous section's memoized
+    // artifacts so the session footprint stays bounded at the 100x points
+    // (checkpoint blocks spill but never drop; an 8g driver OOM'd holding
+    // four families' worth at once)
+    graft.data.SharedFrames.clear()
+
     // ---- relational-family rehearsal (VERDICT r6 prescription #6) -----
     // Build a ~10× TPC-H-ish slice with join integrity preserved: per
     // copy i, customer keys shift by i·C_OFF and order keys by i·O_OFF
@@ -250,6 +256,12 @@ object ScaleRehearsal {
       val qBcast = broadcastSizes(nodes)
       (name, secs, qFlips, qBcast)
     }
+
+    // one corpus family at a time: release the previous section's memoized
+    // artifacts so the session footprint stays bounded at the 100x points
+    // (checkpoint blocks spill but never drop; an 8g driver OOM'd holding
+    // four families' worth at once)
+    graft.data.SharedFrames.clear()
 
     // ---- vector-family rehearsal (r7) --------------------------------
     // A 10× embeddings slice: vec_id shifts per copy, vectors stay
@@ -382,6 +394,12 @@ object ScaleRehearsal {
       flLayout.filter(col("cell") === flRow.getAs[Number]("cell").longValue()))
     val flFilesTotal = filesRead(flLayout)
 
+    // one corpus family at a time: release the previous section's memoized
+    // artifacts so the session footprint stays bounded at the 100x points
+    // (checkpoint blocks spill but never drop; an 8g driver OOM'd holding
+    // four families' worth at once)
+    graft.data.SharedFrames.clear()
+
     // ---- events-family rehearsal (r9) ---------------------------------
     // A ~N× events slice: user_id/event_id shift per copy, timestamps stay
     // VERBATIM — so every copy's users are active across the same global
@@ -431,34 +449,29 @@ object ScaleRehearsal {
       (name, secs, planKillers(nodes), broadcastSizes(nodes))
     }
 
-    // gridJoin task-grid audit on q32's real profile frames
+    // block-pair-join task audit on q32's real profile frames, sized the
+    // way the query itself sizes its grid (pair volume → F = P blocks)
     val cap = graft.data.RelationalQueries.SkewBlockRows
+    val budget = cap.toLong * cap
     val (sparseProf, qProf) =
       graft.data.RelationalQueries.activityProfiles(spark, evtDir)
-    val gridStats = graft.data.SkewOps
-      .gridBlockStats(sparseProf, qProf, "bucket", cap)
-      .agg(max("nf").as("max_nf"), max("np").as("max_np"),
-        max("max_fact_block").as("max_fact_block"),
-        max("max_probe_block").as("max_probe_block"),
-        max("max_task_pairs").as("max_task_pairs"),
-        sum("grid_cells").as("grid_cells"))
-      .collect()(0)
-    val (gMaxNf, gMaxNp) = (gridStats.getInt(0), gridStats.getInt(1))
-    val (gMaxF, gMaxP) = (gridStats.getLong(2), gridStats.getLong(3))
-    val gMaxPairs = gridStats.getLong(4)
-    val gCells = gridStats.getLong(5)
     // the query's INHERENT pair volume (Σ_bucket cand·query rows) — the
-    // wall-clock denominator: q32's cost is this, spread over gCells
-    // bounded tasks
+    // wall-clock denominator: q32's cost is this, spread over F·P tasks
     val gPairVolume = sparseProf.groupBy("bucket").agg(count(lit(1)).as("cf"))
       .join(qProf.groupBy("bucket").agg(count(lit(1)).as("cp")), "bucket")
       .agg(sum(expr("cf * cp"))).collect()(0).getLong(0)
+    val gBlocks = math.max(1L, math.min(64L,
+      math.ceil(math.sqrt(gPairVolume.toDouble / budget)).toLong)).toInt
+    val gMaxPairs = graft.data.SkewOps
+      .pairBlockStats(sparseProf, qProf, "bucket",
+        "user_id", "q_user", gBlocks, gBlocks)
+      .agg(max("task_pairs")).collect()(0).getLong(0)
     val gridFlips =
-      (if (gMaxF > 2L * cap || gMaxP > 2L * cap)
-        Seq(s"q32:block_overflow(f=$gMaxF,p=$gMaxP,cap=$cap)") else Nil) ++
-      (if (gMaxPairs > 4L * cap * cap)
-        Seq(s"q32:task_pairs_unbounded($gMaxPairs)") else Nil) ++
-      (if (evtCopies >= 10 && gMaxNf <= 1)
+      // 4× slack over the per-task budget: entity hashing spreads pairs
+      // near-uniformly but not exactly
+      (if (gMaxPairs > 4L * budget)
+        Seq(s"q32:task_pairs_unbounded($gMaxPairs,budget=$budget)") else Nil) ++
+      (if (evtCopies >= 10 && gBlocks <= 1)
         Seq("q32:grid_not_engaged") else Nil)
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -526,9 +539,8 @@ object ScaleRehearsal {
           evtResults.map { case (k, _, _, bs) =>
             "\"" + k + "\":[" + bs.mkString(",") + "]"
           }.mkString("{", ",", "}")},""" +
-        s""""q32_grid":{"cap":$cap,"max_nf":$gMaxNf,"max_np":$gMaxNp,""" +
-        s""""max_fact_block":$gMaxF,"max_probe_block":$gMaxP,""" +
-        s""""max_task_pairs":$gMaxPairs,"grid_cells":$gCells,""" +
+        s""""q32_grid":{"pair_budget":$budget,"blocks":$gBlocks,""" +
+        s""""tasks":${gBlocks.toLong * gBlocks},"max_task_pairs":$gMaxPairs,""" +
         s""""pair_volume":$gPairVolume},""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)

@@ -70,6 +70,27 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(grid == plain)
   }
 
+  test("pairBlockJoin equals the plain join and bounds realized task pairs") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").as("k"), col("l_orderkey").as("fe"), col("l_linenumber"))
+    val probe = Tables.lineitem(spark, sfDir)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_suppkey").as("k"), col("l_partkey").as("pe"))
+    val plain = probe.join(li, "k").select("k", "fe", "l_linenumber", "pe")
+    val blocked = SkewOps.pairBlockJoin(li, probe, "k", "fe", "pe", 5, 3)
+      .select("k", "fe", "l_linenumber", "pe")
+    assert(blocked.count() == plain.count())
+    assert(blocked.exceptAll(plain).isEmpty && plain.exceptAll(blocked).isEmpty)
+
+    // stats: total realized pairs across tasks equals the plain join's
+    // row count, and the worst task stays near total/(F*P) (hash spread)
+    val stats = SkewOps.pairBlockStats(li, probe, "k", "fe", "pe", 5, 3)
+      .agg(sum("task_pairs"), max("task_pairs")).collect()(0)
+    assert(stats.getLong(0) == plain.count())
+    assert(stats.getLong(1) <= 4L * (stats.getLong(0) / 15L + 1L),
+      s"worst task ${stats.getLong(1)} vs total ${stats.getLong(0)} over 15 tasks")
+  }
+
   test("q32 body with forced tiny blocks equals the default-cap body") {
     import graft.data.{RelationalQueries => RQ}
     val tiny = RQ.activitySimilarity(spark, sfDir, rowsPerBlock = 2).collect()
