@@ -52,7 +52,7 @@ object RelationalQueries {
     // norms, query side and candidate side (and repeated bench
     // invocations) share the bucketed profile frame — session memo, not a
     // per-invocation persist that would linger unreleased (r8 ADVICE)
-    val sparse = SharedFrames.memo(ev, "q32-sparse-b64") {
+    val sparse = SharedFrames.memoPersisted(ev, "q32-sparse-b64") {
       val sp = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
       ev.crossJoin(broadcast(sp))
         .withColumn("bucket", expr("((ts_us - t0) * 64) div (t1 - t0 + 1)"))
@@ -107,8 +107,12 @@ object RelationalQueries {
     val budget = rowsPerBlock.toLong * rowsPerBlock
     val blocks = math.max(1L,
       math.min(64L, math.ceil(math.sqrt(pairVol.toDouble / budget)).toLong)).toInt
-    val out = SkewOps.pairBlockJoin(sparse, q, "bucket",
+    // a 1x1 grid IS the plain join — take it literally so the gate-scale
+    // plan carries no block columns at all
+    val joined = if (blocks <= 1) sparse.join(q, "bucket")
+      else SkewOps.pairBlockJoin(sparse, q, "bucket",
         "user_id", "q_user", blocks, blocks)
+    val out = joined
       .filter(col("user_id") =!= col("q_user"))
       .groupBy("q_user", "user_id")
       .agg(sum(expr("q_n * n")).as("dot"))
@@ -271,7 +275,7 @@ object RelationalQueries {
       val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       // four funnel stages read the sessionized frame — session memo, not
       // a per-invocation persist that would linger unreleased (r8 ADVICE)
-      val sess = SharedFrames.memo(ev, "q33-sessionized") {
+      val sess = SharedFrames.memoPersisted(ev, "q33-sessionized") {
         ev.withColumn("prev_ts", lag("ts_us", 1).over(wU))
           .withColumn("brk", when(col("prev_ts").isNull ||
             col("ts_us") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
@@ -585,7 +589,7 @@ object RelationalQueries {
           expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"))
         .withColumn("rev_u", expr(revU))
         .select("l_suppkey", "d", "rev_u")
-      val li = SharedFrames.memo(liBase, "q28-li-proj")(liBase)
+      val li = SharedFrames.memoPersisted(liBase, "q28-li-proj")(liBase)
       val windows = li.groupBy("l_suppkey")
         .agg(min("d").as("w_start"))
         .withColumn("w_end", col("w_start") + 14)

@@ -77,6 +77,35 @@ object SharedFrames {
     freshIds(cache.putIfAbsent(key, fresh).getOrElse(fresh).value)
   }
 
+  /** [[memo]] variant for SHALLOW plans: materialize via persist + eager
+    * count instead of localCheckpoint. Two reasons, both measured:
+    * (1) STATS — a checkpoint scan is a LogicalRDD whose sizeInBytes is
+    * spark.sql.defaultSizeInBytes (unknown-huge), so Catalyst plans every
+    * downstream join shuffle-first and AQE can only convert, not remove,
+    * the inserted exchanges (q32 at sf0.1: 2.0 s persisted vs 3.7 s
+    * checkpointed — the InMemoryRelation's real size keeps the small side
+    * broadcastable at plan time); (2) MEMORY — persisted blocks are
+    * recomputable and therefore evictable, where checkpoint blocks are
+    * pinned (the 100× vector OOM class). The price is that consumers
+    * re-analyze the memoized plan per action — fine for shallow plans;
+    * ITERATIVE chains (the CC loop, multi-round trainers) stay on the
+    * checkpointing [[memo]], whose whole point was cutting their
+    * re-analysis cost. */
+  def memoPersisted(input: DataFrame, tag: String)(compute: => DataFrame): DataFrame = {
+    val key = (System.identityHashCode(input.sparkSession),
+      input.queryExecution.analyzed.canonicalized, tag)
+    val fresh = new Memoized(() => {
+      // SER, same as [[MemoLevel]]: the InMemoryRelation's stats are real
+      // at any storage level, and the deserialized default's 3-4× larger
+      // blocks starved execution memory at the 10× rehearsal (storage
+      // below spark.memory.storageFraction is eviction-immune)
+      val df = compute.persist(MemoLevel)
+      df.count() // eager: later callers never race a half-built cache
+      df
+    })
+    freshIds(cache.putIfAbsent(key, fresh).getOrElse(fresh).value)
+  }
+
   /** [[memo]] variant for computes that pin upstream persists/checkpoints
     * only the materialization needs: `compute` returns the frame AND a
     * release thunk; the frame is eagerly checkpointed first, then the

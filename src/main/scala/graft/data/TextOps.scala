@@ -1443,7 +1443,7 @@ object TextOps {
     * `h` is a 48-bit BIGINT now instead of an md5 hex string (smaller
     * shuffle keys for every downstream join, too). */
   private def spanWindows(documents: DataFrame, spanWords: Int): DataFrame =
-    SharedFrames.memo(documents, s"span-windows-$spanWords") {
+    SharedFrames.memoPersisted(documents, s"span-windows-$spanWords") {
       documents
         .withColumn("ws", split(col("text"), " "))
         .filter(size(col("ws")) >= spanWords)
@@ -1456,7 +1456,7 @@ object TextOps {
     * consumers join against (hash join on h; this table scales with the
     * corpus, so it is never broadcast). */
   private def spanDupSet(documents: DataFrame, spanWords: Int): DataFrame =
-    SharedFrames.memo(documents, s"span-dup-$spanWords") {
+    SharedFrames.memoPersisted(documents, s"span-dup-$spanWords") {
       spanWindows(documents, spanWords)
         .groupBy("h").agg(countDistinct("doc_id").as("docs"))
         .filter(col("docs") >= 2).select("h")
@@ -1713,14 +1713,14 @@ object TextOps {
     val uni = documents.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_uni"))
     val tot = uni.agg(sum("c_uni").as("t_total"))
-    val bi = SharedFrames.memo(documents, "x48-bigram-model") {
+    val bi = SharedFrames.memoPersisted(documents, "x48-bigram-model") {
       bcnt.join(ctx, "w1")
         .join(uni.select(col("w").as("w2"), col("c_uni")), "w2")
         .crossJoin(broadcast(tot))
         .withColumn("b", expr(BigramBitsExpr))
         .select("w1", "w2", "b")
     }
-    val uniBackoff = SharedFrames.memo(documents, "x48-unigram-backoff") {
+    val uniBackoff = SharedFrames.memoPersisted(documents, "x48-unigram-backoff") {
       uni.crossJoin(broadcast(tot))
         .withColumn("b_uni", expr(
           "CAST(floor(log2(4e0 * t_total / c_uni) * 1048576e0) AS BIGINT)"))

@@ -91,7 +91,7 @@ object VectorOps {
     * persists entirely; at 100 TB the analogue is writing the quantized
     * columns once (see [[SharedFrames]]' bucketed-write note). */
   def quantized(embeddings: DataFrame): DataFrame =
-    SharedFrames.memo(embeddings, "vector-quantized") {
+    SharedFrames.memoPersisted(embeddings, "vector-quantized") {
       embeddings
         .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
         .withColumn("nn", expr("graft_dot_long(qv, qv)"))
@@ -199,7 +199,7 @@ object VectorOps {
     // recomputed for the query side, the candidate side, and under the
     // broadcast — and a bare per-invocation persist lingered unreleased
     // for the session (r8 ADVICE)
-    val v8 = SharedFrames.memo(embeddings, "int8-quantized") {
+    val v8 = SharedFrames.memoPersisted(embeddings, "int8-quantized") {
       embeddings
         .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
         // a zero-magnitude embedding has no direction: x/mx would emit NULL
@@ -285,7 +285,7 @@ object VectorOps {
     // one row per (vector, subspace): the sliced sub-vector + exact norm —
     // feeds the codebook, the encoding, and the query tables (session
     // memo, not a lingering per-invocation persist: r8 ADVICE)
-    val subs = SharedFrames.memo(embeddings, s"pq-subs:$m:$subDim") {
+    val subs = SharedFrames.memoPersisted(embeddings, s"pq-subs:$m:$subDim") {
       v.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
         .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
         .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
@@ -300,7 +300,7 @@ object VectorOps {
       .agg(expr("min_by(c_id, struct(dist2, c_id))").as("code"))
     // the corpus-scaled codes frame is scanned once per batch
     val codes = if (nb > 1)
-      SharedFrames.memo(embeddings, s"pq-codes:$nCodes:$m:$subDim")(codesRaw)
+      SharedFrames.memoPersisted(embeddings, s"pq-codes:$nCodes:$m:$subDim")(codesRaw)
     else codesRaw
     // per-query ADC table: exact query sub-vector vs every codeword
     val qd = subs.filter(col("vec_id") % everyNth === 0)
@@ -385,7 +385,7 @@ object VectorOps {
     // residual vs the OWN cell's centroid, sliced into m subspaces —
     // feeds the codebook and the encoding (session memo, not a lingering
     // per-invocation persist: r8 ADVICE)
-    val subs = SharedFrames.memo(embeddings, s"ivfpq-subs:$kk:$m:$subDim") {
+    val subs = SharedFrames.memoPersisted(embeddings, s"ivfpq-subs:$kk:$m:$subDim") {
       assignToCentroids(v, cent)
         .join(broadcast(cent), "c_id")
         .withColumn("rv", expr("zip_with(qv, c_qv, (a, b) -> a - b)"))
@@ -403,7 +403,7 @@ object VectorOps {
       .agg(expr("min_by(code_id, struct(dist2, code_id))").as("code"))
     // the corpus-scaled codes frame is scanned once per query batch
     val codes = if (nb > 1)
-      SharedFrames.memo(embeddings, s"ivfpq-codes:$kk:$nCodes:$m:$subDim")(codesRaw)
+      SharedFrames.memoPersisted(embeddings, s"ivfpq-codes:$kk:$nCodes:$m:$subDim")(codesRaw)
     else codesRaw
     // query probes its nProbe nearest cells; its residual differs per cell
     val probes = v.filter(col("vec_id") % everyNth === 0)
@@ -481,7 +481,7 @@ object VectorOps {
     * class); one memo entry pays the assignment once and every consumer
     * reads the checkpointed frame. */
   private def cellAssigned(embeddings: DataFrame, kk: Int): DataFrame =
-    SharedFrames.memo(embeddings, s"ivf-assigned:$kk") {
+    SharedFrames.memoPersisted(embeddings, s"ivf-assigned:$kk") {
       val v = quantized(embeddings)
       assignToCentroids(v, seedCentroids(v, kk)).withColumnRenamed("c_id", "cell")
     }
@@ -735,7 +735,7 @@ object VectorOps {
     val kk = if (kHalf > 0) kHalf else imiHalfCells(embeddings)
     // centroids, both assignments, queries, and the scan read the halves
     // frame (session memo, not a lingering per-invocation persist)
-    val v = SharedFrames.memo(embeddings, s"imi-halves:$half") {
+    val v = SharedFrames.memoPersisted(embeddings, s"imi-halves:$half") {
       quantized(embeddings)
         .withColumn("qa", expr(s"slice(qv, 1, $half)"))
         .withColumn("qb", expr(s"slice(qv, ${half + 1}, $half)"))
@@ -841,7 +841,7 @@ object VectorOps {
     val v = quantized(embeddings)
     // feeds the codebook and the encode scan (session memo, not a
     // lingering per-invocation persist)
-    val subs = SharedFrames.memo(embeddings, s"pqhealth-subs:$m:$subDim") {
+    val subs = SharedFrames.memoPersisted(embeddings, s"pqhealth-subs:$m:$subDim") {
       v.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
         .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
         .withColumn("sub_nn", expr("graft_dot_long(sub, sub)"))
@@ -1166,7 +1166,7 @@ object VectorOps {
     val spark = embeddings.sparkSession
     val newA = trainedAssignment(embeddings, k, maxIter, trainOn)
     // one materialization: the diff and the rewrite slice both read it
-    val newM = SharedFrames.memo(embeddings,
+    val newM = SharedFrames.memoPersisted(embeddings,
       s"ivf-migrate-assign:$k:$maxIter:${trainOn.isDefined}")(newA)
     val oldA = spark.read.parquet(path)
       .select(col("vec_id"), col("cell").as("cell_old"))
@@ -1255,7 +1255,7 @@ object VectorOps {
       .select("label").collect()(0).getAs[Number](0).longValue()
     // feeds the codebook AND the query distance table — O((1+nCodes)·m)
     // rows, so memo entries stay control-plane tiny per probed query
-    val qsubs = SharedFrames.memo(embeddings, s"pq-probe-subs:$queryId:$nCodes:$m:$subDim") {
+    val qsubs = SharedFrames.memoPersisted(embeddings, s"pq-probe-subs:$queryId:$nCodes:$m:$subDim") {
       v.filter(col("vec_id") === queryId || col("vec_id") < nCodes)
         .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
         .withColumn("sub", expr(s"slice(qv, s * $subDim + 1, $subDim)"))
@@ -1594,7 +1594,7 @@ object VectorOps {
     val keeperBlocks = keepers.groupBy("b_cid")
       .agg(max("b_blk").as("max_blk")) // O(k) rows: AQE-sized, never hinted
     // session memo, not a lingering per-invocation persist (r8 ADVICE)
-    val newRanked = SharedFrames.memo(embeddings,
+    val newRanked = SharedFrames.memoPersisted(embeddings,
       s"d14_new_ranked:$baseMaxId:$k:$maxIter")(newRanked0)
     val dupOfBase = newRanked
       .join(keeperBlocks, col("c_id") === col("b_cid"))
