@@ -40,7 +40,8 @@ object Bench {
     "q20_part_promotion", "q21_waiting_suppliers", "q22_balance_opportunity",
     "q24_window_suite", "q25_skew_salted", "q26_cube_mix", "q27_stats_moments",
     "q28_promo_window", "q29_cohort_retention", "q30_conversion_funnel",
-    "q31_zorder_cells", "q32_activity_similarity", "q33_session_funnel",
+    "q31_zorder_cells", "q32_activity_similarity", "q32b_activity_range",
+    "q33_session_funnel",
     "q34_rate_anomaly",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
@@ -149,9 +150,19 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+    // r9 VERDICT #2 (third round of "parsed": null): the driver's stdout
+    // tail window is smaller than even the ~3 KB compact line, so the r9
+    // tail began MID-JSON and the parse failed again. This ≤200-byte
+    // TOTAL-ONLY form — no queries map — brackets all other output as the
+    // first and last contract lines we print, so a tail window anchored at
+    // either end of the run's output contains at least one complete copy.
+    // Per-query medians stay in the compact line and the sidecar.
+    val tiny = s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"reps":$reps,"sf":"$sfDir"}"""
+    println(tiny)
     println(json)
     println(s"""{"bench_diag":"iqr","iqr":$iqrs}""")
     println(json)
+    println(tiny)
     // Sidecar copy (full form, with iqr): the durable artifact regardless
     // of how stdout gets truncated (same pattern as ScaleRehearsal's
     // BENCH_sf1.json).

@@ -35,17 +35,20 @@ object RelationalQueries {
 
   private def t(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
 
-  /** Per-side block cap for the q32 hot-bucket grid join: ≤4096 rows per
-    * side per task caps pair work at 4096² ≈ 16.7M multiply-adds — a
-    * right-sized task. At the sf≤0.1 gates every bucket holds <4096 users
-    * so the grid is 1×1 (plan ≡ the plain bucket join); at 10× events the
-    * query axis stays 1 and the candidate axis fans out ~4-wide; at 100 TB
-    * a 1.5M-user bucket fans out to a ~367×74 task grid automatically. */
+  /** Per-side block cap for q32's blocked pair join: ≤4096 rows per side
+    * per task caps per-task pair work at 4096² ≈ 16.7M pair dots (each a
+    * 64-long native multiply-add loop ≈ 1 s of codegen work — a
+    * right-sized task). The grid itself is sized by
+    * [[SkewOps.pairGrid]] from measured row counts, so the bound holds at
+    * ANY pair volume: a sub-budget problem is ONE task by design (the
+    * grid bounds task size, it does not manufacture parallelism for
+    * sub-second work), and tasks grow as pairVol/budget past it. */
   private[graft] val SkewBlockRows = 4096
 
-  /** q32's (candidate, query) sparse activity-profile frames — exposed so
-    * the events-scale rehearsal can run [[SkewOps.gridBlockStats]] over
-    * the REAL inputs and gate the per-task pair bound at 10×/100×. */
+  /** q32's (candidate, query) sparse activity-profile frames — the
+    * shared build of [[activityVectors]] (dense form), q32b's postings
+    * (candidate generation needs per-bucket rows), and the streaming
+    * admission twin's watched-profile artifact. */
   private[graft] def activityProfiles(spark: SparkSession, dir: String):
       (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir).select("user_id", "ts_us")
@@ -63,61 +66,67 @@ object RelationalQueries {
     (sparse, q)
   }
 
-  /** q32 body — time-series similarity search (the EDBT/ICDE
-    * streaming-similarity family) as a SPARSE inner-product join: each
-    * user's activity profile is their event count per 1/64th of the
-    * global time span, and cos(u, v) is computed WITHOUT ever
-    * materializing dense vectors — the (user, bucket, n) frame self-joins
-    * on the bucket key, so dot(u, v) = Σ n_u·n_v accumulates in one keyed
-    * agg over pairs that share ≥1 active bucket. No per-user array, no
-    * all-pairs scan.
+  /** q32's DENSE activity vectors: (user_id, v: ARRAY<BIGINT>[64], nn).
     *
-    * Buckets are the KNOWN hot keys (every active user touches most of
-    * the 64 buckets), so the bucket join runs through
-    * [[SkewOps.gridJoin]]: per-bucket contributor counts (a 64-row
-    * broadcast aggregate) derive a 2-D block grid with ≤`rowsPerBlock`
-    * rows per side per task, capping per-task pair work at rowsPerBlock²
-    * while keeping the result row-identical — cold buckets get a 1×1 grid
-    * and pay nothing, hot buckets fan out in BOTH dimensions. This
-    * replaces the former deployment-knob mitigation (finer B / manual
-    * salting) with measured, automatic, exact skew handling. Exact:
-    * bucket arithmetic and dots are BIGINT, cosine one IEEE division; the
-    * span frame is a 1-row aggregate (whitelisted broadcast class).
-    */
+    * B = 64 is fixed configuration and measured occupancy is ~41/64
+    * buckets per user — the profiles are bounded, near-dense vectors, not
+    * sparse ones. The r9 SpGEMM bucket-join formulation optimized a
+    * sparse regime this data is not in: it shuffled one row per SHARED
+    * BUCKET of every pair (~41× the pair count even after map-side
+    * collapse of the grid form), where the dense form pairs each (query,
+    * candidate) exactly ONCE and computes the dot in the same native
+    * codegen'd multiply-add loop the ANN family runs on
+    * ([[graft.functions.LongDotProduct]]). Building the vectors is one
+    * keyed agg over the sparse frame (64-entry map → fixed array);
+    * everything stays exact BIGINT. */
+  private[graft] def activityVectors(spark: SparkSession, dir: String): DataFrame = {
+    val (sparse, _) = activityProfiles(spark, dir)
+    SharedFrames.memoPersisted(sparse, "q32-dense-b64") {
+      sparse.groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("n")))).as("m"))
+        .withColumn("v", expr(
+          "transform(sequence(0, 63), i -> coalesce(element_at(m, CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"))
+        .withColumn("nn", expr("graft_dot_long(v, v)"))
+        .select("user_id", "v", "nn")
+    }
+  }
+
+  /** q32 body — time-series similarity search (the EDBT/ICDE
+    * streaming-similarity family): top-3 cosine neighbors of every query
+    * user's activity profile, EXACT over all pairs.
+    *
+    * Plan (r10): brute-force over the [[activityVectors]] dense frame —
+    * the s1_ann_brute shape — distributed through
+    * [[SkewOps.pairBlockJoin]] on a constant key (a blocked cross join):
+    * every (candidate, query) pair meets in exactly one task, per-task
+    * pair work is capped at `rowsPerBlock²` dots by a
+    * [[SkewOps.pairGrid]]-sized grid driven by the two MEASURED row
+    * counts (control-plane counts, memoized), and the dot is one native
+    * codegen'd 64-long multiply-add. Replication volume is
+    * |users|·P + |queries|·F rows of ~0.5 KB arrays — sublinear in pair
+    * volume — versus the r9 sparse bucket join's per-shared-bucket
+    * shuffle (1.2 B rows at the 10× events point for 45 M pairs). The
+    * exact-pair cost that remains IS the query's semantics; the lever
+    * that cuts it is thresholded candidate pruning, q32b.
+    *
+    * Exact: bucket arithmetic, vectors and dots are BIGINT; cosine is one
+    * IEEE division; ties rank deterministically by (cos DESC, user_id). */
   private[graft] def activitySimilarity(spark: SparkSession, dir: String,
                                         rowsPerBlock: Int): DataFrame = {
-    val (sparse, q) = activityProfiles(spark, dir)
-    val norms = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
-    // Block-matrix (SpGEMM) pair join, sized from the MEASURED pair
-    // volume (one control-plane agg, the autoCells class): blocking by
-    // hash(user) × hash(q_user) — not by the bucket key — puts EVERY
-    // shared bucket of a (candidate, query) pair in one task, so the
-    // partial aggregate collapses the pair-bucket stream to one row per
-    // pair BEFORE the shuffle. The bucket-keyed grid join bounded task
-    // work but scattered a pair's buckets across tasks: no map-side
-    // reduction, a 1.2B-row shuffle for 45M distinct pairs, 161-526 s at
-    // the 10× events point. Per-task pair work ≈ pairVol/(F·P), held at
-    // ~rowsPerBlock² by F = P = ceil(sqrt(pairVol/budget)); 1×1 at both
-    // gate scales, so the oracle plan is the plain bucket join there.
-    val pairVol = SharedFrames.memoValue(sparse, "q32-pair-volume") {
-      sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
-        .join(q.groupBy("bucket").agg(count(lit(1)).as("cp")), "bucket")
-        .agg(sum(expr("cf * cp"))).collect()(0).getLong(0)
+    val dense = activityVectors(spark, dir)
+    val qd = dense.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"), col("v").as("q_v"), col("nn").as("q_nn"))
+    val (nAll, nQ) = SharedFrames.memoValue(dense, "q32-row-counts") {
+      (dense.count(), dense.filter(col("user_id") % 5 === 0).count())
     }
     val budget = rowsPerBlock.toLong * rowsPerBlock
-    val blocks = math.max(1L,
-      math.min(64L, math.ceil(math.sqrt(pairVol.toDouble / budget)).toLong)).toInt
-    // a 1x1 grid IS the plain join — take it literally so the gate-scale
-    // plan carries no block columns at all
-    val joined = if (blocks <= 1) sparse.join(q, "bucket")
-      else SkewOps.pairBlockJoin(sparse, q, "bucket",
-        "user_id", "q_user", blocks, blocks)
-    val out = joined
+    val (fB, pB) = SkewOps.pairGrid(nAll.toDouble * nQ, nAll, nQ, budget)
+    val pairs = SkewOps.pairBlockJoin(
+      dense.withColumn("__pk", lit(0)), qd.withColumn("__pk", lit(0)),
+      "__pk", "user_id", "q_user", fB, pB).drop("__pk")
+    pairs
       .filter(col("user_id") =!= col("q_user"))
-      .groupBy("q_user", "user_id")
-      .agg(sum(expr("q_n * n")).as("dot"))
-      .join(norms.select(col("user_id").as("q_user"), col("nn").as("q_nn")), "q_user")
-      .join(norms, "user_id")
+      .withColumn("dot", expr("graft_dot_long(q_v, v)"))
       .withColumn("cos", expr(
         "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
       .withColumn("rnk", row_number()
@@ -127,7 +136,135 @@ object RelationalQueries {
       .select(col("q_user"), col("user_id").as("sim_user"), col("rnk"),
         col("dot"), col("cos"))
       .orderBy("q_user", "rnk")
-    out
+  }
+
+  /** q32b numerator/denominator of the range threshold τ = NUM/DEN = 0.70
+    * — one place, so the Spark plan, the prune proof and the oracle SQL
+    * can never drift apart. */
+  private[graft] val RangeTauNum = 7L
+  private[graft] val RangeTauDen = 10L
+
+  /** q32b — THRESHOLDED activity similarity (s16's range semantics on
+    * q32's profiles): every (query, candidate) pair with
+    * cos(q, c) ≥ τ = 0.70, exact.
+    *
+    * This is the candidate-pruning lever the r9 verdict prescribed: the
+    * all-pairs cost in [[activitySimilarity]] is inherent to top-k
+    * semantics, but under a RANGE threshold pairs can be excluded before
+    * any pair work via PREFIX FILTERING on the heaviest buckets (Bayardo,
+    * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07 —
+    * re-derived here for integer count profiles):
+    *
+    *  - order the 64 buckets by GLOBAL rarity (ascending contributor
+    *    count — the heaviest buckets sort LAST);
+    *  - a candidate user indexes only the PREFIX of its buckets in that
+    *    order whose running suffix still carries ≥ τ² of its squared
+    *    norm: position i is indexed iff ssq(≥i)·DEN² ≥ NUM²·nn (exact
+    *    integer test). The dropped suffix S then has |c_S| < τ·|c|;
+    *  - soundness: if a pair (q, c) shares ONLY dropped buckets of c,
+    *    then dot(q,c) = Σ_{b∈S∩q} c_b·q_b ≤ |c_S|·|q| < τ·|c|·|q|
+    *    (Cauchy–Schwarz), so cos < τ — every qualifying pair shares at
+    *    least one INDEXED bucket of the candidate. Recall is 1.0 by
+    *    construction (and re-checked empirically by the oracle at both
+    *    SFs: 0 missed of 17 / 1,273 qualifying pairs).
+    *
+    * Candidate generation joins the indexed postings (the rare half:
+    * measured 6.2M vs 12.1M full incidences at sf0.1, ~21.5 of 41
+    * buckets indexed per user) against the query users' full postings;
+    * rescoring then runs ONLY over distinct candidate pairs on the dense
+    * vectors — pair-proportional native dots, never incidence-
+    * proportional — and applies the threshold as an exact integer
+    * comparison: cos ≥ τ ⇔ dot²·DEN² ≥ NUM²·nn_q·nn_c (dot ≥ 0 — counts
+    * are non-negative — so squaring preserves the inequality). The
+    * DECIMAL(38,0) products are exact while dot² · 100 < 10³⁸, i.e. any
+    * per-user-per-bucket event count below ~2·10¹²; the DuckDB oracle
+    * mirrors the same test in HUGEINT.
+    *
+    * Pruning power is DISTRIBUTION-dependent: on this near-uniform
+    * synthetic corpus the incidence volume halves but distinct candidate
+    * pairs stay ≈ all pairs (every pair shares some rare bucket), so the
+    * rescore dominates; on real time-phased activity data rare-bucket
+    * postings shrink both. The scale rehearsal measures and reports both
+    * ratios (`q32b_prune`) rather than assuming either regime; a
+    * deployment whose measured candidate ratio stays ≈ 1 should run the
+    * blocked dense form (q32's plan, plus the threshold) instead — the
+    * selector is one cheap agg, the same class as pairGrid's counts. */
+  private[graft] def activityRange(spark: SparkSession, dir: String): DataFrame = {
+    val (sparse, _) = activityProfiles(spark, dir)
+    val dense = activityVectors(spark, dir)
+    val n2 = RangeTauNum * RangeTauNum   // 49
+    val d2 = RangeTauDen * RangeTauDen   // 100
+    // global rarity order: a 64-row agg; the rank window is bounded by
+    // B = 64 rows by construction (the bounded-frame class, like the
+    // limit(k) ranking windows)
+    val rank = sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
+      .withColumn("brk", row_number().over(
+        Window.orderBy(col("cf").asc, col("bucket").asc)))
+      .select("bucket", "brk")
+    val ssq = sparse.join(rank, "bucket")
+      .withColumn("ssq", sum(expr("n * n")).over(
+        Window.partitionBy("user_id").orderBy(col("brk").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val idx = ssq.join(dense.select("user_id", "nn"), "user_id")
+      .filter(expr(s"ssq * $d2 >= $n2 * nn"))
+      .select("user_id", "bucket")
+    val qPost = sparse.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"), col("bucket"))
+    val cand = idx.join(qPost, "bucket")
+      .filter(col("user_id") =!= col("q_user"))
+      .select("q_user", "user_id").distinct()
+    val qd = dense.select(col("user_id").as("q_user"),
+      col("v").as("q_v"), col("nn").as("q_nn"))
+    cand
+      .join(qd, "q_user")
+      .join(dense, "user_id")
+      .withColumn("dot", expr("graft_dot_long(q_v, v)"))
+      .filter(expr(
+        s"CAST(dot AS DECIMAL(38,0)) * dot * $d2 >= CAST(q_nn AS DECIMAL(38,0)) * nn * $n2"))
+      .withColumn("cos", expr(
+        "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
+      .select(col("q_user"), col("user_id").as("sim_user"), col("dot"), col("cos"))
+      .orderBy("q_user", "sim_user")
+  }
+
+  /** q32b's prune audit for the scale rehearsal: (full candidate-
+    * generation incidence volume, prefix-filtered incidence volume,
+    * distinct candidate pairs, total query-candidate pairs). Two keyed
+    * aggs + one distinct over the same frames the query itself builds —
+    * the measured evidence that the lever is engaged (or that the data
+    * is in the no-structure regime where the dense plan wins). */
+  private[graft] def activityRangeStats(spark: SparkSession, dir: String):
+      (Long, Long, Long, Long) = {
+    val (sparse, _) = activityProfiles(spark, dir)
+    val dense = activityVectors(spark, dir)
+    val n2 = RangeTauNum * RangeTauNum
+    val d2 = RangeTauDen * RangeTauDen
+    val rank = sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
+      .withColumn("brk", row_number().over(
+        Window.orderBy(col("cf").asc, col("bucket").asc)))
+      .select("bucket", "brk")
+    val idx = sparse.join(rank, "bucket")
+      .withColumn("ssq", sum(expr("n * n")).over(
+        Window.partitionBy("user_id").orderBy(col("brk").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(dense.select("user_id", "nn"), "user_id")
+      .filter(expr(s"ssq * $d2 >= $n2 * nn"))
+      .select("user_id", "bucket")
+    val qCnt = sparse.filter(col("user_id") % 5 === 0)
+      .groupBy("bucket").agg(count(lit(1)).as("cq"))
+    def inc(side: DataFrame): Long =
+      side.groupBy("bucket").agg(count(lit(1)).as("ci"))
+        .join(qCnt, "bucket")
+        .agg(sum(expr("ci * cq"))).collect()(0).getLong(0)
+    val qPost = sparse.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"), col("bucket"))
+    val nCand = idx.join(qPost, "bucket")
+      .filter(col("user_id") =!= col("q_user"))
+      .select("q_user", "user_id").distinct().count()
+    val (nAll, nQ) = SharedFrames.memoValue(dense, "q32-row-counts") {
+      (dense.count(), dense.filter(col("user_id") % 5 === 0).count())
+    }
+    (inc(sparse.select("user_id", "bucket")), inc(idx), nCand, nAll * nQ - nQ)
   }
 
   private val priceD = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -259,6 +396,9 @@ object RelationalQueries {
     },
     "q32_activity_similarity" -> t { (spark, dir) =>
       activitySimilarity(spark, dir, SkewBlockRows)
+    },
+    "q32b_activity_range" -> t { (spark, dir) =>
+      activityRange(spark, dir)
     },
     "q33_session_funnel" -> t { (spark, dir) =>
       // the product-analytics ORDERED funnel (view → click → purchase
@@ -938,6 +1078,29 @@ object RelationalQueries {
       )
       SELECT q_user, sim_user, rnk, dot, cos FROM rk
       WHERE rnk <= 3 ORDER BY q_user, rnk""",
+    "q32b_activity_range" -> """
+      WITH sp AS (
+        SELECT user_id,
+               ((epoch_us(ts) - s.t0) * 64) // (s.t1 - s.t0 + 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events,
+             (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events) s
+        GROUP BY 1, 2
+      ), nr AS (
+        SELECT user_id, CAST(sum(n * n) AS BIGINT) AS nn FROM sp GROUP BY 1
+      ), dots AS (
+        SELECT q.user_id AS q_user, b.user_id AS sim_user,
+               CAST(sum(q.n * b.n) AS BIGINT) AS dot
+        FROM sp q JOIN sp b
+          ON q.bucket = b.bucket AND q.user_id % 5 = 0 AND b.user_id <> q.user_id
+        GROUP BY 1, 2
+      )
+      SELECT d.q_user, d.sim_user, d.dot,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+      FROM dots d JOIN nr nq ON d.q_user = nq.user_id
+                  JOIN nr nb ON d.sim_user = nb.user_id
+      WHERE CAST(d.dot AS HUGEINT) * d.dot * 100 >= CAST(nq.nn AS HUGEINT) * nb.nn * 49
+      ORDER BY q_user, sim_user""",
     "q33_session_funnel" -> """
       WITH gaps AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

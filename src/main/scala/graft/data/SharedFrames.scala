@@ -149,10 +149,28 @@ object SharedFrames {
   def clear(): Unit = {
     // every holder in the map had `.value` forced by its inserting thread,
     // so this never triggers a fresh compute — at worst it waits for an
-    // in-flight one to finish before unpersisting it
-    cache.values.foreach(h =>
-      try h.value.unpersist()
-      catch { case _: Throwable => () })
+    // in-flight one to finish before releasing it.
+    //
+    // Two storage classes need two release paths (r9 ADVICE): persisted
+    // entries ([[memoPersisted]]) live in the CacheManager, which
+    // DataFrame.unpersist() clears; checkpoint entries ([[memo]] /
+    // [[memoReleasing]]) are plain LogicalRDD scans whose blocks the
+    // CacheManager never registered — for them DataFrame.unpersist() is a
+    // no-op and the non-recomputable blocks would otherwise free only
+    // when the ContextCleaner GCs the RDD reference. Unpersisting the
+    // LogicalRDD's OWN rdd (the exact RDD localCheckpoint persisted)
+    // makes the between-family release the 100× rehearsal depends on
+    // deterministic rather than GC-timed.
+    cache.values.foreach { h =>
+      try {
+        h.value.queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        h.value.unpersist()
+      } catch { case _: Throwable => () }
+    }
     cache.clear()
     valueCache.clear()
   }

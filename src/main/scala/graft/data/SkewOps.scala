@@ -20,7 +20,27 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** Inner equi-join `fact ⋈ dim` on `key`, salted with `salts` sub-keys.
-    * Result is row-identical to the unsalted join. */
+    * Result is row-identical to the unsalted join.
+    *
+    * CHOICE RULE across the three disciplines in this module (r9 VERDICT
+    * asked for it stated once, here):
+    *  - `saltedJoin` when ONE side of a hot key is large (fact skew, dim
+    *    bounded per key): spreading fact rows over `salts` tasks is
+    *    enough because per-task pair work ≈ factRows/salts · dimRows(key)
+    *    and the dim side stays small. Cost: `salts × |dim|` replication,
+    *    a CONSTANT factor — q25's shape.
+    *  - [[gridJoin]] when BOTH sides of a key are hot AND the raw pair
+    *    stream is the output: 2-D per-key blocking bounds per-task pairs
+    *    at rowsPerBlock² with measured block counts; replication is
+    *    data-driven per key.
+    *  - [[pairBlockJoin]] when the consumer AGGREGATES per (factEntity,
+    *    probeEntity): blocking by entity hashes co-locates every shared
+    *    key of a pair so the partial agg collapses the pair stream
+    *    map-side — gridJoin would shuffle every incidence. Size its grid
+    *    with [[pairGrid]].
+    * saltedJoin is NOT superseded by the grids: for the one-hot-side
+    * class it is strictly cheaper (constant replication, no measured
+    * count frames, no second block axis). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int = 16): DataFrame = {
     // deterministic per-row salt: hash of the whole fact row spreads even
     // a single hot key uniformly (rand() would break retry determinism)
@@ -50,7 +70,8 @@ object SkewOps {
     * while a 100× key automatically fans out to a 100×20 grid of tasks.
     *
     * The per-key count frames are broadcast, so this targets joins whose
-    * KEYSPACE is bounded (e.g. q32's 64 time buckets) even when the rows
+    * KEYSPACE is bounded (e.g. a fixed time-bucket grid — the class
+    * q32's former sparse bucket join lived in) even when the rows
     * per key are not — exactly the hot-key class where AQE's skew split
     * cannot help (one join value cannot be split by a partition planner;
     * it needs the key extended, which only the query author can do
@@ -107,7 +128,45 @@ object SkewOps {
     *
     * Use when the consumer aggregates per (factEntity, probeEntity) —
     * sparse inner products, co-occurrence counts. Use [[gridJoin]] when
-    * the raw pair stream itself is the output. */
+    * the raw pair stream itself is the output. With a CONSTANT key this
+    * is a blocked cross join — every (fact, probe) pair meets exactly
+    * once, per-task pairs bounded by the [[pairGrid]]-sized grid — the
+    * distribution layer under q32's dense all-pairs scan. */
+  /** Replication-minimal grid for [[pairBlockJoin]]: the smallest
+    * (factBlocks F, probeBlocks P) whose F·P tasks hold `pairVol / budget`
+    * pairs each, split so the replicated-row volume `|fact|·P + |probe|·F`
+    * is minimal (Lagrange on F·P = G gives F/P = |fact|/|probe| — the
+    * SMALLER side replicates more). This replaces the r9 constant clamp
+    * (F = P ≤ 64), under which per-task pairs silently re-grew as
+    * pairVol/4096 past ~69G pairs: here the grid grows WITH the problem —
+    * tasks ≈ pairVol/budget is the number of right-sized work units the
+    * job inherently contains — so the per-task pair bound holds at ANY
+    * pair volume, with only hash-spread slack. The price is replication
+    * volume ~ 2·sqrt(G·|fact|·|probe|), SUBLINEAR in pair volume; when
+    * pair volume itself is the wall-clock problem the lever is candidate
+    * pruning (q32b's prefix filter), never a grid constant.
+    *
+    * `pairVol` is a Double so callers can pass |fact|·|probe| products
+    * that overflow Long at extreme scale; sizing needs no precision. */
+  def pairGrid(pairVol: Double, factRows: Long, probeRows: Long,
+      budget: Long): (Int, Int) = {
+    require(budget > 0, "budget must be positive")
+    if (pairVol <= budget || factRows <= 0 || probeRows <= 0) (1, 1)
+    else {
+      val g = math.ceil(pairVol / budget)
+      var f = math.max(1L, math.min(
+        math.round(math.sqrt(g * factRows.toDouble / probeRows)),
+        math.min(g.toLong, factRows)))
+      var p = math.max(1L, math.min(math.ceil(g / f).toLong, probeRows))
+      // a blocks-per-side cap (more blocks than rows is pure waste) can
+      // leave F·P < G — restore coverage on the uncapped axis; if BOTH
+      // cap, G > |fact|·|probe| is impossible for a real pair volume
+      if (f * p < g.toLong) f = math.max(1L, math.min(
+        math.ceil(g / p).toLong, factRows))
+      (f.toInt, p.toInt)
+    }
+  }
+
   def pairBlockJoin(fact: DataFrame, probe: DataFrame, key: String,
       factEntity: String, probeEntity: String,
       factBlocks: Int, probeBlocks: Int): DataFrame = {

@@ -1165,9 +1165,17 @@ object VectorOps {
       (Seq[Long], Seq[Long], Long) = {
     val spark = embeddings.sparkSession
     val newA = trainedAssignment(embeddings, k, maxIter, trainOn)
-    // one materialization: the diff and the rewrite slice both read it
+    // one materialization: the diff and the rewrite slice both read it.
+    // SharedFrames' contract is that the tag encodes every non-input
+    // parameter — trainOn is a FRAME, so its identity is its canonicalized
+    // plan's semanticHash, not a mere isDefined bit (r9 ADVICE: two
+    // migrations over the same embeddings with different training corpora
+    // must never share an assignment)
+    val trainTag = trainOn
+      .map(t => t.queryExecution.analyzed.canonicalized.semanticHash().toString)
+      .getOrElse("self")
     val newM = SharedFrames.memoPersisted(embeddings,
-      s"ivf-migrate-assign:$k:$maxIter:${trainOn.isDefined}")(newA)
+      s"ivf-migrate-assign:$k:$maxIter:$trainTag")(newA)
     val oldA = spark.read.parquet(path)
       .select(col("vec_id"), col("cell").as("cell_old"))
     val changedCells = newM.select(col("vec_id"), col("cell").as("cell_new"))
@@ -1191,6 +1199,55 @@ object VectorOps {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
     }
     (rewrite, empty, newCells.size.toLong)
+  }
+
+  /** The shipped coarse-centroid literals of a [[writeCellPartitioned]]
+    * layout — (c_id, quantized vector), the O(k) control-plane artifact a
+    * continuous ingester carries (same collect class as
+    * [[convergedCentroids]]). Seed discipline: the first `k` vectors'
+    * quantized forms, exactly what [[writeCellPartitioned]] assigns
+    * against. */
+  def seedCentroidLiterals(embeddings: DataFrame, k: Int = 4): Seq[(Long, Seq[Long])] =
+    quantized(embeddings).filter(col("vec_id") < k)
+      .select("vec_id", "qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+
+  /** One micro-batch of the streaming cell-layout ingest
+    * ([[graft.streaming.StreamingAnalytics.cellIngestStream]]): quantize
+    * the arriving raw vectors, assign them to the SHIPPED centroid
+    * literals with the same exact-integer argmin every batch writer uses,
+    * and append the rows into the layout's cell directories (dynamic
+    * partition append — only the touched cells gain files; existing
+    * directories are never rewritten). Quantization is inlined rather
+    * than [[quantized]]: that helper memoizes per input plan, and a
+    * micro-batch is a fresh plan every trigger — memoizing it would grow
+    * session state per batch.
+    *
+    * Idempotence: foreachBatch retries re-deliver a batch, so each
+    * appended batch commits a `_ingest_<batchId>` marker LAST and a
+    * re-delivered batchId short-circuits before writing. A crash between
+    * the append and the marker re-appends that one batch (the standard
+    * at-least-once residue); deployments needing exactly-once layer the
+    * wire sink's staged-rename or dedup on vec_id at read, which the
+    * layout's readers tolerate (probes rank by (distance, vec_id)). */
+  private[graft] def ingestCellBatch(batch: DataFrame, path: String,
+      centroids: Seq[(Long, Seq[Long])], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_ingest_$batchId")
+    if (fs.exists(marker)) return
+    val cent = centroids.toDF("c_id", "c_qv")
+      .withColumn("c_nn", expr("graft_dot_long(c_qv, c_qv)"))
+    val v = batch
+      .withColumn("qv", expr("transform(embedding, x -> CAST(floor(x * 1048576e0) AS BIGINT))"))
+      .withColumn("nn", expr("graft_dot_long(qv, qv)"))
+      .select("vec_id", "label", "qv", "nn")
+    assignToCentroids(v, cent)
+      .withColumnRenamed("c_id", "cell")
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+    fs.create(marker, true).close()
   }
 
   /** The s7/s13 codebook (the first nCodes vectors' sub-vectors)

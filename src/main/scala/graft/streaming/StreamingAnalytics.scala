@@ -616,7 +616,19 @@ object StreamingAnalytics {
     * watermark passes the session gap. A closed session emits exactly
     * one row; the per-user rollup (n_sessions, stage counts, fraction)
     * is a trivial downstream batch agg over emitted rows, which is what
-    * the convergence spec pins against batch q33. */
+    * the convergence spec pins against batch q33.
+    *
+    * Arrival contract (explicit, r9 ADVICE): events must arrive in
+    * PER-USER monotone event time ACROSS micro-batches (within a batch
+    * they are sorted here). Batch q33 sorts globally; a state machine
+    * cannot re-open stage decisions already taken against a later event,
+    * so an event landing in an earlier batch's past can only be treated
+    * conservatively: `advance` keeps `lastUs` monotone (max, never a
+    * rewind — a late straggler must not re-arm the session-gap clock into
+    * the past) and stage firsts stay first-by-ARRIVAL within the batch
+    * sort order. Cross-batch reordering buffers belong upstream (a real
+    * watermark delay + sort, the standard Structured Streaming recipe);
+    * this operator states the contract instead of hiding it. */
   def funnelStream(events: Dataset[FunnelEv],
       gapUs: Long = 30L * 60 * 1000000): Dataset[FunnelSession] = {
     val spark = events.sparkSession
@@ -633,7 +645,10 @@ object StreamingAnalytics {
         ts > tv.get) Some(ts) else s.tc
       val tp = if (tc.isDefined && s.tp.isEmpty && tpe == "purchase" &&
         ts > tc.get) Some(ts) else s.tp
-      FunnelState(s.startUs, ts, tv, tc, tp)
+      // lastUs is the session-gap clock: monotone under the arrival
+      // contract, and a contract-violating late event must never rewind
+      // it (that would silently extend the session into the past)
+      FunnelState(s.startUs, math.max(s.lastUs, ts), tv, tc, tp)
     }
     def fn(userId: Long, rows: Iterator[FunnelEv],
         state: GroupState[FunnelState]): Iterator[FunnelSession] = {
@@ -741,6 +756,38 @@ object StreamingAnalytics {
     * the batch q32 derives it from the data, so the convergence spec
     * passes the batch corpus's own span. Over a window covering the whole
     * span, dot(u, q) equals batch q32's dot exactly (the spec's pin). */
+  /** Streaming leg of the ANN index lifecycle's MIGRATE step — continuous
+    * ingest INTO a [[graft.data.VectorOps.writeCellPartitioned]] layout
+    * (r9 VERDICT #3): s17 decides WHEN to retrain,
+    * [[graft.data.VectorOps.migrateCellLayout]] moves the layout to new
+    * centroids incrementally, and this operator is the third leg — new
+    * vectors arriving between retrains route straight into their cell
+    * directories under the SHIPPED centroids, so the layout never goes
+    * stale waiting for a nightly batch. Each micro-batch quantizes,
+    * argmin-assigns against the O(k) centroid literals (the exact
+    * integer discipline of every batch writer), and dynamic-partition-
+    * APPENDS only the touched cells — d14's admission discipline applied
+    * to storage: an ingest never rewrites base data, and a pure-ingest
+    * migration (trainOn = base) over the result is a no-op by
+    * construction.
+    *
+    * Convergence (spec-pinned): any micro-batch split of an increment
+    * produces a layout row-identical to the batch writer over
+    * base + increment, because assignment is a pure per-row function of
+    * (vector, centroid literals) — batching cannot change it. Restart
+    * safety: per-batch marker commit, see
+    * [[graft.data.VectorOps.ingestCellBatch]]. State is ZERO (stateless
+    * stream); the centroid literals are plan-time constants, never a
+    * corpus join. */
+  def cellIngestStream(vectors: DataFrame, path: String,
+      centroids: Seq[(Long, Seq[Long])]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.data.VectorOps.ingestCellBatch(batch, path, centroids, batchId)
+      }
+
   def activityAdmissionStream(events: DataFrame, queryProfiles: DataFrame,
       t0Us: Long, spanUs: Long, b: Int = 64, dotThreshold: Long = 0L,
       windowLength: String = "1 minute",

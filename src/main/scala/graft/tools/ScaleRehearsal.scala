@@ -433,13 +433,13 @@ object ScaleRehearsal {
     }
     val nEvents = spark.read.parquet(s"$evtDir/events.parquet").count()
 
-    // q32 is EXACT all-pairs similarity: pair volume grows quadratically
-    // with users BY SEMANTICS (measured ~linear wall-clock in pair volume
-    // at 10×: 2.6 s → 581 s for 100× the pairs). Above 20 copies only its
-    // grid audit runs — the task-shape bound is the scale gate; executing
-    // 10,000× the pair volume proves nothing new about the plan.
-    val evtRehearsed = (if (evtCopies <= 20) Seq("q32_activity_similarity") else Nil) ++
-      Seq("q33_session_funnel", "q34_rate_anomaly", "q11_user_sessions")
+    // q32 is EXACT all-pairs similarity — quadratic pair volume BY
+    // SEMANTICS — but under the r10 dense-vector plan a pair costs one
+    // native 64-long dot with no per-bucket shuffle, so it EXECUTES at
+    // every rehearsed size (the r9 sparse plan had to stop at 20 copies);
+    // q32b rides along as the thresholded candidate-pruned variant.
+    val evtRehearsed = Seq("q32_activity_similarity", "q32b_activity_range",
+      "q33_session_funnel", "q34_rate_anomaly", "q11_user_sessions")
     val evtResults = evtRehearsed.map { name =>
       val t0e = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, evtDir)
@@ -449,30 +449,44 @@ object ScaleRehearsal {
       (name, secs, planKillers(nodes), broadcastSizes(nodes))
     }
 
-    // block-pair-join task audit on q32's real profile frames, sized the
-    // way the query itself sizes its grid (pair volume → F = P blocks)
+    // blocked-pair-join task audit on q32's REAL dense frames, sized
+    // exactly the way the query sizes its grid (pairGrid from measured
+    // row counts — the r9 constant 64-clamp is gone, so the per-task
+    // bound must hold with HASH-SPREAD slack only, no 4× multiplier)
     val cap = graft.data.RelationalQueries.SkewBlockRows
     val budget = cap.toLong * cap
-    val (sparseProf, qProf) =
-      graft.data.RelationalQueries.activityProfiles(spark, evtDir)
-    // the query's INHERENT pair volume (Σ_bucket cand·query rows) — the
-    // wall-clock denominator: q32's cost is this, spread over F·P tasks
-    val gPairVolume = sparseProf.groupBy("bucket").agg(count(lit(1)).as("cf"))
-      .join(qProf.groupBy("bucket").agg(count(lit(1)).as("cp")), "bucket")
-      .agg(sum(expr("cf * cp"))).collect()(0).getLong(0)
-    val gBlocks = math.max(1L, math.min(64L,
-      math.ceil(math.sqrt(gPairVolume.toDouble / budget)).toLong)).toInt
+    val denseProf = graft.data.RelationalQueries.activityVectors(spark, evtDir)
+    val qProfD = denseProf.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"))
+    val gNAll = denseProf.count()
+    val gNQ = qProfD.count()
+    // the query's INHERENT pair volume — the wall-clock denominator:
+    // q32's cost is gPairVolume dots, spread over F·P tasks
+    val gPairVolume = gNAll * gNQ
+    val (gF, gP) = graft.data.SkewOps.pairGrid(
+      gNAll.toDouble * gNQ, gNAll, gNQ, budget)
     val gMaxPairs = graft.data.SkewOps
-      .pairBlockStats(sparseProf, qProf, "bucket",
-        "user_id", "q_user", gBlocks, gBlocks)
+      .pairBlockStats(
+        denseProf.select("user_id").withColumn("__pk", lit(0)),
+        qProfD.withColumn("__pk", lit(0)),
+        "__pk", "user_id", "q_user", gF, gP)
       .agg(max("task_pairs")).collect()(0).getLong(0)
+    // q32b's prune audit: (full incidences, prefix-filtered incidences,
+    // distinct candidate pairs, all pairs) — the measured evidence for
+    // the candidate-pruning lever (engaged = idx_inc strictly below
+    // full_inc; the cand/all ratio is the dense-vs-pruned plan selector)
+    val (prFull, prIdx, prCand, prAll) =
+      graft.data.RelationalQueries.activityRangeStats(spark, evtDir)
     val gridFlips =
-      // 4× slack over the per-task budget: entity hashing spreads pairs
-      // near-uniformly but not exactly
-      (if (gMaxPairs > 4L * budget)
+      // 1.5× slack: pmod(hash(user)) splits rows near-binomially across
+      // blocks; with thousands of rows per block the realized max block
+      // product stays within a few percent of (nAll/F)·(nQ/P) — 1.5×
+      // covers hash non-uniformity alone, not a re-grown task
+      (if (gMaxPairs > budget + budget / 2)
         Seq(s"q32:task_pairs_unbounded($gMaxPairs,budget=$budget)") else Nil) ++
-      (if (evtCopies >= 10 && gBlocks <= 1)
-        Seq("q32:grid_not_engaged") else Nil)
+      (if (evtCopies >= 10 && gF.toLong * gP <= 1)
+        Seq("q32:grid_not_engaged") else Nil) ++
+      (if (prIdx >= prFull) Seq("q32b:prefix_filter_not_engaged") else Nil)
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -539,9 +553,13 @@ object ScaleRehearsal {
           evtResults.map { case (k, _, _, bs) =>
             "\"" + k + "\":[" + bs.mkString(",") + "]"
           }.mkString("{", ",", "}")},""" +
-        s""""q32_grid":{"pair_budget":$budget,"blocks":$gBlocks,""" +
-        s""""tasks":${gBlocks.toLong * gBlocks},"max_task_pairs":$gMaxPairs,""" +
-        s""""pair_volume":$gPairVolume},""" +
+        s""""q32_grid":{"pair_budget":$budget,"fact_blocks":$gF,""" +
+        s""""probe_blocks":$gP,"tasks":${gF.toLong * gP},""" +
+        s""""max_task_pairs":$gMaxPairs,"pair_volume":$gPairVolume,""" +
+        s""""n_users":$gNAll,"n_queries":$gNQ},""" +
+        s""""q32b_prune":{"full_incidences":$prFull,""" +
+        s""""indexed_incidences":$prIdx,"candidate_pairs":$prCand,""" +
+        s""""all_pairs":$prAll},""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

@@ -91,6 +91,30 @@ class SkewOpsSpec extends AnyFunSuite {
       s"worst task ${stats.getLong(1)} vs total ${stats.getLong(0)} over 15 tasks")
   }
 
+  test("pairGrid covers the pair volume at any size and splits replication-minimally") {
+    // sub-budget → 1×1 (one task by design)
+    assert(SkewOps.pairGrid(1000.0, 100, 10, 4096) == (1, 1))
+    // the r9 failure point: 120.6e9 inherent pairs, 16.78M budget — the
+    // clamped F=P=64 grid held only 4096 cells (29.4M pairs/task); the
+    // budget must now hold without a clamp at ANY volume
+    val budget = 4096L * 4096
+    val (f, p) = SkewOps.pairGrid(120.6e9, 4020000L, 30000L, budget)
+    assert(f.toLong * p >= math.ceil(120.6e9 / budget).toLong, "grid must cover G cells")
+    assert(120.6e9 / (f.toLong * p) <= budget.toDouble, "per-task pairs must fit budget")
+    // replication-minimal split: F/P tracks |fact|/|probe| (the smaller
+    // side replicates more), so F ≫ P here
+    assert(f > p, s"asymmetric sizing expected, got F=$f P=$p")
+    // the optimum's replication is within 2× of this split's
+    val g = math.ceil(120.6e9 / budget)
+    val rOpt = 2 * math.sqrt(g * 4020000.0 * 30000.0)
+    val r = 4020000.0 * p + 30000.0 * f
+    assert(r <= 2 * rOpt, s"replication $r vs optimal $rOpt")
+    // blocks never exceed rows (no empty-block waste), coverage restored
+    // on the other axis
+    val (f2, p2) = SkewOps.pairGrid(1e9, 100L, 1000000L, 4096L * 4096)
+    assert(f2 <= 100 && f2.toLong * p2 >= math.ceil(1e9 / budget).toLong)
+  }
+
   test("q32 body with forced tiny blocks equals the default-cap body") {
     import graft.data.{RelationalQueries => RQ}
     val tiny = RQ.activitySimilarity(spark, sfDir, rowsPerBlock = 2).collect()

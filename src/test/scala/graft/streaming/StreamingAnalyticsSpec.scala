@@ -800,4 +800,73 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(flags.forall { case (d, f) => f == (d >= 5L) })
     } finally q.stop()
   }
+
+  test("cellIngestStream: micro-batched ingest converges to the batch layout writer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cell-ingest").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 4
+    val splitId = 150L // base = ids < 150, increment = the rest
+    val base = emb.filter(col("vec_id") < splitId)
+    val inc = emb.filter(col("vec_id") >= splitId)
+      .select("vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getInt(2)))
+      .sortBy(_._1)
+    assert(inc.nonEmpty, "increment slice must be non-empty")
+
+    // ship the base layout + its centroid literals (first k vectors,
+    // all in the base slice — the writeCellPartitioned discipline)
+    graft.data.VectorOps.writeCellPartitioned(base, s"$dir/live", k)
+    val cents = graft.data.VectorOps.seedCentroidLiterals(base, k)
+    assert(cents.size == k)
+
+    // stream the increment in three uneven micro-batches
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val writer = StreamingAnalytics.cellIngestStream(
+      input.toDF().toDF("vec_id", "embedding", "label"), s"$dir/live", cents)
+    val q = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      val (w1, rest) = inc.splitAt(inc.length / 4)
+      val (w2, w3) = rest.splitAt(rest.length / 2)
+      for (w <- Seq(w1, w2, w3)) {
+        input.addData(w.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the batch writer over base + increment — the convergence target
+    graft.data.VectorOps.writeCellPartitioned(emb, s"$dir/full", k)
+    def rowsOf(p: String): Set[(Long, Long, Long, Seq[Long])] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cell").cast("long"), col("nn"), col("qv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSeq))
+        .toSet
+    val live = rowsOf(s"$dir/live")
+    val full = rowsOf(s"$dir/full")
+    assert(live == full,
+      s"ingested layout diverges from batch rewrite: extra=${(live -- full).take(3)} " +
+        s"missing=${(full -- live).take(3)}")
+
+    // idempotence: re-delivering an already-committed batchId is a no-op
+    val before = spark.read.parquet(s"$dir/live").count()
+    val redo = w1ToDf(spark, inc.take(3))
+    graft.data.VectorOps.ingestCellBatch(redo, s"$dir/live", cents, batchId = 0L)
+    assert(spark.read.parquet(s"$dir/live").count() == before,
+      "marker must short-circuit a re-delivered batch")
+
+    // and the ingested layout serves probes exactly like a batch-written
+    // one (partition-pruned read path, ingested vector as the query)
+    val probe = graft.data.VectorOps.probeCell(spark, s"$dir/live",
+      cents.map(_._1), queryId = splitId)
+    assert(probe.count() > 0, "probing the ingested layout must work")
+  }
+
+  private def w1ToDf(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, Seq[Float], Int)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
 }
