@@ -29,6 +29,11 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-top-k aggregates (graft_top3_pairs) group by the query id:
+      // thousands of tiny ≤k buffers per task. The 128-group default would
+      // flip ObjectHashAggregate to a per-task SORT of the full pair
+      // stream — exactly the row-volume the aggregate exists to avoid.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -37,6 +42,8 @@ object Tables {
     // typed Aggregators go through udf.register)
     spark.udf.register("graft_kmv",
       org.apache.spark.sql.functions.udaf(new graft.functions.KmvAggregator(64)))
+    spark.udf.register("graft_top3_pairs",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopPairsAggregator(3)))
     spark
   }
 

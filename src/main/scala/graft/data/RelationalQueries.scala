@@ -79,8 +79,7 @@ object RelationalQueries {
     * ([[graft.functions.LongDotProduct]]). Building the vectors is one
     * keyed agg over the sparse frame (64-entry map → fixed array);
     * everything stays exact BIGINT. */
-  private[graft] def activityVectors(spark: SparkSession, dir: String): DataFrame = {
-    val (sparse, _) = activityProfiles(spark, dir)
+  private[graft] def denseFromSparse(sparse: DataFrame): DataFrame =
     SharedFrames.memoPersisted(sparse, "q32-dense-b64") {
       sparse.groupBy("user_id")
         .agg(map_from_entries(collect_list(struct(col("bucket"), col("n")))).as("m"))
@@ -89,7 +88,9 @@ object RelationalQueries {
         .withColumn("nn", expr("graft_dot_long(v, v)"))
         .select("user_id", "v", "nn")
     }
-  }
+
+  private[graft] def activityVectors(spark: SparkSession, dir: String): DataFrame =
+    denseFromSparse(activityProfiles(spark, dir)._1)
 
   /** q32 body — time-series similarity search (the EDBT/ICDE
     * streaming-similarity family): top-3 cosine neighbors of every query
@@ -124,17 +125,24 @@ object RelationalQueries {
     val pairs = SkewOps.pairBlockJoin(
       dense.withColumn("__pk", lit(0)), qd.withColumn("__pk", lit(0)),
       "__pk", "user_id", "q_user", fB, pB).drop("__pk")
+    // top-3 via the BOUNDED aggregate, not a row_number window: a window
+    // pre-filter would shuffle EVERY scored pair into its sort (4.5G rows
+    // at the 100× events point — the run-killer shape); the aggregate's
+    // map-side partials reduce each grid task to ≤3 rows per query it
+    // touched, so the shuffle is O(3 · queries · factBlocks) no matter
+    // the pair volume. Same (cos DESC, user_id) tie rule — row-identical
+    // to the window form (oracle-pinned at both SFs).
     pairs
       .filter(col("user_id") =!= col("q_user"))
       .withColumn("dot", expr("graft_dot_long(q_v, v)"))
       .withColumn("cos", expr(
         "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
-      .withColumn("rnk", row_number()
-        .over(Window.partitionBy("q_user").orderBy(col("cos").desc, col("user_id")))
-        .cast("int"))
-      .filter(col("rnk") <= 3)
-      .select(col("q_user"), col("user_id").as("sim_user"), col("rnk"),
-        col("dot"), col("cos"))
+      .groupBy("q_user")
+      .agg(expr("graft_top3_pairs(cos, user_id, dot)").as("top"))
+      .select(col("q_user"), posexplode(col("top.rows")))
+      .select(col("q_user"), col("col.id").as("sim_user"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.payload").as("dot"), col("col.score").as("cos"))
       .orderBy("q_user", "rnk")
   }
 
@@ -183,41 +191,52 @@ object RelationalQueries {
     * Pruning power is DISTRIBUTION-dependent: on this near-uniform
     * synthetic corpus the incidence volume halves but distinct candidate
     * pairs stay ≈ all pairs (every pair shares some rare bucket), so the
-    * rescore dominates; on real time-phased activity data rare-bucket
-    * postings shrink both. The scale rehearsal measures and reports both
-    * ratios (`q32b_prune`) rather than assuming either regime; a
-    * deployment whose measured candidate ratio stays ≈ 1 should run the
-    * blocked dense form (q32's plan, plus the threshold) instead — the
-    * selector is one cheap agg, the same class as pairGrid's counts. */
-  private[graft] def activityRange(spark: SparkSession, dir: String): DataFrame = {
-    val (sparse, _) = activityProfiles(spark, dir)
-    val dense = activityVectors(spark, dir)
-    val n2 = RangeTauNum * RangeTauNum   // 49
-    val d2 = RangeTauDen * RangeTauDen   // 100
-    // global rarity order: a 64-row agg; the rank window is bounded by
-    // B = 64 rows by construction (the bounded-frame class, like the
-    // limit(k) ranking windows)
-    val rank = sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
-      .withColumn("brk", row_number().over(
-        Window.orderBy(col("cf").asc, col("bucket").asc)))
-      .select("bucket", "brk")
-    val ssq = sparse.join(rank, "bucket")
-      .withColumn("ssq", sum(expr("n * n")).over(
-        Window.partitionBy("user_id").orderBy(col("brk").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val idx = ssq.join(dense.select("user_id", "nn"), "user_id")
-      .filter(expr(s"ssq * $d2 >= $n2 * nn"))
-      .select("user_id", "bucket")
-    val qPost = sparse.filter(col("user_id") % 5 === 0)
-      .select(col("user_id").as("q_user"), col("bucket"))
-    val cand = idx.join(qPost, "bucket")
-      .filter(col("user_id") =!= col("q_user"))
-      .select("q_user", "user_id").distinct()
-    val qd = dense.select(col("user_id").as("q_user"),
-      col("v").as("q_v"), col("nn").as("q_nn"))
-    cand
-      .join(qd, "q_user")
-      .join(dense, "user_id")
+    * rescore dominates; on time-phased activity data (users active in
+    * narrow windows) rare-bucket postings shrink BOTH. q32b therefore
+    * SELECTS its plan from a measured comparison ([[rangeSelector]]):
+    * prefix-filtered candidate generation + pair-proportional rescore
+    * when the indexed incidence stream is smaller than the all-pairs
+    * stream, q32's blocked dense scan with the threshold otherwise —
+    * both exact, row-identical (spec-pinned on phased data where the
+    * pruned plan engages AND on this corpus where the dense plan wins).
+    * The rehearsal reports the measured ratios (`q32b_prune`) rather
+    * than assuming either regime.
+    *
+    * The doc above describes the PRUNED plan ([[rangePruned]]); the
+    * dense plan is [[rangeDense]]; [[activityRangeOn]] is the selector
+    * entry. */
+  /** The prefix-filter INDEX of a sparse profile frame: the postings a
+    * candidate keeps for generation — its buckets in global-rarity order
+    * until the running suffix drops below τ² of its squared norm (exact
+    * integer test; see [[activityRange]]'s soundness proof). The rarity
+    * rank window is bounded at B = 64 rows by construction (the bounded-
+    * frame class, like the limit(k) ranking windows); the suffix-sum
+    * window is keyed by user — high-cardinality at scale. Memoized: the
+    * selector's incidence estimate and the pruned path both read it. */
+  private[graft] def indexedPostings(sparse: DataFrame): DataFrame =
+    SharedFrames.memoPersisted(sparse, "q32b-indexed-postings") {
+      val n2 = RangeTauNum * RangeTauNum
+      val d2 = RangeTauDen * RangeTauDen
+      val rank = sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
+        .withColumn("brk", row_number().over(
+          Window.orderBy(col("cf").asc, col("bucket").asc)))
+        .select("bucket", "brk")
+      val nn = sparse.groupBy("user_id").agg(sum(expr("n * n")).as("nn"))
+      sparse.join(rank, "bucket")
+        .withColumn("ssq", sum(expr("n * n")).over(
+          Window.partitionBy("user_id").orderBy(col("brk").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(nn, "user_id")
+        .filter(expr(s"ssq * $d2 >= $n2 * nn"))
+        .select("user_id", "bucket")
+    }
+
+  /** q32b's exact integer threshold + output projection, shared by both
+    * plans so they cannot drift. */
+  private def rangeThreshold(pairs: DataFrame): DataFrame = {
+    val n2 = RangeTauNum * RangeTauNum
+    val d2 = RangeTauDen * RangeTauDen
+    pairs
       .withColumn("dot", expr("graft_dot_long(q_v, v)"))
       .filter(expr(
         s"CAST(dot AS DECIMAL(38,0)) * dot * $d2 >= CAST(q_nn AS DECIMAL(38,0)) * nn * $n2"))
@@ -227,44 +246,107 @@ object RelationalQueries {
       .orderBy("q_user", "sim_user")
   }
 
+  private def rangeQuerySide(dense: DataFrame): DataFrame =
+    dense.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"), col("v").as("q_v"), col("nn").as("q_nn"))
+
+  /** q32b, PRUNED plan: prefix-filtered candidate generation (indexed
+    * postings × query postings → distinct pairs), then a pair-
+    * proportional exact rescore on the dense vectors. */
+  private[graft] def rangePruned(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    val idx = indexedPostings(sparse)
+    val qPost = sparse.filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("q_user"), col("bucket"))
+    val cand = idx.join(qPost, "bucket")
+      .filter(col("user_id") =!= col("q_user"))
+      .select("q_user", "user_id").distinct()
+    rangeThreshold(cand.join(rangeQuerySide(dense), "q_user").join(dense, "user_id"))
+  }
+
+  /** q32b, DENSE plan: q32's blocked all-pairs scan with the threshold in
+    * place of the top-k rank — pairs sharing no indexed bucket cost one
+    * native dot instead of a candidate join. */
+  private[graft] def rangeDense(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    val qd = rangeQuerySide(dense)
+    val (nAll, nQ) = SharedFrames.memoValue(dense, "q32-row-counts") {
+      (dense.count(), dense.filter(col("user_id") % 5 === 0).count())
+    }
+    val budget = SkewBlockRows.toLong * SkewBlockRows
+    val (fB, pB) = SkewOps.pairGrid(nAll.toDouble * nQ, nAll, nQ, budget)
+    val pairs = SkewOps.pairBlockJoin(
+      dense.withColumn("__pk", lit(0)), qd.withColumn("__pk", lit(0)),
+      "__pk", "user_id", "q_user", fB, pB).drop("__pk")
+    rangeThreshold(pairs.filter(col("user_id") =!= col("q_user")))
+  }
+
+  /** q32b's measured plan selector: (prefix-filtered candidate-generation
+    * incidences, total query×candidate pairs). The pruned plan's floor
+    * cost is the incidence stream it must join and distinct; the dense
+    * plan's floor cost is one native dot per pair — so pruned wins only
+    * when idxInc < allPairs. Both sides are control-plane aggs (64-row
+    * bucket-count joins + two counts) over memoized frames, the same
+    * class as pairGrid's inputs. */
+  private[graft] def rangeSelector(sparse: DataFrame, dense: DataFrame): (Long, Long) =
+    SharedFrames.memoValue(sparse, "q32b-selector") {
+      val qCnt = sparse.filter(col("user_id") % 5 === 0)
+        .groupBy("bucket").agg(count(lit(1)).as("cq"))
+      val idxInc = indexedPostings(sparse)
+        .groupBy("bucket").agg(count(lit(1)).as("ci"))
+        .join(qCnt, "bucket")
+        .agg(sum(expr("ci * cq"))).collect()(0).getLong(0)
+      val (nAll, nQ) = SharedFrames.memoValue(dense, "q32-row-counts") {
+        (dense.count(), dense.filter(col("user_id") % 5 === 0).count())
+      }
+      (idxInc, nAll * nQ)
+    }
+
+  /** q32b over explicit profile frames — the selector picks the plan,
+    * both EXACT and row-identical (spec-pinned on phased data where the
+    * pruned plan engages and on this corpus where the dense plan wins). */
+  private[graft] def activityRangeOn(sparse: DataFrame): DataFrame = {
+    val dense = denseFromSparse(sparse)
+    val (idxInc, allPairs) = rangeSelector(sparse, dense)
+    if (idxInc < allPairs) rangePruned(sparse, dense)
+    else rangeDense(sparse, dense)
+  }
+
+  private[graft] def activityRange(spark: SparkSession, dir: String): DataFrame =
+    activityRangeOn(activityProfiles(spark, dir)._1)
+
   /** q32b's prune audit for the scale rehearsal: (full candidate-
     * generation incidence volume, prefix-filtered incidence volume,
-    * distinct candidate pairs, total query-candidate pairs). Two keyed
-    * aggs + one distinct over the same frames the query itself builds —
-    * the measured evidence that the lever is engaged (or that the data
-    * is in the no-structure regime where the dense plan wins). */
-  private[graft] def activityRangeStats(spark: SparkSession, dir: String):
-      (Long, Long, Long, Long) = {
+    * distinct candidate pairs ON A QUERY SAMPLE, sampled all-pairs). The
+    * incidence volumes mirror [[rangeSelector]]'s inputs exactly (64-row
+    * aggs, all query users). The distinct-candidate count is audit-only
+    * and costs the candidate join the selector exists to avoid paying
+    * blindly — so the audit STRIDES the query side deterministically
+    * until its pair volume fits `maxAuditPairs` (the cand/all RATIO is a
+    * per-query-user average, so a strided sample measures it unbiased;
+    * at the gates the stride is 1 and the audit is exhaustive). */
+  private[graft] def activityRangeStats(spark: SparkSession, dir: String,
+      maxAuditPairs: Long = 100000000L): (Long, Long, Long, Long) = {
     val (sparse, _) = activityProfiles(spark, dir)
     val dense = activityVectors(spark, dir)
-    val n2 = RangeTauNum * RangeTauNum
-    val d2 = RangeTauDen * RangeTauDen
-    val rank = sparse.groupBy("bucket").agg(count(lit(1)).as("cf"))
-      .withColumn("brk", row_number().over(
-        Window.orderBy(col("cf").asc, col("bucket").asc)))
-      .select("bucket", "brk")
-    val idx = sparse.join(rank, "bucket")
-      .withColumn("ssq", sum(expr("n * n")).over(
-        Window.partitionBy("user_id").orderBy(col("brk").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(dense.select("user_id", "nn"), "user_id")
-      .filter(expr(s"ssq * $d2 >= $n2 * nn"))
-      .select("user_id", "bucket")
+    val idx = indexedPostings(sparse)
     val qCnt = sparse.filter(col("user_id") % 5 === 0)
       .groupBy("bucket").agg(count(lit(1)).as("cq"))
     def inc(side: DataFrame): Long =
       side.groupBy("bucket").agg(count(lit(1)).as("ci"))
         .join(qCnt, "bucket")
         .agg(sum(expr("ci * cq"))).collect()(0).getLong(0)
-    val qPost = sparse.filter(col("user_id") % 5 === 0)
-      .select(col("user_id").as("q_user"), col("bucket"))
-    val nCand = idx.join(qPost, "bucket")
-      .filter(col("user_id") =!= col("q_user"))
-      .select("q_user", "user_id").distinct().count()
     val (nAll, nQ) = SharedFrames.memoValue(dense, "q32-row-counts") {
       (dense.count(), dense.filter(col("user_id") % 5 === 0).count())
     }
-    (inc(sparse.select("user_id", "bucket")), inc(idx), nCand, nAll * nQ - nQ)
+    val stride = math.max(1L,
+      math.ceil(nAll.toDouble * nQ / maxAuditPairs).toLong)
+    val qSample = sparse.filter(col("user_id") % 5 === 0 &&
+      expr(s"pmod(user_id div 5, ${stride}L) = 0"))
+      .select(col("user_id").as("q_user"), col("bucket"))
+    val nQs = qSample.select("q_user").distinct().count()
+    val nCand = idx.join(qSample, "bucket")
+      .filter(col("user_id") =!= col("q_user"))
+      .select("q_user", "user_id").distinct().count()
+    (inc(sparse.select("user_id", "bucket")), inc(idx), nCand, nAll * nQs - nQs)
   }
 
   private val priceD = "CAST(l_extendedprice AS DECIMAL(12,2))"

@@ -123,6 +123,36 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(dflt.nonEmpty)
   }
 
+  test("q32b selector: pruned and dense plans are row-identical; phased data engages pruning") {
+    import graft.data.{RelationalQueries => RQ}
+    // phased synthetic profiles — 16 disjoint 4-bucket activity windows,
+    // the time-phased regime prefix filtering exists for (the real
+    // corpus is near-uniform, where the dense plan wins — asserted below)
+    val sparse = spark.range(2000).select(col("id").as("user_id"))
+      .withColumn("g", pmod(hash(col("user_id")), lit(16)))
+      .withColumn("bucket", explode(expr("sequence(g * 4L, g * 4L + 3L)")))
+      .withColumn("n", (pmod(hash(col("user_id"), col("bucket")), lit(20)) + 1).cast("long"))
+      .select("user_id", "bucket", "n")
+    val dense = RQ.denseFromSparse(sparse)
+    val (idxInc, allPairs) = RQ.rangeSelector(sparse, dense)
+    assert(idxInc < allPairs,
+      s"phased data must engage the pruned plan: idxInc=$idxInc allPairs=$allPairs")
+    val pruned = RQ.rangePruned(sparse, dense).collect().toSeq
+    val densePlan = RQ.rangeDense(sparse, dense).collect().toSeq
+    assert(pruned == densePlan, "the two exact plans must be row-identical")
+    assert(pruned.nonEmpty, "same-phase users are similar — threshold must select pairs")
+    // sanity: the pruned plan really pruned — candidates are a strict
+    // subset of all pairs (disjoint phases share no bucket at all)
+    assert(pruned.size < allPairs)
+
+    // the real corpus: near-uniform profiles, selector must pick dense
+    val (rs, _) = RQ.activityProfiles(spark, sfDir)
+    val rd = RQ.denseFromSparse(rs)
+    val (ri, ra) = RQ.rangeSelector(rs, rd)
+    assert(ri >= ra,
+      s"near-uniform corpus must select the dense plan: idxInc=$ri allPairs=$ra")
+  }
+
   test("the salt column spreads a hot key over many sub-keys") {
     val li = Tables.lineitem(spark, sfDir).withColumn("skey", lit(1L)) // 100% skew
     val salted = li.withColumn("__salt", pmod(hash(li.columns.map(col) :+ col("skey"): _*), lit(16)))
