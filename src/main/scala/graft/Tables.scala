@@ -42,8 +42,6 @@ object Tables {
     // typed Aggregators go through udf.register)
     spark.udf.register("graft_kmv",
       org.apache.spark.sql.functions.udaf(new graft.functions.KmvAggregator(64)))
-    spark.udf.register("graft_top3_pairs",
-      org.apache.spark.sql.functions.udaf(new graft.functions.TopPairsAggregator(3)))
     spark
   }
 

@@ -138,8 +138,8 @@ object RelationalQueries {
       .withColumn("cos", expr(
         "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
       .groupBy("q_user")
-      .agg(expr("graft_top3_pairs(cos, user_id, dot)").as("top"))
-      .select(col("q_user"), posexplode(col("top.rows")))
+      .agg(expr("graft_topk_pairs(cos, user_id, dot, 3)").as("top"))
+      .select(col("q_user"), posexplode(col("top")))
       .select(col("q_user"), col("col.id").as("sim_user"),
         (col("pos") + 1).cast("int").as("rnk"),
         col("col.payload").as("dot"), col("col.score").as("cos"))

@@ -71,5 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_span_hashes"),
       new ExpressionInfo(classOf[RollingSpanHashes].getName, "graft_span_hashes"),
       (children: Seq[Expression]) => RollingSpanHashes(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk_pairs"),
+      (children: Seq[Expression]) =>
+        TopKPairs(children(0), children(1), children(2), children(3))))
   }
 }

@@ -1,0 +1,149 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** Mutable bounded top-k buffer: three primitive arrays ordered by
+  * (score DESC, id ASC), insert O(k) with an O(1) reject once full —
+  * the common case: in a full q32 grid task all but ~k of the ~16M pairs
+  * cost exactly one compare. */
+final class TopKPairsBuffer(val k: Int) {
+  var n: Int = 0
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  val payloads = new Array[Long](k)
+
+  @inline private def before(s: Double, id: Long, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && id < ids(i))
+
+  def insert(s: Double, id: Long, p: Long): Unit = {
+    if (n == k && !before(s, id, n - 1)) return
+    // binary search for the insertion point in the sorted prefix
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (before(s, id, mid)) hi = mid else lo = mid + 1
+    }
+    val last = math.min(n, k - 1)
+    var i = last
+    while (i > lo) {
+      scores(i) = scores(i - 1); ids(i) = ids(i - 1); payloads(i) = payloads(i - 1)
+      i -= 1
+    }
+    if (lo < k) { scores(lo) = s; ids(lo) = id; payloads(lo) = p }
+    if (n < k) n += 1
+  }
+
+  def mergeFrom(o: TopKPairsBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.scores(i), o.ids(i), o.payloads(i)); i += 1 }
+  }
+}
+
+/** Native bounded top-k-per-group aggregate —
+  * `graft_topk_pairs(score, id, payload, k)` → ARRAY<STRUCT<score, id,
+  * payload>> ordered by (score DESC, id ASC), the window
+  * `row_number() OVER (ORDER BY score DESC, id)` tie rule.
+  *
+  * A [[TypedImperativeAggregate]] reading primitives straight off the
+  * input row, not a typed `Aggregator`/udaf: the udaf path deserializes
+  * every input row through an ExpressionEncoder (~µs/row — measured to
+  * dominate q32's 4.5G-pair scan at the 100× events point before this
+  * replaced it), where this update is three primitive reads and at worst
+  * an O(k) insert. Runs with MAP-SIDE partials under ObjectHashAggregate,
+  * so the shuffle carries ≤k rows per (group, partition) at any input
+  * volume — a row_number window over the same stream shuffles every row
+  * into its sort. */
+case class TopKPairs(
+    score: Expression, id: Expression, payload: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPairsBuffer] {
+
+  private lazy val k: Int = {
+    require(kExpr.foldable, "graft_topk_pairs: k must be a literal")
+    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    require(v >= 1, "graft_topk_pairs: k must be >= 1")
+    v
+  }
+
+  override def prettyName: String = "graft_topk_pairs"
+  override def children: Seq[Expression] = Seq(score, id, payload, kExpr)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq(DoubleType, LongType, LongType, IntegerType)
+    val got = children.map(_.dataType)
+    if (got == want) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_pairs expects (DOUBLE, BIGINT, BIGINT, INT), got $got")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("payload", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKPairsBuffer = new TopKPairsBuffer(k)
+
+  override def update(buf: TopKPairsBuffer, input: InternalRow): TopKPairsBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val p = payload.eval(input)
+    // null in any argument: skip the row (counts/norms are non-null by
+    // construction in every caller; this mirrors SQL agg null behavior)
+    if (s != null && i != null && p != null)
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long], p.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKPairsBuffer, other: TopKPairsBuffer): TopKPairsBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKPairsBuffer): Any = {
+    val rows = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      rows(i) = InternalRow(buf.scores(i), buf.ids(i), buf.payloads(i))
+      i += 1
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]]): ArrayData
+  }
+
+  override def serialize(buf: TopKPairsBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.n * 24)
+    bb.putInt(buf.k); bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); bb.putLong(buf.payloads(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKPairsBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      buf.scores(i) = bb.getDouble(); buf.ids(i) = bb.getLong(); buf.payloads(i) = bb.getLong()
+      i += 1
+    }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(score = newChildren(0), id = newChildren(1),
+      payload = newChildren(2), kExpr = newChildren(3))
+}
