@@ -1201,6 +1201,63 @@ object VectorOps {
     (rewrite, empty, newCells.size.toLong)
   }
 
+  /** Compact a [[writeCellPartitioned]] layout's small files — the
+    * MAINTAIN leg of the index lifecycle: continuous ingest
+    * ([[graft.streaming.StreamingAnalytics.cellIngestStream]]) appends
+    * one file set per micro-batch per touched cell, so a cell's OPEN
+    * cost grows with batch count rather than data size — the classic
+    * parquet small-files problem, and at 100 TB the difference between
+    * a probe opening 4 files and 4,000. Rewrites ONLY cells whose file
+    * count exceeds `maxFilesPerCell` (one coalesced file per compacted
+    * cell, dynamic partition overwrite), leaving compliant cell
+    * directories byte-identical — the same touched-set discipline as
+    * [[migrateCellLayout]].
+    *
+    * The compacted slice is materialized (localCheckpoint) before the
+    * overwrite because Spark refuses a write that reads its own input
+    * path; a deployment compacting truly huge cells batches the cell
+    * list per pass (the caller picks how many — the returned counts are
+    * the signal) or stages to a side directory with one rename, the
+    * wire sink's discipline. The per-cell file listing is a
+    * control-plane O(#cells) FS walk, the migrateCellLayout collect
+    * class. Returns (compacted cells, files before, files after). */
+  def compactCellLayout(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 4): (Seq[Long], Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+    def cellCounts(): Seq[(Long, Long)] =
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(s => (s.getPath.getName.stripPrefix("cell=").toLong,
+          dataFiles(s.getPath)))
+    val before = cellCounts()
+    val toCompact = before.filter(_._2 > maxFilesPerCell).map(_._1).sorted
+    if (toCompact.nonEmpty) {
+      val slice = spark.read.parquet(path)
+        .filter(col("cell").isInCollection(toCompact))
+        .localCheckpoint(true)
+      try slice
+        .repartition(toCompact.size, col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+      finally slice.queryExecution.analyzed.foreach {
+        // checkpoint blocks are invisible to DataFrame.unpersist (the
+        // SharedFrames.clear lesson) — release the RDD directly
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+    val after = cellCounts()
+    (toCompact, before.map(_._2).sum, after.map(_._2).sum)
+  }
+
   /** The shipped coarse-centroid literals of a [[writeCellPartitioned]]
     * layout — (c_id, quantized vector), the O(k) control-plane artifact a
     * continuous ingester carries (same collect class as

@@ -488,6 +488,43 @@ object ScaleRehearsal {
         Seq("q32:grid_not_engaged") else Nil) ++
       (if (prIdx >= prFull) Seq("q32b:prefix_filter_not_engaged") else Nil)
 
+    // ---- q32b pruned-plan engagement demo (r10) -----------------------
+    // The events corpus is near-uniform, so q32b's selector rightly picks
+    // the dense plan there — which leaves the PRUNED plan's scale win
+    // unmeasured. This section measures it on TIME-PHASED profiles (16
+    // disjoint 4-bucket activity windows — users active in narrow
+    // windows, the regime the prefix filter exists for): both exact
+    // plans run on the same frames, must agree row-for-row, and the
+    // selector must have picked the pruned one. Synthetic by design —
+    // the demo isolates the distribution property the real slices lack.
+    val phUsers = 50000L
+    val phased = spark.range(phUsers).select(col("id").as("user_id"))
+      .withColumn("g", pmod(hash(col("user_id")), lit(16)))
+      .withColumn("bucket", explode(expr("sequence(g * 4L, g * 4L + 3L)")))
+      .withColumn("n", (pmod(hash(col("user_id"), col("bucket")), lit(20)) + 1)
+        .cast("long"))
+      .select("user_id", "bucket", "n")
+    val phDense = graft.data.RelationalQueries.denseFromSparse(phased)
+    val (phIdxInc, phAllPairs) =
+      graft.data.RelationalQueries.rangeSelector(phased, phDense)
+    val tPr = System.nanoTime()
+    val prunedDf = graft.data.RelationalQueries.rangePruned(phased, phDense)
+    execute(prunedDf)
+    val prunedSec = (System.nanoTime() - tPr) / 1e9
+    val tDn = System.nanoTime()
+    val denseDf = graft.data.RelationalQueries.rangeDense(phased, phDense)
+    execute(denseDf)
+    val denseSec = (System.nanoTime() - tDn) / 1e9
+    val prunedCnt = prunedDf.count()
+    val denseCnt = denseDf.count()
+    val phasedFlips =
+      planKillers(walk(prunedDf.queryExecution.executedPlan)).map("q32b_pruned:" + _) ++
+      planKillers(walk(denseDf.queryExecution.executedPlan)).map("q32b_dense:" + _) ++
+      (if (phIdxInc >= phAllPairs) Seq("q32b_phased:selector_not_engaged") else Nil) ++
+      (if (prunedCnt != denseCnt)
+        Seq(s"q32b_phased:plans_disagree($prunedCnt,$denseCnt)") else Nil)
+    graft.data.SharedFrames.clear()
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relBcast = relResults.map { case (k, _, _, bs) =>
@@ -499,7 +536,7 @@ object ScaleRehearsal {
       relResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
       vecResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
       evtResults.flatMap { case (k, _, ks, _) => ks.map(x => s"$k:$x") } ++
-      gridFlips ++
+      gridFlips ++ phasedFlips ++
       // an unpruned probe is the vector family's scale-killer: the layout
       // exists precisely so a probe never scans the whole corpus
       (if (ivfFilesProbe >= ivfFilesTotal) Seq("ivf:probe_unpruned") else Nil) ++
@@ -560,6 +597,9 @@ object ScaleRehearsal {
         s""""q32b_prune":{"full_incidences":$prFull,""" +
         s""""indexed_incidences":$prIdx,"candidate_pairs":$prCand,""" +
         s""""all_pairs":$prAll},""" +
+        s""""q32b_phased":{"n_users":$phUsers,"idx_incidences":$phIdxInc,""" +
+        s""""all_pairs":$phAllPairs,"pruned_sec":$prunedSec,""" +
+        s""""dense_sec":$denseSec,"out_rows":$prunedCnt},""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

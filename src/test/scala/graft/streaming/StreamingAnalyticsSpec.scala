@@ -862,6 +862,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val probe = graft.data.VectorOps.probeCell(spark, s"$dir/live",
       cents.map(_._1), queryId = splitId)
     assert(probe.count() > 0, "probing the ingested layout must work")
+
+    // MAINTAIN leg: three micro-batch appends + the base write left
+    // multiple file sets per cell — compaction must rewrite only the
+    // over-threshold cells to one file each, leave compliant cells'
+    // files untouched (byte-identical dirs), and preserve the row set
+    def filesPerCell(p: String): Map[Long, Seq[String]] = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(s => s.getPath.getName.stripPrefix("cell=").toLong ->
+          fs.listStatus(s.getPath).toSeq.map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted)
+        .toMap
+    }
+    // one extra single-vector append: exactly that vector's cell goes
+    // over threshold, every other cell stays compliant (so the test has
+    // both a compacted and an untouched population)
+    graft.data.VectorOps.ingestCellBatch(
+      w1ToDf(spark, inc.take(1)), s"$dir/live", cents, batchId = 99L)
+    val preFiles = filesPerCell(s"$dir/live")
+    val threshold = preFiles.values.map(_.size).max - 1
+    assert(preFiles.values.exists(_.size > threshold) &&
+      preFiles.values.exists(_.size <= threshold),
+      s"need both over- and under-threshold cells: ${preFiles.view.mapValues(_.size).toMap}")
+    val rowsBefore = rowsOf(s"$dir/live")
+    val (compacted, fBefore, fAfter) =
+      graft.data.VectorOps.compactCellLayout(spark, s"$dir/live", threshold)
+    assert(compacted.nonEmpty && fAfter < fBefore,
+      s"compaction must shrink the file count ($fBefore -> $fAfter)")
+    val postFiles = filesPerCell(s"$dir/live")
+    for (c <- compacted) assert(postFiles(c).size == 1,
+      s"cell $c still has ${postFiles(c).size} files")
+    for ((c, fsBefore) <- preFiles if !compacted.contains(c))
+      assert(postFiles(c) == fsBefore, s"untouched cell $c was rewritten")
+    assert(rowsOf(s"$dir/live") == rowsBefore,
+      "compaction must preserve the row set exactly")
   }
 
   private def w1ToDf(spark: org.apache.spark.sql.SparkSession,
