@@ -307,6 +307,27 @@ class PlanSpec extends AnyFunSuite {
       "q29 windows must all be partitioned:\n" + opt.treeString.take(2000))
   }
 
+  test("q32 top-3 is the bounded aggregate, never a window over the pair stream") {
+    // a row_number window over the scored pairs shuffles EVERY pair into
+    // its sort — 4.5G rows at the 100× events point, the shape that
+    // killed the first 100× run this round. The bounded graft_topk_pairs
+    // aggregate map-side-reduces each grid task to ≤3 rows per query;
+    // this pin fails if anyone reintroduces a ranking window on q32's
+    // pair stream (q32b's dense plan shares the scan and has no rank at
+    // all — covered by the same walk).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q32_activity_similarity", "q32b_activity_range")) {
+      val opt = SparkEntry.queries(q)(spark, sfDir).queryExecution.optimizedPlan
+      val wins = opt.collect { case w: LWindow => w }
+      assert(wins.isEmpty,
+        s"$q must not rank through a window:\n" + opt.treeString.take(2000))
+    }
+    val agg = SparkEntry.queries("q32_activity_similarity")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(agg.contains("graft_topk_pairs"),
+      "q32 must rank through the bounded top-k aggregate")
+  }
+
   test("x31 BPE encode joins the vocab-sized model by broadcast — no corpus re-tokenization") {
     // the broadcast must be an AQE RUNTIME promotion, never a code hint:
     // the vocab grows with the corpus (Heaps' law), so a forced broadcast
