@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM's stdout must reach the console RAW (no sbt
+// "[info] " logger prefix): the bench driver parses a bare JSON
+// contract line from the process tail. StdoutOutput makes the forked
+// process inherit this JVM's stdout directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

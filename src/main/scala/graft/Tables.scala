@@ -29,10 +29,16 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // bounded-top-k aggregates (graft_top3_pairs) group by the query id:
+      // bounded-top-k aggregates (graft_topk_pairs) group by the query id:
       // thousands of tiny ≤k buffers per task. The 128-group default would
       // flip ObjectHashAggregate to a per-task SORT of the full pair
       // stream — exactly the row-volume the aggregate exists to avoid.
+      // Session-global tradeoff: EVERY object-hash aggregate (KMV, CMS,
+      // the sketch family) now holds up to 256k group buffers per task
+      // before the sort fallback; those buffers are bounded (≤k entries /
+      // fixed sketch width), so the per-task ceiling is ~buffers×O(kB) —
+      // acceptable headroom, but a new UNBOUNDED-buffer aggregate must
+      // not rely on the fallback for memory safety.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

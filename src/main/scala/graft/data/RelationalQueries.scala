@@ -135,6 +135,13 @@ object RelationalQueries {
     pairs
       .filter(col("user_id") =!= col("q_user"))
       .withColumn("dot", expr("graft_dot_long(q_v, v)"))
+      // dot > 0 keeps the pair universe identical to the oracle's
+      // shared-bucket join: the dense scan otherwise scores zero-overlap
+      // pairs (cos = 0) the sparse formulation never produces, and a
+      // query with < 3 positive-dot neighbors would rank cos=0 filler
+      // rows the oracle lacks (r10 ADVICE — unreachable on the bench
+      // corpora at ~41/64 occupancy, latent on sparse/tiny data).
+      .filter(col("dot") > 0)
       .withColumn("cos", expr(
         "CAST(dot AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
       .groupBy("q_user")
@@ -305,6 +312,20 @@ object RelationalQueries {
     * pruned plan engages and on this corpus where the dense plan wins). */
   private[graft] def activityRangeOn(sparse: DataFrame): DataFrame = {
     val dense = denseFromSparse(sparse)
+    // Overflow guard (r10 ADVICE): the exact integer threshold multiplies
+    // DECIMAL(38,0) values; past the documented bound the product
+    // overflows to NULL under non-ANSI decimal semantics and the filter
+    // silently DROPS qualifying rows. max(nn) < 10^18 guarantees both
+    // products stay exact — dot² ≤ nn_q·nn_c (Cauchy–Schwarz), so
+    // dot²·100 ≤ nn_q·nn_c·100 < 10^38 — making overflow a loud
+    // control-plane failure instead of a silent wrong answer. One O(1)
+    // agg over the memoized dense frame, shared by both plans.
+    val maxNN = SharedFrames.memoValue(dense, "q32b-overflow-guard") {
+      dense.agg(max("nn")).collect()(0).getLong(0)
+    }
+    require(maxNN < 1000000000000000000L,
+      s"q32b threshold overflow: max squared norm $maxNN >= 10^18 — " +
+        "the DECIMAL(38,0) products would overflow; rescale the profiles")
     val (idxInc, allPairs) = rangeSelector(sparse, dense)
     if (idxInc < allPairs) rangePruned(sparse, dense)
     else rangeDense(sparse, dense)

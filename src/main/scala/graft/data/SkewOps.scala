@@ -163,6 +163,12 @@ object SkewOps {
       // cap, G > |fact|·|probe| is impossible for a real pair volume
       if (f * p < g.toLong) f = math.max(1L, math.min(
         math.ceil(g / p).toLong, factRows))
+      // f/p are bounded only by the row counts; past Int.MaxValue blocks
+      // the toInt would WRAP (a wrapped-positive value under-covers the
+      // grid silently — pairBlockJoin's require only catches negatives).
+      // A grid that large means > 2^31 tasks — fail loudly, don't size it.
+      require(f <= Int.MaxValue && p <= Int.MaxValue,
+        s"pairGrid blocks exceed Int range (f=$f, p=$p): raise the per-task budget")
       (f.toInt, p.toInt)
     }
   }

@@ -65,21 +65,22 @@ case class TopKPairs(
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKPairsBuffer] {
 
-  private lazy val k: Int = {
-    require(kExpr.foldable, "graft_topk_pairs: k must be a literal")
-    val v = kExpr.eval().asInstanceOf[Number].intValue()
-    require(v >= 1, "graft_topk_pairs: k must be >= 1")
-    v
-  }
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
   override def prettyName: String = "graft_topk_pairs"
   override def children: Seq[Expression] = Seq(score, id, payload, kExpr)
   override def checkInputDataTypes(): TypeCheckResult = {
     val want = Seq(DoubleType, LongType, LongType, IntegerType)
     val got = children.map(_.dataType)
-    if (got == want) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (got != want) TypeCheckResult.TypeCheckFailure(
       s"graft_topk_pairs expects (DOUBLE, BIGINT, BIGINT, INT), got $got")
+    // k misuse surfaces at ANALYSIS time like the type checks, not as a
+    // bare execution-time require at buffer creation (r10 ADVICE)
+    else if (!kExpr.foldable) TypeCheckResult.TypeCheckFailure(
+      "graft_topk_pairs: k must be a literal")
+    else if (kExpr.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure("graft_topk_pairs: k must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
   }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
