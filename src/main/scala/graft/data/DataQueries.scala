@@ -97,6 +97,7 @@ object DataQueries {
     "x44_shard_manifest" -> docs(TextOps.shardManifest(_)),
     "x45_filter_agreement" -> docs(TextOps.filterAgreement),
     "x47_cms_audit" -> docs(TextOps.cmsAudit(_)),
+    "x49_quantile_sketch" -> docs(TextOps.quantileSketchAudit(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
       docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
@@ -1171,6 +1172,60 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       )
       SELECT rnk, term, exact, cms_est, cms_est - exact AS overestimate
       FROM est ORDER BY rnk""",
+    // x49: the bottom-k sample sketch replayed as an order statistic of
+    // the same md5 (rows with the 16 smallest hashes per source), exact
+    // quantiles from the histogram's cumulative counts, signed rank error
+    // of each estimate at its target rank ceil(q·n)
+    "x49_quantile_sketch" -> s"""
+      WITH h AS (
+        SELECT source, n_chars AS v,
+               (${TextOps.hex13NumFragment("md5(CAST(doc_id AS STRING) || ':qs')")}) AS hv
+        FROM documents
+      ), samp AS (
+        SELECT source, v FROM (
+          SELECT source, v,
+                 row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+          FROM h) q WHERE rn <= 16
+      ), sk AS (
+        SELECT source, list(v ORDER BY v) AS sample,
+               CAST(count(*) AS BIGINT) AS k_actual
+        FROM samp GROUP BY source
+      ), nd AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM h GROUP BY source
+      ), est AS (
+        SELECT source, k_actual,
+          sample[CAST(floor((k_actual + 1) / 2.0) AS INT)] AS p50_est,
+          sample[CAST(floor((9 * k_actual + 9) / 10.0) AS INT)] AS p90_est,
+          sample[CAST(floor((99 * k_actual + 99) / 100.0) AS INT)] AS p99_est
+        FROM sk
+      ), hist AS (
+        SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+      ), cum AS (
+        SELECT source, v,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM hist
+      ), ex AS (
+        SELECT source,
+          min(CASE WHEN cum >= CAST(floor((n + 1) / 2.0) AS BIGINT) THEN v END) AS p50_exact,
+          min(CASE WHEN cum >= CAST(floor((9 * n + 9) / 10.0) AS BIGINT) THEN v END) AS p90_exact,
+          min(CASE WHEN cum >= CAST(floor((99 * n + 99) / 100.0) AS BIGINT) THEN v END) AS p99_exact
+        FROM cum GROUP BY source
+      )
+      SELECT e.source, nd.n_docs, e.k_actual,
+        e.p50_est, ex.p50_exact,
+        CAST(c50.cum - floor((nd.n_docs + 1) / 2.0) AS BIGINT) AS p50_rank_err,
+        e.p90_est, ex.p90_exact,
+        CAST(c90.cum - floor((9 * nd.n_docs + 9) / 10.0) AS BIGINT) AS p90_rank_err,
+        e.p99_est, ex.p99_exact,
+        CAST(c99.cum - floor((99 * nd.n_docs + 99) / 100.0) AS BIGINT) AS p99_rank_err
+      FROM est e
+      JOIN ex ON e.source = ex.source
+      JOIN nd ON e.source = nd.source
+      JOIN cum c50 ON c50.source = e.source AND c50.v = e.p50_est
+      JOIN cum c90 ON c90.source = e.source AND c90.v = e.p90_est
+      JOIN cum c99 ON c99.source = e.source AND c99.v = e.p99_est
+      ORDER BY e.source""",
     // per-token surprisal quantized once per vocab entry, per-doc exact
     // integer sum (unigram-LM bits: the CCNet-style quality ranking)
     "x25_unigram_surprisal" -> """

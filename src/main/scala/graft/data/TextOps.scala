@@ -1148,6 +1148,76 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** x49 — mergeable quantile sketch audit, x47's calibration-before-
+    * trust pattern applied to rank statistics: per source, the
+    * `graft_qsketch` bottom-k sample of the n_chars distribution next to
+    * the EXACT x8-style histogram-selected quantiles and the signed rank
+    * error of each estimate — the evidence that sizes k before a data
+    * card trusts the sketch alone.
+    *
+    * Why the sketch exists: KMV covers distinct (x9/x10), CMS covers
+    * frequency (x47); exact quantiles (x8/x33) need a BOUNDED value
+    * range to histogram-select. Per-source length/score distributions at
+    * 100 TB have neither bounded range nor sortable volume — the
+    * mergeable sample sketch's ≤k-per-(group, partition) shuffle is the
+    * answer there ([[graft.functions.QuantileSketch]]; DKW gives rank
+    * error ε at k ≈ ln(2/δ)/(2ε²) independent of group size — the audit
+    * k here is 16 so sampling ENGAGES on the gate corpus; a deployment
+    * sizes k ≈ 16384 for ε ≈ 1.5%).
+    *
+    * Shape: the sketch is ONE map-side-combinable keyed agg (≤k values
+    * per group per partition cross the shuffle); the exact side shrinks
+    * to a (source, n_chars) histogram first, windows run over the
+    * histogram, never over documents; rank(est) is a join of the 20-row
+    * estimate frame back against the histogram's cumulative counts.
+    * Everything is exact BIGINT on the portable hex13(md5) hash, so the
+    * audit hash-matches the oracle. */
+  def quantileSketchAudit(documents: DataFrame, k: Int = 16): DataFrame = {
+    val h = documents.select(col("source"), col("n_chars").as("v"),
+      expr(hex13Num("md5(concat(CAST(doc_id AS STRING), ':qs'))")).as("hv"))
+    val sk = h.groupBy("source")
+      .agg(expr(s"graft_qsketch(hv, v, $k)").as("sample"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("k_actual", size(col("sample")).cast("long"))
+    // rank ceil(q·k_actual) in the value-sorted sample = the q-quantile
+    // estimate; ceil via x8's integer identity (doubles below 2^53)
+    val est = sk
+      .withColumn("p50_est", expr(
+        "element_at(sample, CAST(floor((k_actual + 1) / 2.0) AS INT))"))
+      .withColumn("p90_est", expr(
+        "element_at(sample, CAST(floor((9 * k_actual + 9) / 10.0) AS INT))"))
+      .withColumn("p99_est", expr(
+        "element_at(sample, CAST(floor((99 * k_actual + 99) / 100.0) AS INT))"))
+      .drop("sample")
+    val hist = h.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("v")
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    def exact(thresholdExpr: String, name: String) =
+      cum.filter(expr(s"cum >= $thresholdExpr"))
+        .groupBy("source").agg(min("v").as(name))
+    val ex = exact("CAST(floor((n + 1) / 2.0) AS BIGINT)", "p50_exact")
+      .join(exact("CAST(floor((9 * n + 9) / 10.0) AS BIGINT)", "p90_exact"), "source")
+      .join(exact("CAST(floor((99 * n + 99) / 100.0) AS BIGINT)", "p99_exact"), "source")
+    // every estimate is a real group value, so its rank is the histogram's
+    // cumulative count AT that value — three joins of the 20-row frame
+    def rank(estCol: String, errCol: String, mul: Int, den: Int)(df: DataFrame) =
+      df.join(cum.select(col("source"), col("v").as(estCol),
+          col("cum").as(s"__r_$estCol")), Seq("source", estCol))
+        .withColumn(errCol, expr(
+          s"CAST(__r_$estCol - floor(($mul * n_docs + $den - 1) / $den.0) AS BIGINT)"))
+        .drop(s"__r_$estCol")
+    val audited = rank("p99_est", "p99_rank_err", 99, 100)(
+      rank("p90_est", "p90_rank_err", 9, 10)(
+        rank("p50_est", "p50_rank_err", 1, 2)(est.join(ex, "source"))))
+    audited.select("source", "n_docs", "k_actual",
+        "p50_est", "p50_exact", "p50_rank_err",
+        "p90_est", "p90_exact", "p90_rank_err",
+        "p99_est", "p99_exact", "p99_rank_err")
+      .orderBy("source")
+  }
+
   /** x6 — corpus bigram vocabulary, top-N by frequency: the vocabulary-
     * building pass of a BPE-ish tokenizer pipeline. One hash shuffle on
     * the bigram (map-side combined), then a top-N sort of the tiny

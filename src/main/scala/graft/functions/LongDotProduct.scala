@@ -76,5 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk_pairs"),
       (children: Seq[Expression]) =>
         TopKPairs(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_qsketch"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, "graft_qsketch"),
+      (children: Seq[Expression]) =>
+        QuantileSketch(children(0), children(1), children(2))))
   }
 }
