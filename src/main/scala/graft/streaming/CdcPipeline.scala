@@ -813,6 +813,178 @@ object CdcPipeline {
       .filter(col("message_type") =!= "delete")
   }
 
+  /** [[compactWireBatches]] report: merged spans as (lo, hi) id pairs,
+    * batch-directory and data-file counts before/after. */
+  case class WireCompaction(spans: Seq[(Long, Long)], dirsBefore: Long,
+      dirsAfter: Long, filesBefore: Long, filesAfter: Long)
+
+  /** Wire-sink maintenance — the `batch=<id>` small-files/small-dirs leg
+    * of the cell layout's `compactCellLayout` (r10): [[startWire]]
+    * publishes one directory per micro-batch, each holding
+    * #groups × #topic-partitions files — at a 1-minute trigger that is
+    * ~1,440 directories/day and growing forever. This call merges spans
+    * of OLD batch directories into one single-file directory each,
+    * preserving the sink's contracts:
+    *
+    *  - the newest `retainLast` batch ids are NEVER touched
+    *    (byte-identical): that window is where restart replay
+    *    (`lastCommitted`) and incremental consumers operate, so their
+    *    `batch=<id>` keys stay stable;
+    *  - older ids merge in consecutive groups into the group's HIGHEST
+    *    id (re-keying, the contract VERDICT r10 allows past the retained
+    *    window): the span dir holds the union of its batches' rows in
+    *    ONE file sorted by (topic, pos_key) — the row set is preserved
+    *    exactly and per-topic order is preserved because pos_key is the
+    *    binlog coordinate, monotone across batches, the same order the
+    *    uncompacted dirs expose;
+    *  - a group closes when its combined batch WEIGHT (original
+    *    micro-batch count, carried in a `_span_w<n>` marker) reaches
+    *    `spanSize`; the resulting span is SEALED and never rewritten
+    *    again, so each batch's rows are rewritten exactly ONCE across
+    *    all maintenance calls (directory count converges to
+    *    ~n/spanSize + a partial tail, e.g. 1,440/day → 23 sealed
+    *    dirs/day at spanSize 64);
+    *  - a partial tail (combined weight < spanSize) and sealed spans are
+    *    compliant — untouched, byte-identical — so the call is
+    *    idempotent until new batches age past the retained window;
+    *  - full expiry is the separate [[expireWireBatches]] lever.
+    *
+    * Crash safety mirrors the sink's staged-rename publish: the merged
+    * span writes to a DOT-PREFIXED staging dir, a `._compact_<lo>_<hi>
+    * .commit` marker is created LAST (the commit point), and only then
+    * are the source dirs deleted and the staging renamed to
+    * `batch=<hi>`; the next call finishes any half-applied span from its
+    * marker before measuring anything. Between delete and rename the
+    * span's rows are only in the (hidden) staging dir, so like
+    * `compactCellLayout` this is a maintenance operation for a window
+    * when no reader lists batch dirs — the sink itself keeps publishing
+    * new ids concurrently without conflict (they land above the retained
+    * window). */
+  def compactWireBatches(spark: SparkSession, outDir: String,
+      retainLast: Int = 8, spanSize: Int = 64): WireCompaction = {
+    require(retainLast >= 1 && spanSize >= 2)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    def finishSpan(lo: Long, hi: Long): Unit = {
+      val staging = path(s"$outDir/.span_${lo}_$hi.staging")
+      // staging present ⇒ the span's rows live there: retire ALL source
+      // dirs in [lo, hi] (including the original batch=<hi>), then
+      // publish. Staging absent ⇒ the rename already happened and
+      // batch=<hi> IS the published span — retire only [lo, hi).
+      val stagingExists = fs.exists(staging)
+      val retireUpTo = if (stagingExists) hi else hi - 1
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+        .filter { case (id, _) => id >= lo && id <= retireUpTo }
+        .foreach { case (_, p) => fs.delete(p, true) }
+      if (stagingExists &&
+          !fs.rename(staging, path(s"$outDir/batch=$hi")))
+        throw new java.io.IOException(
+          s"wire compaction: failed to publish $staging -> batch=$hi")
+      fs.delete(path(s"$outDir/._compact_${lo}_$hi.commit"), false)
+    }
+
+    // ---- recovery: a marker means the span was fully staged — finish it
+    // (staging gone ⇒ the rename already happened; only the cleanup and
+    // marker delete can be outstanding)
+    val commitRe = "^\\._compact_(\\d+)_(\\d+)\\.commit$".r
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case commitRe(lo, hi) => finishSpan(lo.toLong, hi.toLong)
+        case _ => ()
+      }
+    }
+
+    def batchDirs(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+        .sortBy(_._1)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+
+    // a span dir carries its batch weight (how many ORIGINAL micro-
+    // batches it holds) in a `_span_w<n>` marker; an unmarked dir is one
+    // micro-batch. A dir whose weight reached spanSize is SEALED — done
+    // forever — so every batch row is rewritten exactly once, not once
+    // per maintenance call.
+    val weightRe = "^_span_w(\\d+)$".r
+    def weightOf(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).map(_.getPath.getName).collectFirst {
+        case weightRe(w) => w.toLong
+      }.getOrElse(1L)
+
+    val before = batchDirs()
+    val filesBefore = before.map(d => dataFiles(d._2)).sum
+    // accumulate consecutive UNSEALED dirs until the combined weight
+    // reaches spanSize; sealed dirs are boundaries; a partial tail waits
+    // for future batches to age past the retained window
+    val eligible = before.dropRight(retainLast)
+      .map { case (id, p) => (id, p, weightOf(p)) }
+    val groups = Seq.newBuilder[Seq[(Long, org.apache.hadoop.fs.Path, Long)]]
+    var acc = Vector.empty[(Long, org.apache.hadoop.fs.Path, Long)]
+    var accW = 0L
+    eligible.foreach { d =>
+      if (d._3 >= spanSize) { acc = Vector.empty; accW = 0 } // sealed
+      else {
+        acc :+= d; accW += d._3
+        if (accW >= spanSize && acc.size >= 2) {
+          groups += acc; acc = Vector.empty; accW = 0
+        }
+      }
+    }
+    val spans = groups.result()
+    spans.foreach { grp =>
+      val lo = grp.head._1
+      val hi = grp.last._1
+      val staging = path(s"$outDir/.span_${lo}_$hi.staging")
+      fs.delete(staging, true) // residue of a crash BEFORE the marker
+      val withRows = grp.filter { case (_, p, _) => dataFiles(p) > 0 }
+      if (withRows.nonEmpty)
+        // one sorted file per span: the span is a bounded maintenance
+        // unit (≤ spanSize micro-batches), the cell-compaction class —
+        // not a data-scaled global sort
+        spark.read.parquet(withRows.map(_._2.toString): _*)
+          .repartition(1).sortWithinPartitions("topic", "pos_key")
+          .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      else
+        fs.mkdirs(staging) // all-empty span (DDL-only batches): the
+                           // batch=<hi> dir must still exist (sink contract)
+      fs.create(path(s"$outDir/.span_${lo}_$hi.staging/_span_w${grp.map(_._3).sum}"),
+        true).close()
+      fs.create(path(s"$outDir/._compact_${lo}_$hi.commit"), true).close()
+      finishSpan(lo, hi)
+    }
+    val after = batchDirs()
+    WireCompaction(spans.map(g => (g.head._1, g.last._1)),
+      before.size.toLong, after.size.toLong,
+      filesBefore, after.map(d => dataFiles(d._2)).sum)
+  }
+
+  /** Wire-sink retention — the other maintenance lever: delete batch (or
+    * span) directories whose ids fall ENTIRELY below `belowId`. Sink ids
+    * are monotone in time, so "expire data older than D days" is
+    * `belowId` = the first batch id committed inside the retention
+    * window. A span dir `batch=<hi>` holds ids ≤ hi only, so the id test
+    * is exact. Returns the deleted ids. */
+  def expireWireBatches(spark: SparkSession, outDir: String,
+      belowId: Long): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+      .filter(_._1 < belowId)
+      .sortBy(_._1)
+      .map { case (id, p) => fs.delete(p, true); id }
+  }
+
   /** T26 Kafka wire shape: the envelope mapped to the kafka sink contract
     * (topic/key/value/headers). The reference's real sink is an async Kafka
     * producer flushed per batch (base_parse_replication_stream.py:207-221);

@@ -140,6 +140,31 @@ object WireRehearsal {
     // genuinely super-linear build pass. Per-table ratio under the
     // doubling: 1.0 = linear, 2.0 = quadratic; the gate rejects
     // quadratic-or-worse (see object scaladoc).
+    // ---- maintenance leg (r11): the sink publishes one batch=<id> dir
+    // per trigger; measure what compactWireBatches recovers after a
+    // simulated 96-trigger day-slice (2 topics, pos_key monotone, 2
+    // files/dir — the sink's layout), with an 8-batch retained window
+    // and 16-batch spans.
+    val maintDir = s"$workDir/maint"
+    val maintPath = new org.apache.hadoop.fs.Path(maintDir)
+    maintPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(maintPath, true)
+    import spark.implicits._
+    (0 until 96).foreach { b =>
+      Seq.tabulate(8) { i =>
+        (if (i % 2 == 0) "db0.t0" else "db0.t1",
+          f"binlog.000001:${b * 1000 + i}%010d:0000", s"p-$b-$i")
+      }.toDF("topic", "pos_key", "payload_json")
+        .repartition(2, col("topic")).sortWithinPartitions("pos_key")
+        .write.mode("append").parquet(s"$maintDir/batch=$b")
+    }
+    val t2 = System.nanoTime()
+    val comp = CdcPipeline.compactWireBatches(spark, maintDir,
+      retainLast = 8, spanSize = 16)
+    val compactSecs = (System.nanoTime() - t2) / 1e9
+    val maintRows = spark.read.parquet(maintDir).count()
+    assert(maintRows == 96L * 8, s"maintenance leg lost rows: $maintRows")
+
     val perTable = results.map { case (nt, p, _) => (nt, p / nt) }.toMap
     // worst per-table ratio across the warm doublings: sharding should
     // hold BOTH ≈1.0 (each is planned as ≤ WireTableGroupSize-branch
@@ -152,7 +177,11 @@ object WireRehearsal {
       s"""{"metric":"wire_rehearsal","value":${results.map(_._2).sum},""" +
         s""""unit":"sec","sizes":$qs,"segments":$nSegments,""" +
         s""""rows_per_table":$rowsPerTable,""" +
-        s""""per_table_plan_ratio_worst_doubling":$ratio}"""
+        s""""per_table_plan_ratio_worst_doubling":$ratio,""" +
+        s""""maintenance":{"batches":96,"spans_sealed":${comp.spans.size},""" +
+        s""""dirs_before":${comp.dirsBefore},"dirs_after":${comp.dirsAfter},""" +
+        s""""files_before":${comp.filesBefore},"files_after":${comp.filesAfter},""" +
+        s""""compact_sec":$compactSecs}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()
