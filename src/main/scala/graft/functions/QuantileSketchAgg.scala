@@ -38,9 +38,32 @@ final class BottomKBuffer(val k: Int) {
     if (n < k) n += 1
   }
 
+  /** Two-pointer merge of two (hash, value)-sorted buffers, keeping the
+    * smallest min(k, n + o.n) — O(n + o.n), not o.n inserts of O(k) each
+    * (at the documented k = 16384 operating point an insert-based merge
+    * would do ~k²/2 element shifts per combine). Ties carry identical
+    * (h, v) pairs, so take-left keeps the result deterministic. */
   def mergeFrom(o: BottomKBuffer): Unit = {
-    var i = 0
-    while (i < o.n) { insert(o.hs(i), o.vs(i)); i += 1 }
+    if (o.n == 0) return
+    if (n == 0) {
+      System.arraycopy(o.hs, 0, hs, 0, o.n)
+      System.arraycopy(o.vs, 0, vs, 0, o.n)
+      n = o.n
+      return
+    }
+    val m = math.min(k, n + o.n)
+    val nh = new Array[Long](m); val nv = new Array[Long](m)
+    var i = 0; var j = 0; var t = 0
+    while (t < m) {
+      val takeLeft = j >= o.n || (i < n &&
+        (hs(i) < o.hs(j) || (hs(i) == o.hs(j) && vs(i) <= o.vs(j))))
+      if (takeLeft) { nh(t) = hs(i); nv(t) = vs(i); i += 1 }
+      else { nh(t) = o.hs(j); nv(t) = o.vs(j); j += 1 }
+      t += 1
+    }
+    System.arraycopy(nh, 0, hs, 0, m)
+    System.arraycopy(nv, 0, vs, 0, m)
+    n = m
   }
 }
 
