@@ -271,6 +271,45 @@ object StreamingAnalytics {
         col("j"), col("cell"), col("c"))
   }
 
+  /** Streaming per-(window, source) quantile sketch — x49's continuous
+    * form ([[graft.data.TextOps.quantileSketchAudit]]): the data-card
+    * length-distribution monitor over an arriving document stream,
+    * closing the sketch family's streaming legs (KMV ≅ distinct via
+    * dedup state, CMS ≅ [[cmsIngestStream]], quantiles ≅ this). The
+    * `graft_qsketch` bottom-k buffer IS the streaming aggregation
+    * state: Spark's stateful agg restores each group's serialized
+    * buffer, merges the micro-batch's partial into it, and stores it
+    * back — O(k) state per (window, source) regardless of arrival
+    * volume, the same DKW rank-error bound as batch. Because the
+    * retained set is a pure order statistic of the per-row md5 hash,
+    * arrival order and micro-batch splits CANNOT change it: any replay
+    * converges to the batch sketch over the same rows (spec-proven),
+    * and merging adjacent windows for a coarser horizon is just sketch
+    * merge (bottom-k of a union = bottom-k of bottom-k's). p50/p90
+    * estimates are emitted per window; sub-k windows degenerate to the
+    * exact order statistic. */
+  def qsketchIngestStream(docs: DataFrame, k: Int = 64,
+      windowLength: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val hv = graft.data.TextOps.hex13NumFragment(
+      "md5(concat(CAST(doc_id AS STRING), ':qs'))")
+    docs
+      .select(col("ts_us"), col("source"), expr(hv).as("hv"),
+        col("n_chars").cast("long").as("v"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("source"))
+      .agg(expr(s"graft_qsketch(hv, v, $k)").as("sample"),
+        count(lit(1)).as("n_docs"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("source"), col("n_docs"),
+        expr("element_at(sample, CAST(floor((size(sample) + 1) / 2.0) AS INT))")
+          .as("p50_est"),
+        expr("element_at(sample, CAST(floor((9 * size(sample) + 9) / 10.0) AS INT))")
+          .as("p90_est"),
+        col("sample"))
+  }
+
   final case class PhashRow(bucket: Long, doc_id: Long, phash: Long)
   final case class PhashPair(doc_a: Long, doc_b: Long, hamming: Int)
 

@@ -420,6 +420,59 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming quantile sketch equals an independent bottom-k re-derivation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars").as[(Long, String, Long)]
+      .collect().toSeq
+
+    // independent straight-line reference: per source, the k rows with
+    // the smallest (md5-hex13, value) keys, values sorted ascending —
+    // exactly what graft_qsketch must retain regardless of arrival order
+    def hex13(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(13).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    }
+    val k = 8 // small enough that sampling ENGAGES on the bigger sources
+    val expected = docs.groupBy(_._2).map { case (src, xs) =>
+      val sample = xs.map { case (id, _, v) => (hex13(s"$id:qs"), v) }
+        .sorted.take(k).map(_._2).sorted
+      src -> ((xs.size.toLong, sample))
+    }
+
+    val rows = docs.map { case (id, src, v) => (id, src, v, T0 + id * 1000L) }
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = StreamingAnalytics.qsketchIngestStream(
+        input.toDF().toDF("doc_id", "source", "n_chars", "ts_us"),
+        k = k, windowLength = "60 minutes")
+      .writeStream.format("memory").queryName("qsstream")
+      .outputMode("complete").start()
+    // three uneven waves: the sketch state must merge across micro-batches
+    val (w1, rest) = rows.splitAt(rows.size / 3)
+    val (w2, w3) = rest.splitAt(rest.size / 4)
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    input.addData(w3); q.processAllAvailable()
+
+    val got = spark.table("qsstream")
+      .select("source", "n_docs", "sample", "p50_est", "p90_est")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet, s"sources: ${got.keySet}")
+    expected.foreach { case (src, (n, sample)) =>
+      val (gn, gs, p50, p90) = got(src)
+      assert(gn == n, s"$src n_docs: $gn != $n")
+      assert(gs == sample, s"$src sample diverged: got $gs want $sample")
+      val sz = sample.size
+      assert(p50 == sample((sz + 1) / 2 - 1), s"$src p50")
+      assert(p90 == sample((9 * sz + 9) / 10 - 1), s"$src p90")
+    }
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
