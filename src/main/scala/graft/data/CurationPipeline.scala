@@ -1,0 +1,94 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline as a FIRST-CLASS API —
+  * the chain a library user actually deploys end to end:
+  *
+  *   quality filter (x16) → exact-dedup keeper selection (d1) →
+  *   semantic dedup (d12, embedding-space SemDeDup) →
+  *   benchmark decontamination (x12) → per-source token-budget cap
+  *   (x35, seeded order) → seeded shuffle-shard export (x34) →
+  *   shard-partitioned parquet write.
+  *
+  * Every stage is individually oracle-checked in the registry; this
+  * object owns the COMPOSITION, which until r11 lived copy-pasted in
+  * `CurationPipelineSpec` and `ScaleRehearsal` (exactly the drift
+  * hazard a user-facing chain must not have). Composition contracts,
+  * spec-pinned: stages connect on `doc_id` without schema friction, a
+  * doc with no embedding row passes SemDeDup through (curation must
+  * not silently drop data a side table lacks coverage for), exported
+  * shards hold contiguous positions 0..n−1 with nothing lost or
+  * duplicated, and a re-run writes byte-identical shard content — what
+  * makes a 100 TB export resumable and auditable. Scale behavior is
+  * rehearsed composed (not per-stage) at 10×/100× under the
+  * flip/broadcast audit; every stage is pay-once via [[SharedFrames]]
+  * memos, so the chain's cost is the sum of its stages, not the
+  * product of its recomputations.
+  */
+object CurationPipeline {
+
+  /** Pipeline knobs. `budgetTokens` is the per-source token cap (x35);
+    * `semDedupMaxIter` bounds the SemDeDup centroid iterations (d12's
+    * convergence cap); `seed` drives BOTH the budget-cap admission
+    * order and the shard permutation, so one seed reproduces the whole
+    * export bit-for-bit at any cluster size. */
+  final case class Config(
+      budgetTokens: Long,
+      nShards: Int = 32,
+      seed: String = "graft",
+      semDedupMaxIter: Int = 24)
+
+  /** The staged chain as (stage name, surviving-corpus frame) pairs,
+    * cumulative — each frame filters the previous one. Exposed
+    * separately from [[run]] so audits and scale rehearsals can execute
+    * and plan-walk each stage; `stages(...).last._2` is the clean
+    * corpus [[run]] exports. Pass `embeddings = None` to skip SemDeDup
+    * (a text-only corpus). */
+  def stages(docs: DataFrame, embeddings: Option[DataFrame],
+      cfg: Config): Seq[(String, DataFrame)] = {
+    val kept = docs.join(
+      TextOps.filterAudit(docs).filter(col("keep")).select("doc_id"), "doc_id")
+    val deduped = kept.join(
+      TextOps.dedupExact(kept).select(col("keeper").as("doc_id")), "doc_id")
+    val sem = embeddings match {
+      case Some(emb) => deduped.join(
+          VectorOps.semDedup(emb, maxIter = cfg.semDedupMaxIter)
+            .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep")),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("sem_keep"), lit(true)))
+        .drop("sem_keep")
+      case None => deduped
+    }
+    val decon = sem.join(
+      TextOps.decontaminate(sem).filter(!col("is_contaminated"))
+        .select("doc_id"), "doc_id")
+    val clean = decon.join(
+      TextOps.budgetCap(decon, budgetTokens = cfg.budgetTokens,
+          seed = cfg.seed)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+    Seq("filter" -> kept, "dedup_exact" -> deduped, "semdedup" -> sem,
+      "decontaminate" -> decon, "budget_cap" -> clean)
+  }
+
+  /** What [[run]] reports: input/output row counts plus the surviving
+    * count after each stage, in order — the data-card funnel of this
+    * export. `exported` is re-counted from the WRITTEN files, so a
+    * lossy write surfaces here, not in a trainer. */
+  final case class Report(total: Long, exported: Long,
+      stageCounts: Seq[(String, Long)])
+
+  /** Execute the full chain and write the shard-partitioned export to
+    * `outDir` (overwrite). Deterministic for a fixed (corpus, config):
+    * re-running writes byte-identical shard content. */
+  def run(docs: DataFrame, embeddings: Option[DataFrame], cfg: Config,
+      outDir: String): Report = {
+    val st = stages(docs, embeddings, cfg)
+    val clean = st.last._2
+    TextOps.shardExport(clean, nShards = cfg.nShards, seed = cfg.seed)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+    val exported = docs.sparkSession.read.parquet(outDir).count()
+    Report(docs.count(), exported, st.map { case (n, f) => (n, f.count()) })
+  }
+}

@@ -248,26 +248,16 @@ object ScaleRehearsal {
     }
     val curDocs = Tables.documents(spark, curDir)
     val curTotal = curDocs.count()
-    val kept = curStage("filter")(curDocs.join(
-      graft.data.TextOps.filterAudit(curDocs)
-        .filter(col("keep")).select("doc_id"), "doc_id"))
-    val curDeduped = curStage("dedup_exact")(kept.join(
-      graft.data.TextOps.dedupExact(kept)
-        .select(col("keeper").as("doc_id")), "doc_id"))
-    val curSem = curStage("semdedup")(curDeduped.join(
-      graft.data.VectorOps.semDedup(Tables.embeddings(spark, curDir), maxIter = 8)
-        .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep")),
-      Seq("doc_id"), "left")
-      .filter(coalesce(col("sem_keep"), lit(true))).drop("sem_keep"))
-    val curDecon = curStage("decontaminate")(curSem.join(
-      graft.data.TextOps.decontaminate(curSem)
-        .filter(!col("is_contaminated")).select("doc_id"), "doc_id"))
-    // per-source budget ∝ corpus (the gate must ENGAGE, not pass-all):
+    // the chain comes from the FIRST-CLASS API (CurationPipeline, r11)
+    // so this rehearsal audits exactly the composition users deploy.
+    // Per-source budget ∝ corpus (the gate must ENGAGE, not pass-all):
     // the sf0.1 base carries ~190k tokens/source, so half that per copy
-    val curClean = curStage("budget_cap")(curDecon.join(
-      graft.data.TextOps.budgetCap(curDecon,
-        budgetTokens = 95000L * curCopies)
-        .filter(col("keep")).select("doc_id"), "doc_id"))
+    val curCfg = graft.data.CurationPipeline.Config(
+      budgetTokens = 95000L * curCopies, semDedupMaxIter = 8)
+    val curChain = graft.data.CurationPipeline.stages(
+      curDocs, Some(Tables.embeddings(spark, curDir)), curCfg)
+    curChain.foreach { case (name, df) => curStage(name)(df) }
+    val curClean = curChain.last._2
     val nCurClean = curClean.count()
     val curOut = s"$workDir/cur_out"
     val tCw = System.nanoTime()

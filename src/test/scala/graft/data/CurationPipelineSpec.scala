@@ -23,46 +23,20 @@ class CurationPipelineSpec extends AnyFunSuite {
   private lazy val spark = Tables.session("curation-pipeline-spec", "4")
   private val sfDir = "/root/testdata/sf0.001"
 
+  // the chain itself lives in CurationPipeline (r11) — the spec drives
+  // the PUBLIC API, so what's pinned here is exactly what a user gets
   private def runPipeline(outDir: String): (Long, Long, Long, Seq[org.apache.spark.sql.Row]) = {
     val docs = Tables.documents(spark, sfDir)
-    val total = docs.count()
-
-    // x16: quality gate
-    val kept = docs.join(
-      TextOps.filterAudit(docs).filter(col("keep")).select("doc_id"), "doc_id")
-
-    // d1: one keeper per exact-duplicate group
-    val keepers = TextOps.dedupExact(kept).select(col("keeper").as("doc_id"))
-    val deduped = kept.join(keepers, "doc_id")
-
-    // d12: drop semantically redundant docs (embedding-space SemDeDup);
-    // a doc with no embedding row passes through — curation must not
-    // silently drop data a side table lacks coverage for
-    val sem = deduped.join(
-      VectorOps.semDedup(Tables.embeddings(spark, sfDir))
-        .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep")),
-      Seq("doc_id"), "left")
-      .filter(coalesce(col("sem_keep"), lit(true)))
-      .drop("sem_keep")
-
-    // x12: drop contaminated (overlap with the 10-doc benchmark set)
-    val decon = sem.join(
-      TextOps.decontaminate(sem).filter(!col("is_contaminated")).select("doc_id"),
-      "doc_id")
-
-    // x35: enforce the per-source token budget in the seeded order
-    val clean = decon.join(
-      TextOps.budgetCap(decon, budgetTokens = 2000L).filter(col("keep")).select("doc_id"),
-      "doc_id")
-    val nClean = clean.count()
-
-    // x34: seeded shard assignment, then the export write itself
-    val sharded = TextOps.shardExport(clean, nShards = 4)
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-
+    val rep = CurationPipeline.run(docs,
+      Some(Tables.embeddings(spark, sfDir)),
+      CurationPipeline.Config(budgetTokens = 2000L, nShards = 4), outDir)
+    // the funnel is monotone: each stage can only shrink the corpus
+    val counts = rep.total +: rep.stageCounts.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"stage funnel not monotone: ${rep.stageCounts}")
     val back = spark.read.parquet(outDir)
     val rows = back.orderBy("shard", "pos").collect().toSeq
-    (total, nClean, back.count(), rows)
+    (rep.total, rep.stageCounts.last._2, rep.exported, rows)
   }
 
   test("filter → dedup → decontaminate → shard export composes losslessly and deterministically") {
