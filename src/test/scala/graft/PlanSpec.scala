@@ -328,6 +328,28 @@ class PlanSpec extends AnyFunSuite {
       "q32 must rank through the bounded top-k aggregate")
   }
 
+  test("graft_qsketch aggregates via ObjectHashAggregate with map-side partials") {
+    // the sketch's scale contract is that the SHUFFLE carries ≤k values
+    // per (group, partition) — which requires a partial ObjectHashAggregate
+    // before the exchange and a final one after. A SortAggregate fallback
+    // would sort the full input stream per task (the 128-group default
+    // threshold would do this; Tables.session raises it — this pin fails
+    // if that config or the aggregate's buffer support regresses).
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = Tables.documents(spark, sfDir).groupBy("source")
+      .agg(expr("graft_qsketch(CAST(hash(doc_id) AS BIGINT), n_chars, 16)").as("s"))
+    df.collect()
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val nObj = "ObjectHashAggregate".r.findAllIn(s).size
+    assert(nObj >= 2,
+      s"qsketch must aggregate via partial+final ObjectHashAggregate (found $nObj):\n" +
+        s.linesIterator.take(40).mkString("\n"))
+    assert(!s.contains("SortAggregate"),
+      "qsketch fell back to sort-based aggregation:\n" +
+        s.linesIterator.take(40).mkString("\n"))
+  }
+
   test("x31 BPE encode joins the vocab-sized model by broadcast — no corpus re-tokenization") {
     // the broadcast must be an AQE RUNTIME promotion, never a code hint:
     // the vocab grows with the corpus (Heaps' law), so a forced broadcast
