@@ -303,9 +303,16 @@ object StreamingAnalytics {
         count(lit(1)).as("n_docs"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("source"), col("n_docs"),
-        expr("element_at(sample, CAST(floor((size(sample) + 1) / 2.0) AS INT))")
+        // the sketch skips null values while count(1) does not, so a
+        // window whose rows ALL carry null v yields an EMPTY sample with
+        // n_docs > 0 — guard the rank lookup (element_at at index 0
+        // throws under ANSI) instead of killing the stream; estimates
+        // are NULL for such a window, which is the honest answer
+        expr("IF(size(sample) = 0, NULL, " +
+          "element_at(sample, CAST(floor((size(sample) + 1) / 2.0) AS INT)))")
           .as("p50_est"),
-        expr("element_at(sample, CAST(floor((9 * size(sample) + 9) / 10.0) AS INT))")
+        expr("IF(size(sample) = 0, NULL, " +
+          "element_at(sample, CAST(floor((9 * size(sample) + 9) / 10.0) AS INT)))")
           .as("p90_est"),
         col("sample"))
   }

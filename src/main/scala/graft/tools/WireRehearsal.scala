@@ -165,6 +165,63 @@ object WireRehearsal {
     val maintRows = spark.read.parquet(maintDir).count()
     assert(maintRows == 96L * 8, s"maintenance leg lost rows: $maintRows")
 
+    // ---- long-horizon steady state (r11): one compaction pass shows the
+    // mechanism; what a deployment needs is that PERIODIC maintenance
+    // holds the directory count BOUNDED as triggers keep arriving. A
+    // simulated 8-hour slice at a 1-minute trigger (480 batches, 2
+    // topics), compaction every 48 triggers plus a 192-batch retention
+    // expiry: after every maintenance call the dir count must stay under
+    // the structural bound (sealed spans inside the retention window +
+    // the unsealed tail + the byte-identical replay window), against 480
+    // uncompacted dirs without maintenance. Expiry keys on a span's
+    // HIGHEST id, so a straddling span conservatively keeps a few older
+    // rows — the retention contract is "at least the newest N", pinned
+    // below by payload identity.
+    val horDir = s"$workDir/horizon"
+    val horPath = new org.apache.hadoop.fs.Path(horDir)
+    val horFs = horPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    horFs.delete(horPath, true)
+    val horBatches = 480
+    val horRows = 4
+    val horRetention = 192L
+    var horMaxDirs = 0
+    var horMaintSecs = 0.0
+    (0 until horBatches).foreach { b =>
+      Seq.tabulate(horRows) { i =>
+        (if (i % 2 == 0) "db0.t0" else "db0.t1",
+          f"binlog.000001:${b * 1000 + i}%010d:0000", s"p-$b-$i")
+      }.toDF("topic", "pos_key", "payload_json")
+        .coalesce(1).write.mode("append").parquet(s"$horDir/batch=$b")
+      if ((b + 1) % 48 == 0) {
+        val tm = System.nanoTime()
+        CdcPipeline.compactWireBatches(spark, horDir,
+          retainLast = 8, spanSize = 16)
+        CdcPipeline.expireWireBatches(spark, horDir,
+          belowId = (b + 1) - horRetention)
+        horMaintSecs += (System.nanoTime() - tm) / 1e9
+        val dirs = horFs.listStatus(horPath).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))
+        horMaxDirs = math.max(horMaxDirs, dirs)
+      }
+    }
+    // structural bound: retention/spanSize sealed spans + (spanSize - 1)
+    // unsealed tail + retainLast raw dirs + one straddling span
+    val horBound = (horRetention / 16 + 15 + 8 + 1).toInt
+    assert(horMaxDirs <= horBound,
+      s"horizon: dir count $horMaxDirs exceeded the steady-state bound $horBound")
+    // retention: every row of the newest 192 ORIGINAL batches is still
+    // present, by payload identity (a compacted row's `batch` partition
+    // value is its SPAN's id, so a bare count over the partition column
+    // could mask a lost row behind a straddling span's older ones)
+    val horBack = spark.read.parquet(horDir)
+      .withColumn("src_batch",
+        split(col("payload_json"), "-").getItem(1).cast("long"))
+    val horKept = horBack
+      .filter(col("src_batch") >= horBatches - horRetention)
+      .select("payload_json").distinct().count()
+    assert(horKept == horRetention * horRows,
+      s"horizon: retention window lost rows ($horKept != ${horRetention * horRows})")
+
     val perTable = results.map { case (nt, p, _) => (nt, p / nt) }.toMap
     // worst per-table ratio across the warm doublings: sharding should
     // hold BOTH ≈1.0 (each is planned as ≤ WireTableGroupSize-branch
@@ -181,7 +238,10 @@ object WireRehearsal {
         s""""maintenance":{"batches":96,"spans_sealed":${comp.spans.size},""" +
         s""""dirs_before":${comp.dirsBefore},"dirs_after":${comp.dirsAfter},""" +
         s""""files_before":${comp.filesBefore},"files_after":${comp.filesAfter},""" +
-        s""""compact_sec":$compactSecs}}"""
+        s""""compact_sec":$compactSecs},""" +
+        s""""horizon":{"batches":$horBatches,"maintenance_every":48,""" +
+        s""""retention":$horRetention,"max_dirs_after_maintenance":$horMaxDirs,""" +
+        s""""dir_bound":$horBound,"maintenance_sec_total":$horMaintSecs}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()

@@ -473,6 +473,34 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming quantile sketch: an all-null window reports NULL, not a crash") {
+    // the sketch skips null values, count(1) does not — a window whose
+    // rows all carry null yields an EMPTY sample with n_docs > 0, and an
+    // unguarded element_at(sample, 0) would kill the stream under ANSI
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val df = input.toDF().toDF("doc_id", "source", "n_chars", "ts_us")
+      .withColumn("n_chars", when(col("source") === "nullsrc",
+        lit(null).cast("long")).otherwise(col("n_chars")))
+    val q = StreamingAnalytics.qsketchIngestStream(df, k = 4,
+        windowLength = "60 minutes")
+      .writeStream.format("memory").queryName("qsnull")
+      .outputMode("complete").start()
+    input.addData((1L, "nullsrc", 10L, T0), (2L, "nullsrc", 20L, T0 + 1000),
+      (3L, "ok", 30L, T0 + 2000))
+    q.processAllAvailable()
+    val rows = spark.table("qsnull").collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    val ns = rows("nullsrc")
+    assert(ns.getLong(ns.fieldIndex("n_docs")) == 2L)
+    assert(ns.isNullAt(ns.fieldIndex("p50_est")) && ns.isNullAt(ns.fieldIndex("p90_est")))
+    assert(ns.getSeq[Long](ns.fieldIndex("sample")).isEmpty)
+    val ok = rows("ok")
+    assert(ok.getLong(ok.fieldIndex("p50_est")) == 30L)
+    q.stop()
+  }
+
   test("streaming materialization upserts by position and keeps delete tombstones") {
     import spark.implicits._
     import StreamingAnalytics.{Chg, Materialized}
