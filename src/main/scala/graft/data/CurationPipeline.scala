@@ -38,7 +38,8 @@ object CurationPipeline {
       budgetTokens: Long,
       nShards: Int = 32,
       seed: String = "graft",
-      semDedupMaxIter: Int = 24)
+      semDedupMaxIter: Int = 24,
+      resample: Boolean = false)
 
   /** The staged chain as (stage name, surviving-corpus frame) pairs,
     * cumulative — each frame filters the previous one. Exposed
@@ -64,12 +65,27 @@ object CurationPipeline {
     val decon = sem.join(
       TextOps.decontaminate(sem).filter(!col("is_contaminated"))
         .select("doc_id"), "doc_id")
-    val clean = decon.join(
-      TextOps.budgetCap(decon, budgetTokens = cfg.budgetTokens,
+    // optional: DSIR importance resampling (x50) between decontamination
+    // and the budget cap — thins toward the target distribution so the
+    // seeded budget order spends its cap on importance-accepted docs.
+    // The importance model trains on the PIPELINE INPUT corpus (the
+    // distribution the weights are supposed to correct), not on the
+    // already-filtered survivors: re-fitting on a subset the quality
+    // gate made target-like collapses every weight toward 1 and the
+    // resample becomes a no-op.
+    val res = if (cfg.resample)
+      decon.join(
+        TextOps.importanceResample(docs, seed = cfg.seed)
+          .filter(col("accept")).select("doc_id"), "doc_id")
+    else decon
+    val clean = res.join(
+      TextOps.budgetCap(res, budgetTokens = cfg.budgetTokens,
           seed = cfg.seed)
         .filter(col("keep")).select("doc_id"), "doc_id")
     Seq("filter" -> kept, "dedup_exact" -> deduped, "semdedup" -> sem,
-      "decontaminate" -> decon, "budget_cap" -> clean)
+      "decontaminate" -> decon) ++
+      (if (cfg.resample) Seq("importance_resample" -> res) else Nil) ++
+      Seq("budget_cap" -> clean)
   }
 
   /** What [[run]] reports: input/output row counts plus the surviving

@@ -62,6 +62,7 @@ object DataQueries {
     "x48_bigram_surprisal" -> docs(TextOps.bigramSurprisal),
     "x26_bpe_merges" -> docs(TextOps.bpeMerges(_)),
     "x28_dsir_importance" -> docs(TextOps.dsirImportance(_)),
+    "x50_importance_resample" -> docs(TextOps.importanceResample(_)),
     "x29_bm25_topk" -> docs(TextOps.bm25TopK(_)),
     "x30_source_drift" -> docs(TextOps.sourceDrift),
     "x31_bpe_encode" -> docs(TextOps.bpeEncode(_)),
@@ -1448,6 +1449,46 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
              ELSE CAST(p.score_q AS DOUBLE) / p.n_bigrams / 1048576e0 END AS importance
       FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
       ORDER BY d.doc_id""",
+    // x50: x28's chain plus the seeded acceptance variate — u_q and the
+    // acceptance cross-multiply are exact BIGINT on the same 2^20 grid
+    "x50_importance_resample" -> s"""
+      WITH flagsd AS (
+        SELECT doc_id,
+          NOT (n_words < 20 OR n_words > 88 OR n_stop = 0
+               OR n_distinct * 100 < n_words * 35) AS is_target
+        FROM (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop
+              FROM documents) q
+      ), bgd AS (
+        SELECT w.doc_id, f.is_target,
+          ${TextOps.hex13NumFragment("md5(w.ws[w.i] || ' ' || w.ws[w.i+1])")} % 256 AS bucket
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) q0) w
+        JOIN flagsd f ON w.doc_id = f.doc_id
+      ), wtsd AS (
+        SELECT bucket,
+          CAST(floor(log2(CAST(t_b + 1 AS DOUBLE) / (a_b + 1)) * 1048576e0) AS BIGINT) AS w_q
+        FROM (SELECT bucket, CAST(count(*) AS BIGINT) AS a_b,
+                CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+              FROM bgd GROUP BY 1) q
+      ), perdoc AS (
+        SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(w.w_q) AS BIGINT) AS score_q
+        FROM bgd b JOIN wtsd w USING (bucket) GROUP BY 1
+      ), drawn AS (
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          CAST(coalesce(p.score_q, 0) AS BIGINT) AS score_q,
+          CAST(floor(log2((CAST(${TextOps.hex13NumFragment(
+            "md5('graft:rs:' || CAST(d.doc_id AS VARCHAR))")} AS DOUBLE) + 1e0)
+              / 4503599627370496e0) * 1048576e0) AS BIGINT) AS u_q
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+      )
+      SELECT doc_id, n_bigrams, score_q, u_q,
+        (n_bigrams > 0 AND u_q * n_bigrams <= score_q) AS accept
+      FROM drawn ORDER BY doc_id""",
     "x23_pii_redact" -> s"""
       WITH wire AS (
         SELECT doc_id, ${TextOps.PiiWireExpr} AS wire_text FROM documents

@@ -2043,6 +2043,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x50 — DSIR importance RESAMPLING: materializes the accepted subset
+    * the x28 weights exist for (the DoReMi/DSIR pipeline step between
+    * scoring and training). Each doc is accepted by a deterministic
+    * Bernoulli with p = 2^m, where m = score_q / (n_bigrams · 2²⁰) is
+    * x28's mean bigram log2 likelihood ratio (≤ 0 by construction, so
+    * p ≤ 1 needs no clamp): draw u = (h+1)/2^52 from a seeded md5 order
+    * statistic of the doc id, accept iff log2(u) ≤ m. Both sides live on
+    * the shared 2²⁰ quantization grid (u_q = floor(log2(u)·2²⁰), the
+    * x25/x28 discipline), so the test is ONE exact BIGINT cross-multiply
+    * — u_q · n_bigrams ≤ score_q — identical in any engine and under any
+    * re-run with the same seed: the sample is reproducible and
+    * composable, unlike an RNG `sample()` (x11's argument, applied to
+    * weighted acceptance). Plan shape: x28's chain (one bucket agg, one
+    * broadcast model join-back, one per-doc agg) plus a narrow
+    * projection — no new shuffle for the acceptance itself. Docs with no
+    * bigrams reject (a curation pipeline routes them by length rules,
+    * not by a score they cannot have). */
+  def importanceResample(documents: DataFrame, seed: String = "graft"): DataFrame =
+    dsirImportance(documents)
+      .select("doc_id", "n_bigrams", "score_q")
+      .withColumn("h", expr(
+        hex13Num(s"md5(concat('$seed:rs:', CAST(doc_id AS STRING)))")))
+      .withColumn("u_q", expr(
+        "CAST(floor(log2((CAST(h AS DOUBLE) + 1e0) / 4503599627370496e0)" +
+          " * 1048576e0) AS BIGINT)"))
+      .withColumn("accept",
+        col("n_bigrams") > 0 && col("u_q") * col("n_bigrams") <= col("score_q"))
+      .select("doc_id", "n_bigrams", "score_q", "u_q", "accept")
+      .orderBy("doc_id")
+
   /** x26 — distributed BPE tokenizer training: `rounds` greedy merges
     * over the corpus vocabulary. Per round: (1) weighted adjacent-pair
     * counts in ONE keyed agg over the VOCAB frame (pair occurrences ×

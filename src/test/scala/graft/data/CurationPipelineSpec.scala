@@ -68,4 +68,26 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(rows1.map(_.toString) == rows2.map(_.toString),
       "re-run diverged — the export is not reproducible")
   }
+
+  test("importance resampling slots between decontamination and the budget cap") {
+    val docs = Tables.documents(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("curation3").toString
+    val rep = CurationPipeline.run(docs,
+      Some(Tables.embeddings(spark, sfDir)),
+      CurationPipeline.Config(budgetTokens = 2000L, nShards = 4,
+        resample = true), outDir)
+    val byName = rep.stageCounts.toMap
+    assert(rep.stageCounts.map(_._1) == Seq("filter", "dedup_exact",
+      "semdedup", "decontaminate", "importance_resample", "budget_cap"))
+    // the resample gate ENGAGES (accepts a strict, non-empty subset)
+    assert(byName("importance_resample") < byName("decontaminate"),
+      s"resample accepted everything: ${rep.stageCounts}")
+    assert(byName("importance_resample") > 0, "resample rejected everything")
+    // composition stays lossless through the extra stage
+    assert(rep.exported == byName("budget_cap"),
+      s"export lost rows: ${rep.exported} != ${byName("budget_cap")}")
+    val counts = rep.total +: rep.stageCounts.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"stage funnel not monotone: ${rep.stageCounts}")
+  }
 }
