@@ -2007,7 +2007,11 @@ object TextOps {
     * ever materializes, and the model (the bucket-weight table) stays
     * control-plane-sized at any corpus size.
     */
-  def dsirImportance(documents: DataFrame, buckets: Int = 256): DataFrame = {
+  /** x28's hashed-bigram stream with per-doc target flags — shared by
+    * the importance scorer (which persists it: two consumers) and the
+    * standalone model builder (one pass, no persist). */
+  private def dsirBigrams(documents: DataFrame, buckets: Int,
+      persistBg: Boolean): DataFrame = {
     val flags = documents
       .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
       .withColumn("n_distinct", expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"))
@@ -2024,7 +2028,26 @@ object TextOps {
       .withColumn("h", md5(col("bgr")))
       .withColumn("bucket", expr(s"${hex13Num("h")} % $buckets"))
       .select("doc_id", "is_target", "bucket")
-      .persist() // feeds the bucket-count agg AND the per-doc scoring join
+    if (persistBg) bg.persist() else bg
+  }
+
+  /** The O(buckets) DSIR model x28 trains internally, exposed as a
+    * deployable artifact: (bucket, w_q) add-1-smoothed quantized log2
+    * likelihood ratios. An absent bucket's smoothing limit is w_q = 0
+    * (log2(1/1)) — a consumer joining by bucket coalesces to 0 and gets
+    * EXACTLY the model semantics for buckets the corpus never hit. */
+  def dsirBucketWeights(documents: DataFrame, buckets: Int = 256): DataFrame =
+    dsirBigrams(documents, buckets, persistBg = false)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("a_b"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"))
+      .withColumn("w_q", expr(
+        "CAST(floor(log2(CAST(t_b + 1 AS DOUBLE) / (a_b + 1)) * 1048576e0) AS BIGINT)"))
+      .select("bucket", "w_q")
+
+  def dsirImportance(documents: DataFrame, buckets: Int = 256): DataFrame = {
+    // feeds the bucket-count agg AND the per-doc scoring join
+    val bg = dsirBigrams(documents, buckets, persistBg = true)
     val wts = bg.groupBy("bucket")
       .agg(count(lit(1)).as("a_b"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"))

@@ -784,6 +784,59 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class DsirAdmission(doc_id: Long, n_bigrams: Long,
+      score_q: Long, u_q: Long, admitted: Boolean)
+
+  /** Streaming DSIR importance admission — x50's continuous form: each
+    * arriving document scores its hashed bigrams against the STORED
+    * O(buckets) weight model ([[graft.data.TextOps.dsirBucketWeights]],
+    * the batch training artifact) and is admitted by the same exact
+    * integer Bernoulli as batch x50 (u_q · n_bigrams ≤ score_q, both
+    * sides on the shared 2²⁰ grid, u from the seeded per-doc md5 order
+    * statistic — so the admitted set is reproducible across replays and
+    * engines). The weight join is stream-static with `coalesce(w_q, 0)`:
+    * zero IS the add-1-smoothing limit for a bucket the training corpus
+    * never hit, so out-of-model bigrams score exactly as the model
+    * defines, not as a special case. Per-doc scoring is a flatMapGroups
+    * over the doc's exploded bigram rows (document-atomic arrival, the
+    * [[evalContaminationStream]] contract); no state carries across
+    * batches. Convergence: on training-corpus documents every bucket
+    * hits the model, so stream admission equals batch
+    * [[graft.data.TextOps.importanceResample]] exactly (spec-pinned;
+    * docs with < 2 words never score, matching batch reject). */
+  def dsirAdmissionStream(docs: DataFrame, bucketWeights: DataFrame,
+      seed: String = "graft", buckets: Int = 256): Dataset[DsirAdmission] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hv = graft.data.TextOps.hex13NumFragment(
+      s"md5(concat('$seed:rs:', CAST(doc_id AS STRING)))")
+    val scored = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("u_q", expr(
+        s"CAST(floor(log2((CAST(($hv) AS DOUBLE) + 1e0)" +
+          " / 4503599627370496e0) * 1048576e0) AS BIGINT)"))
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(col("doc_id"), col("u_q"),
+        expr("concat(element_at(ws, i), ' ', element_at(ws, i + 1))").as("bgr"))
+      .withColumn("bucket", expr(
+        s"${graft.data.TextOps.hex13NumFragment("md5(bgr)")} % $buckets"))
+      .join(bucketWeights, Seq("bucket"), "left")
+      .select(col("doc_id"), col("u_q"),
+        coalesce(col("w_q"), lit(0L)).as("w"))
+      .as[(Long, Long, Long)]
+    def fn(docId: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[Long]): Iterator[DsirAdmission] = {
+      val xs = rows.toArray
+      val n = xs.length.toLong
+      val s = xs.map(_._3).sum
+      val u = xs.head._2
+      Iterator.single(DsirAdmission(docId, n, s, u, u * n <= s))
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming sparse-similarity ADMISSION monitor — q32's continuous
     * form: as events arrive, score each active user's windowed activity
     * against a STORED set of query-user profiles (q32's sparse

@@ -473,6 +473,46 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming DSIR admission equals batch importance resampling on the training corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = Tables.documents(spark, dir)
+    // the deployable batch artifacts: the O(256) weight model and the
+    // batch acceptance verdicts the stream must reproduce
+    val weights = graft.data.TextOps.dsirBucketWeights(docsDf)
+    val batch = graft.data.TextOps.importanceResample(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val scoredBatch = batch.filter(_._2._1 > 0)
+
+    val rows = docsDf.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.dsirAdmissionStream(
+        input.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("dsiradm")
+      .outputMode("append").start()
+    val (w1, w2) = rows.splitAt(rows.size / 2)
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+
+    val got = spark.table("dsiradm")
+      .as[StreamingAnalytics.DsirAdmission].collect()
+      .map(d => d.doc_id -> d).toMap
+    // exactly the batch-scored docs emit (sub-2-word docs never score)
+    assert(got.keySet == scoredBatch.keySet,
+      s"only-stream=${(got.keySet -- scoredBatch.keySet).take(3)} " +
+        s"only-batch=${(scoredBatch.keySet -- got.keySet).take(3)}")
+    scoredBatch.foreach { case (id, (n, s, u, a)) =>
+      val g = got(id)
+      assert((g.n_bigrams, g.score_q, g.u_q, g.admitted) == ((n, s, u, a)),
+        s"doc $id diverged: stream=$g batch=($n,$s,$u,$a)")
+    }
+    // the gate is live in both directions on this corpus
+    assert(got.values.exists(_.admitted) && got.values.exists(!_.admitted))
+    q.stop()
+  }
+
   test("streaming quantile sketch: an all-null window reports NULL, not a crash") {
     // the sketch skips null values, count(1) does not — a window whose
     // rows all carry null yields an EMPTY sample with n_docs > 0, and an
