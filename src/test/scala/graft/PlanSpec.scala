@@ -513,6 +513,7 @@ class PlanSpec extends AnyFunSuite {
       "x12_decontaminate" -> 1,    // benchmark shingles: fixed 10-doc eval set
       "x15_pack_sequences" -> 1,   // packing offsets: O(#partitions)
       "x28_dsir_importance" -> 1,  // bucket weights: O(#buckets)
+      "x50_importance_resample" -> 1, // inherits x28's bucket-weight hint: O(#buckets)
       "x34_shard_export" -> 1,     // rank offsets: O(#partitions × #shards)
       "x44_shard_manifest" -> 1,   // inherits x34's rank-offset hint: O(#partitions × #shards)
       "x35_budget_cap" -> 1,       // cumsum offsets: O(#partitions × #sources)
