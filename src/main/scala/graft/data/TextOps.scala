@@ -1987,22 +1987,6 @@ object TextOps {
       .orderBy("rnk")
   }
 
-  /** x28 — DSIR-style importance weighting: score every document by how
-    * much its hashed n-gram features look like a TARGET distribution
-    * relative to the raw corpus (Xie et al., "Data Selection for
-    * Language Models via Importance Resampling"). Target here = the
-    * documents passing the x16 quality rule, so the pipeline needs no
-    * external corpus; features = word bigrams hashed into `buckets`
-    * cells.
-    *
-    * Per bucket b: weight λ_b = log2((target_b + 1) / (all_b + 1)),
-    * quantized ONCE per bucket to the 2^20 grid; per document: exact
-    * BIGINT sum of its bigram instances' quantized weights (the
-    * add-1-smoothed log-likelihood ratio, the resampling key).
-    *
-    * Plan shape: narrow bigram explode → ONE map-side-combinable agg
-    * onto `buckets` keys (the bucket table is O(buckets), broadcast
-    * back) → one keyed agg by doc_id. Scales exactly like x25: the
   /** x28's hashed-bigram stream with per-doc target flags — shared by
     * the importance scorer (which persists it: two consumers) and the
     * standalone model builder (one pass, no persist). */
