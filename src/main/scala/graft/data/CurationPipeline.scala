@@ -50,7 +50,7 @@ object CurationPipeline {
   def stages(docs: DataFrame, embeddings: Option[DataFrame],
       cfg: Config): Seq[(String, DataFrame)] = {
     val kept = docs.join(
-      TextOps.filterAudit(docs).filter(col("keep")).select("doc_id"), "doc_id")
+      TextOps.filterFlags(docs).filter(col("keep")).select("doc_id"), "doc_id")
     val deduped = kept.join(
       TextOps.dedupExact(kept).select(col("keeper").as("doc_id")), "doc_id")
     val sem = embeddings match {

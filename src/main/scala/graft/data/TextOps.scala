@@ -205,6 +205,11 @@ object TextOps {
     * dialects — instr and substring behave the same in Spark and DuckDB). */
   def hex13NumFragment(col: String): String = hex13Num(col)
 
+  /** The x16 stopword-count fragment, exposed for consumers that must
+    * reproduce the quality rule outside this object (the streaming
+    * admission chain) — one text, no drift. */
+  def stopwordCountFragment: String = cntSum(StopwordsEn)
+
   /** 48-bit variant (12 hex chars) — the per-token hash of the rolling
     * span-window hash ([[graft.functions.RollingSpanHashes.tokenHash]]):
     * the oracle applies it to md5(token) and power-weights per window. */
@@ -539,7 +544,10 @@ object TextOps {
     * cross-multiplied integers (n_distinct·100 < n_words·35), no doubles
     * anywhere — so the filter pipelines over the scan with no shuffle at
     * all. */
-  def filterAudit(documents: DataFrame): DataFrame =
+  /** x16's per-rule flags WITHOUT the gate sort — the form a streaming
+    * consumer (no sort allowed) or a join consumer (sort wasted) uses;
+    * [[filterAudit]] is this plus the registry's ORDER BY. */
+  def filterFlags(documents: DataFrame): DataFrame =
     documents
       .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
       .withColumn("n_distinct", expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"))
@@ -553,7 +561,9 @@ object TextOps {
           col("r_no_stopwords") || col("r_repetitive")))
       .select("doc_id", "n_words", "n_distinct", "n_stop",
         "r_too_short", "r_too_long", "r_no_stopwords", "r_repetitive", "keep")
-      .orderBy("doc_id")
+
+  def filterAudit(documents: DataFrame): DataFrame =
+    filterFlags(documents).orderBy("doc_id")
 
   /** x17 — temperature-reweighted mixture: per-source sampling
     * probabilities p_i ∝ tokens_i^(1/2) (temperature α = 0.5, the
@@ -2010,6 +2020,28 @@ object TextOps {
       .select("doc_id", "is_target", "bucket")
     if (persistBg) bg.persist() else bg
   }
+
+  /** [[dsirBucketWeights]] as a DENSE driver-side array indexed by
+    * bucket (absent bucket = 0, the add-1-smoothing limit) — the
+    * plan-time-literal form a stateless streaming scorer ships instead
+    * of a join. The collect is control-plane bounded: O(buckets). */
+  def dsirBucketWeightArray(documents: DataFrame,
+      buckets: Int = 256): Seq[Long] = {
+    val m = dsirBucketWeights(documents, buckets).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until buckets).map(b => m.getOrElse(b, 0L))
+  }
+
+  /** The x12 benchmark side as a driver-side hash list — the plan-time
+    * literal a stateless streaming decontaminator ships instead of the
+    * broadcast join. Control-plane bounded: the benchmark set is fixed
+    * configuration (10 docs' distinct shingles, a few hundred hashes). */
+  def benchmarkShingleHashes(documents: DataFrame,
+      benchMaxId: Long = 10): Seq[Long] =
+    shinglesShared(documents)
+      .filter(col("doc_id") < benchMaxId)
+      .select(xxhash64(col("sh")).as("h")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
 
   /** The O(buckets) DSIR model x28 trains internally, exposed as a
     * deployable artifact: (bucket, w_q) add-1-smoothed quantized log2

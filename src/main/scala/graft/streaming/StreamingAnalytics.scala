@@ -837,6 +837,106 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class CurationVerdict(doc_id: Long, source: String,
+      ts_us: Long, n_tokens: Long, keep_quality: Boolean,
+      is_contaminated: Boolean, dsir_admitted: Boolean,
+      budget_used_before: Long, admitted: Boolean)
+
+  /** The COMPOSED streaming curation-admission chain in ONE query —
+    * the continuous counterpart of [[graft.data.CurationPipeline]]:
+    * quality filter (x16) → benchmark decontamination (x12) → DSIR
+    * importance admission (x50) → per-source token-budget admission
+    * (x35's operational form). The composition trick: every per-doc gate
+    * is computed DOCUMENT-LOCALLY against plan-time literals (the
+    * cellIngestStream centroid discipline) — shingle hashes vs the
+    * literal benchmark hash list, bigram buckets vs the literal weight
+    * array, the seeded acceptance variate from the doc id — so the whole
+    * chain up to the budget is one narrow codegen'd projection with NO
+    * join and NO shuffle, and the query's single stateful operator is
+    * the O(#sources) budget counter (Spark allows one
+    * flatMapGroupsWithState per query; this shape never needs more).
+    *
+    * Semantics per stage match the batch chain exactly (spec-pinned
+    * flag-for-flag against the batch x16/x12/x50 frames); the budget leg
+    * is [[budgetAdmission]]'s documented operational rule — (event-time,
+    * doc_id) order within a micro-batch, only ADMITTED tokens consume,
+    * and docs failing an upstream gate never touch the budget. Exact
+    * dedup is deliberately NOT in this query: within-stream dedup wants
+    * its own state; the deployment composes [[semIngestDedup]]'s
+    * stream-static discipline (reject what the reconciled base already
+    * keeps) upstream, exactly as documented there.
+    *
+    * Emits one verdict row per arriving document (audit columns per
+    * stage, x16's audit style), so rejected docs are routable, not
+    * silently dropped. */
+  def curationAdmissionStream(docs: DataFrame,
+      benchShingleHashes: Seq[Long], bucketWeights: Seq[Long],
+      budgetTokens: Long, seed: String = "graft"): Dataset[CurationVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = bucketWeights.size
+    val uExpr = graft.data.TextOps.hex13NumFragment(
+      s"md5(concat('$seed:rs:', CAST(doc_id AS STRING)))")
+    val scored = docs
+      .withColumn("ws", split(col("text"), " "))
+      // ---- x16 quality flags (same text as TextOps.filterFlags)
+      .withColumn("n_words", expr("CAST(size(ws) AS BIGINT)"))
+      .withColumn("n_distinct", expr("CAST(size(array_distinct(ws)) AS BIGINT)"))
+      .withColumn("n_stop",
+        expr(graft.data.TextOps.stopwordCountFragment).cast("long"))
+      .withColumn("keep_quality", expr(
+        "NOT (n_words < 20 OR n_words > 88 OR n_stop = 0" +
+          " OR n_distinct * 100 < n_words * 35)"))
+      // ---- x12 contamination: doc-local distinct-free overlap test —
+      // ANY shared shingle contaminates, duplicates don't change ANY
+      .withColumn("sh_h", expr(
+        "IF(size(ws) < 3, array(), transform(sequence(1, size(ws) - 2)," +
+          " i -> xxhash64(concat_ws(' ', element_at(ws, i)," +
+          " element_at(ws, i + 1), element_at(ws, i + 2)))))"))
+      .withColumn("is_contaminated",
+        arrays_overlap(col("sh_h"), typedLit(benchShingleHashes)))
+      // ---- x50 DSIR admission against the literal weight array
+      .withColumn("bks", expr(
+        "IF(size(ws) < 2, array(), transform(" +
+          "transform(sequence(1, size(ws) - 1)," +
+          " i -> md5(concat(element_at(ws, i), ' ', element_at(ws, i + 1))))," +
+          s" h -> ${graft.data.TextOps.hex13NumFragment("h")} % $buckets))"))
+      .withColumn("__w", typedLit(bucketWeights))
+      .withColumn("score_q", expr(
+        "aggregate(bks, CAST(0 AS BIGINT)," +
+          " (acc, b) -> acc + element_at(__w, CAST(b + 1 AS INT)))"))
+      .withColumn("n_bigrams", expr("CAST(size(bks) AS BIGINT)"))
+      .withColumn("u_q", expr(
+        s"CAST(floor(log2((CAST(($uExpr) AS DOUBLE) + 1e0)" +
+          " / 4503599627370496e0) * 1048576e0) AS BIGINT)"))
+      .withColumn("dsir_admitted", expr(
+        "n_bigrams > 0 AND u_q * n_bigrams <= score_q"))
+      // ---- x3 BPE-ish token count (same text as TextOps.tokenCount)
+      .withColumn("n_tokens", expr(
+        "aggregate(transform(ws, w -> CAST(floor((length(w) + 3) / 4.0)" +
+          " AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("source"), col("ts_us"), col("n_tokens"),
+        col("keep_quality"), col("is_contaminated"), col("dsir_admitted"))
+      .as[(Long, String, Long, Long, Boolean, Boolean, Boolean)]
+    def fn(source: String,
+        rows: Iterator[(Long, String, Long, Long, Boolean, Boolean, Boolean)],
+        state: GroupState[BudgetState]): Iterator[CurationVerdict] = {
+      var used = state.getOption.map(_.used).getOrElse(0L)
+      val out = rows.toSeq.sortBy(d => (d._3, d._1)).map {
+        case (id, src, ts, tok, q, cont, dsir) =>
+          val pre = q && !cont && dsir
+          val admit = pre && used < budgetTokens
+          val rec = CurationVerdict(id, src, ts, tok, q, cont, dsir, used, admit)
+          if (admit) used += tok
+          rec
+      }
+      state.update(BudgetState(used))
+      out.iterator
+    }
+    scored.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming sparse-similarity ADMISSION monitor — q32's continuous
     * form: as events arrive, score each active user's windowed activity
     * against a STORED set of query-user profiles (q32's sparse

@@ -513,6 +513,93 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("composed curation admission: every gate equals its batch frame; budget follows the operational rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = Tables.documents(spark, dir)
+
+    // deployable batch artifacts (plan-time literals at deployment)
+    val benchHashes = graft.data.TextOps.benchmarkShingleHashes(docsDf)
+    val weights = graft.data.TextOps.dsirBucketWeightArray(docsDf)
+    assert(benchHashes.nonEmpty && weights.exists(_ != 0L))
+
+    // per-stage batch references, flag-for-flag
+    val qKeep = graft.data.TextOps.filterFlags(docsDf)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val contam = graft.data.TextOps.decontaminate(docsDf)
+      .select("doc_id", "is_contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // bench docs (id < 10) are absent from x12's output — they ARE the
+    // benchmark, contaminated by definition in any admission chain
+    def expContam(id: Long): Boolean = contam.getOrElse(id, id < 10)
+    val dsir = graft.data.TextOps.importanceResample(docsDf)
+      .select("doc_id", "accept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val toks = graft.data.TextOps.tokenCount(docsDf)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = docsDf.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // arrival order = (ts_us, doc_id); straight-line fold of the
+    // documented operational budget rule over the gated docs
+    // small enough that at least one source exhausts it on this corpus
+    // (the first gated doc per source always admits: used starts at 0)
+    val budget = 200L
+    val rows = srcOf.keys.toSeq.sorted.map(id =>
+      (id, srcOf(id), 1700000000000000L + id * 1000L))
+    val expectedAdmit = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    val usedBySrc = scala.collection.mutable.Map.empty[String, Long]
+    rows.sortBy(r => (r._3, r._1)).foreach { case (id, src, _) =>
+      val pre = qKeep(id) && !expContam(id) && dsir(id)
+      val used = usedBySrc.getOrElse(src, 0L)
+      val admit = pre && used < budget
+      expectedAdmit(id) = (used, admit)
+      if (admit) usedBySrc(src) = used + toks(id)
+    }
+
+    val text = docsDf.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feed = rows.map { case (id, src, ts) => (id, src, text(id), ts) }
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingAnalytics.curationAdmissionStream(
+        input.toDF().toDF("doc_id", "source", "text", "ts_us"),
+        benchHashes, weights, budgetTokens = budget)
+      .writeStream.format("memory").queryName("curadm")
+      .outputMode("append").start()
+    // waves split on the arrival order (a stream cannot reorder)
+    val ordered = feed.sortBy(r => (r._4, r._1))
+    val (w1, rest) = ordered.splitAt(ordered.size / 3)
+    val (w2, w3) = rest.splitAt(rest.size / 2)
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    input.addData(w3); q.processAllAvailable()
+
+    val got = spark.table("curadm")
+      .as[StreamingAnalytics.CurationVerdict].collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(got.keySet == srcOf.keySet, "one verdict per arriving doc")
+    got.values.foreach { v =>
+      assert(v.keep_quality == qKeep(v.doc_id), s"doc ${v.doc_id} quality")
+      assert(v.is_contaminated == expContam(v.doc_id), s"doc ${v.doc_id} contam")
+      assert(v.dsir_admitted == dsir(v.doc_id), s"doc ${v.doc_id} dsir")
+      assert(v.n_tokens == toks(v.doc_id), s"doc ${v.doc_id} tokens")
+      val (used, admit) = expectedAdmit(v.doc_id)
+      assert(v.admitted == admit && v.budget_used_before == used,
+        s"doc ${v.doc_id} budget: got (${v.budget_used_before},${v.admitted}) want ($used,$admit)")
+    }
+    // the chain is live: every gate rejects something, budget engages
+    assert(got.values.exists(!_.keep_quality))
+    assert(got.values.exists(_.is_contaminated))
+    assert(got.values.exists(v => v.keep_quality && !v.is_contaminated && !v.dsir_admitted))
+    assert(got.values.exists(v => v.keep_quality && !v.is_contaminated &&
+      v.dsir_admitted && !v.admitted), "budget never rejected a gated doc")
+    assert(got.values.exists(_.admitted), "nothing admitted")
+    q.stop()
+  }
+
   test("streaming quantile sketch: an all-null window reports NULL, not a crash") {
     // the sketch skips null values, count(1) does not — a window whose
     // rows all carry null yields an EMPTY sample with n_docs > 0, and an
