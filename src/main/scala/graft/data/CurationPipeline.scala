@@ -62,8 +62,15 @@ object CurationPipeline {
         .drop("sem_keep")
       case None => deduped
     }
+    // The benchmark side derives from the PIPELINE INPUT corpus, not the
+    // already-filtered survivors (ADVICE r11, medium): a benchmark doc
+    // dropped by the quality or dedup gates must still contaminate —
+    // deriving the bench set from `sem` would silently un-bench it, and
+    // the batch chain would diverge from the streaming twin
+    // (curationAdmissionStream builds its literal gate from the full
+    // corpus via benchmarkShingleHashes(docs)).
     val decon = sem.join(
-      TextOps.decontaminate(sem).filter(!col("is_contaminated"))
+      TextOps.decontaminateAgainst(sem, docs).filter(!col("is_contaminated"))
         .select("doc_id"), "doc_id")
     // optional: DSIR importance resampling (x50) between decontamination
     // and the budget cap — thins toward the target distribution so the
@@ -91,20 +98,57 @@ object CurationPipeline {
   /** What [[run]] reports: input/output row counts plus the surviving
     * count after each stage, in order — the data-card funnel of this
     * export. `exported` is re-counted from the WRITTEN files, so a
-    * lossy write surfaces here, not in a trainer. */
+    * lossy write surfaces here; `manifestVerified` recomputes the x44
+    * order-sensitive per-shard checksum from the read-back and compares
+    * it against the manifest written alongside the export, so a
+    * substituted or re-ordered shard member — which a count passes —
+    * surfaces here too, not in a trainer. */
   final case class Report(total: Long, exported: Long,
-      stageCounts: Seq[(String, Long)])
+      stageCounts: Seq[(String, Long)], manifestVerified: Boolean)
+
+  /** Where [[run]] writes the x44 manifest for an export at `outDir`. */
+  def manifestDir(outDir: String): String = outDir + "_manifest"
+
+  /** Re-derive the x44 manifest from the WRITTEN shard files (joined back
+    * to the corpus for the member fingerprints) and compare it row-for-row
+    * against the manifest stored at [[manifestDir]]. True iff every shard's
+    * (n_docs, max_pos, n_tokens, checksum) matches — the integrity check a
+    * trainer runs before an epoch. Exposed separately from [[run]] so an
+    * export can be re-verified later (and so the spec can tamper with a
+    * shard and watch it fail). */
+  def verifyExport(docs: DataFrame, outDir: String): Boolean = {
+    val spark = docs.sparkSession
+    // the shard partition column reads back as INT (partition-value
+    // inference); normalize to the manifest's BIGINT before comparing
+    val back = spark.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("long"))
+    val actual = TextOps.manifestOf(back, docs)
+    val expected = spark.read.parquet(manifestDir(outDir))
+    expected.count() == actual.count() &&
+      expected.except(actual).isEmpty && actual.except(expected).isEmpty
+  }
 
   /** Execute the full chain and write the shard-partitioned export to
-    * `outDir` (overwrite). Deterministic for a fixed (corpus, config):
-    * re-running writes byte-identical shard content. */
+    * `outDir` (overwrite), plus its x44 manifest at [[manifestDir]].
+    * Deterministic for a fixed (corpus, config): re-running writes
+    * byte-identical shard content. Each stage frame is persisted before
+    * the report counts it — the cumulative chain would otherwise
+    * re-execute its upstream joins once per stage count, costing
+    * O(stages²) recomputation (ADVICE r11). */
   def run(docs: DataFrame, embeddings: Option[DataFrame], cfg: Config,
       outDir: String): Report = {
     val st = stages(docs, embeddings, cfg)
-    val clean = st.last._2
-    TextOps.shardExport(clean, nShards = cfg.nShards, seed = cfg.seed)
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
-    val exported = docs.sparkSession.read.parquet(outDir).count()
-    Report(docs.count(), exported, st.map { case (n, f) => (n, f.count()) })
+    st.foreach(_._2.persist())
+    try {
+      val clean = st.last._2
+      val export = TextOps.shardExport(clean, nShards = cfg.nShards,
+        seed = cfg.seed)
+      export.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+      TextOps.manifestOf(export, clean)
+        .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
+      val exported = docs.sparkSession.read.parquet(outDir).count()
+      Report(docs.count(), exported, st.map { case (n, f) => (n, f.count()) },
+        manifestVerified = verifyExport(clean, outDir))
+    } finally st.foreach(_._2.unpersist())
   }
 }

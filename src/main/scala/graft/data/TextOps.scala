@@ -205,6 +205,21 @@ object TextOps {
     * dialects — instr and substring behave the same in Spark and DuckDB). */
   def hex13NumFragment(col: String): String = hex13Num(col)
 
+  /** Every seeded operator splices its seed into SQL expression text
+    * (`md5(concat('<seed>:...', ...))`), so a seed containing a quote
+    * would break parsing — or, worse, rewrite the expression (ADVICE
+    * r11). Seeds are configuration, not data: restrict them to
+    * `[A-Za-z0-9_-]+`, which is inert inside a single-quoted SQL
+    * literal in both engines. Returns the seed so call sites can
+    * validate inline. */
+  private[graft] def validateSeed(seed: String): String = {
+    require(seed.nonEmpty && seed.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-'),
+      s"seed must match [A-Za-z0-9_-]+ (it is spliced into SQL text): '$seed'")
+    seed
+  }
+
   /** The x16 stopword-count fragment, exposed for consumers that must
     * reproduce the quality rule outside this object (the streaming
     * admission chain) — one text, no drift. */
@@ -269,15 +284,34 @@ object TextOps {
     * each training doc gets its exact overlap count and fraction — the
     * n-gram-overlap decontamination check every LLM data pipeline runs
     * before training. One broadcast hash join + one keyed aggregation. */
-  def decontaminate(documents: DataFrame, benchMaxId: Long = 10): DataFrame = {
-    val sh = shinglesShared(documents)
+  def decontaminate(documents: DataFrame, benchMaxId: Long = 10): DataFrame =
+    decontaminateAgainst(documents, documents, benchMaxId)
+
+  /** x12's generalized form: the benchmark shingle set derives from
+    * `benchSource` while the reports cover `training`'s documents. The
+    * composed curation chain passes the PIPELINE INPUT corpus as
+    * `benchSource` and the surviving frame as `training` — deriving the
+    * benchmark from the already-filtered survivors (the pre-r12 chain)
+    * silently un-benches any benchmark doc an upstream gate dropped, so
+    * training docs contaminated with it pass undetected, and the batch
+    * chain diverges from its streaming twin
+    * ([[graft.streaming.StreamingAnalytics.curationAdmissionStream]]),
+    * whose literal gate is built from the full corpus. Cost: identical —
+    * the shingle scan memoizes on the INPUT corpus (shared with every
+    * other stage); restricting reports to survivors is one doc_id-keyed
+    * semi join. */
+  def decontaminateAgainst(training: DataFrame, benchSource: DataFrame,
+      benchMaxId: Long = 10): DataFrame = {
+    val sh = shinglesShared(benchSource)
     // persist: feeds the benchmark side, the overlap join, and the sizes
     // aggregation — without it the explode+distinct shingle pipeline (the
     // dominant scan cost) runs three times
     val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h")).persist()
     val bench = hashed.filter(col("doc_id") < benchMaxId)
       .select(col("h").as("bh")).distinct()
-    val rest = hashed.filter(col("doc_id") >= benchMaxId)
+    val restAll = hashed.filter(col("doc_id") >= benchMaxId)
+    val rest = if (training eq benchSource) restAll
+      else restAll.join(training.select("doc_id"), Seq("doc_id"), "left_semi")
     val overlap = rest.join(broadcast(bench), col("h") === col("bh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     rest.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -370,6 +404,7 @@ object TextOps {
     * #partitions×#shards-row frame broadcast back — never a global
     * window over the corpus. */
   def shardExport(documents: DataFrame, nShards: Int = 8, seed: String = "graft"): DataFrame = {
+    validateSeed(seed)
     val keyed = documents.select(col("doc_id"))
       .withColumn("skey", expr(hex13Num(s"md5(concat('$seed:', CAST(doc_id AS STRING)))")))
       .withColumn("shard", expr(s"skey % $nShards"))
@@ -409,8 +444,17 @@ object TextOps {
     * headroom, same plan). Output is O(#shards) rows at any corpus
     * size. */
   def shardManifest(documents: DataFrame, nShards: Int = 8,
-      seed: String = "graft"): DataFrame = {
-    val exp = shardExport(documents, nShards, seed)
+      seed: String = "graft"): DataFrame =
+    manifestOf(shardExport(documents, nShards, seed), documents)
+
+  /** The x44 rollup over an ALREADY-ASSIGNED (doc_id, shard, pos) frame —
+    * shared by [[shardManifest]] (which derives the assignment itself)
+    * and by export read-back verification
+    * ([[CurationPipeline.verifyExport]]), where the assignment comes from
+    * the WRITTEN shard files: recomputing the order-sensitive checksum
+    * from what a trainer would actually read is what catches a
+    * substituted or re-ordered shard member that a row count cannot. */
+  def manifestOf(assignment: DataFrame, documents: DataFrame): DataFrame = {
     val toks = documents
       .withColumn("bpe_tokens", expr(
         """aggregate(transform(split(text, ' '),
@@ -418,7 +462,7 @@ object TextOps {
            CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
       .withColumn("fp20", expr(s"(${hex13Num("md5(text)")}) % 1048576"))
       .select("doc_id", "bpe_tokens", "fp20")
-    exp.join(toks, "doc_id")
+    assignment.select("doc_id", "shard", "pos").join(toks, "doc_id")
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         max("pos").as("max_pos"),
@@ -438,6 +482,7 @@ object TextOps {
     * never a global window. */
   def budgetCap(documents: DataFrame, budgetTokens: Long = 4000L,
       seed: String = "graft"): DataFrame = {
+    validateSeed(seed)
     val keyed = documents.select(col("doc_id"), col("source"))
       .join(tokenCount(documents).select("doc_id", "bpe_tokens"), "doc_id")
       .withColumn("skey", expr(hex13Num(s"md5(concat('$seed:', CAST(doc_id AS STRING)))")))
@@ -490,6 +535,7 @@ object TextOps {
     * hash gate only. */
   def mixtureExpand(documents: DataFrame, num: Long = 9, den: Long = 4,
       seed: String = "graft"): DataFrame = {
+    validateSeed(seed)
     val keyed = documents.select(col("doc_id"), col("source"))
       .join(tokenCount(documents).select("doc_id", "bpe_tokens"), "doc_id")
       .withColumn("skey", expr(hex13Num(s"md5(concat('$seed:', CAST(doc_id AS STRING)))")))
@@ -2115,7 +2161,8 @@ object TextOps {
     * projection — no new shuffle for the acceptance itself. Docs with no
     * bigrams reject (a curation pipeline routes them by length rules,
     * not by a score they cannot have). */
-  def importanceResample(documents: DataFrame, seed: String = "graft"): DataFrame =
+  def importanceResample(documents: DataFrame, seed: String = "graft"): DataFrame = {
+    validateSeed(seed)
     dsirImportance(documents)
       .select("doc_id", "n_bigrams", "score_q")
       .withColumn("h", expr(
@@ -2127,6 +2174,7 @@ object TextOps {
         col("n_bigrams") > 0 && col("u_q") * col("n_bigrams") <= col("score_q"))
       .select("doc_id", "n_bigrams", "score_q", "u_q", "accept")
       .orderBy("doc_id")
+  }
 
   /** x26 — distributed BPE tokenizer training: `rounds` greedy merges
     * over the corpus vocabulary. Per round: (1) weighted adjacent-pair

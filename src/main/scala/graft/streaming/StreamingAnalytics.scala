@@ -806,6 +806,7 @@ object StreamingAnalytics {
     * docs with < 2 words never score, matching batch reject). */
   def dsirAdmissionStream(docs: DataFrame, bucketWeights: DataFrame,
       seed: String = "graft", buckets: Int = 256): Dataset[DsirAdmission] = {
+    graft.data.TextOps.validateSeed(seed) // spliced into SQL text below
     val spark = docs.sparkSession
     import spark.implicits._
     val hv = graft.data.TextOps.hex13NumFragment(
@@ -871,7 +872,9 @@ object StreamingAnalytics {
     * silently dropped. */
   def curationAdmissionStream(docs: DataFrame,
       benchShingleHashes: Seq[Long], bucketWeights: Seq[Long],
-      budgetTokens: Long, seed: String = "graft"): Dataset[CurationVerdict] = {
+      budgetTokens: Long, seed: String = "graft",
+      benchMaxId: Long = 10): Dataset[CurationVerdict] = {
+    graft.data.TextOps.validateSeed(seed) // spliced into SQL text below
     val spark = docs.sparkSession
     import spark.implicits._
     val buckets = bucketWeights.size
@@ -888,13 +891,18 @@ object StreamingAnalytics {
         "NOT (n_words < 20 OR n_words > 88 OR n_stop = 0" +
           " OR n_distinct * 100 < n_words * 35)"))
       // ---- x12 contamination: doc-local distinct-free overlap test —
-      // ANY shared shingle contaminates, duplicates don't change ANY
+      // ANY shared shingle contaminates, duplicates don't change ANY.
+      // A doc whose id IS in the benchmark set flags unconditionally
+      // (ADVICE r11): the batch chain drops all bench docs by id, and a
+      // sub-3-word bench doc has sh_h = [], so without the id test it
+      // would slip into training through its own benchmark's gate.
       .withColumn("sh_h", expr(
         "IF(size(ws) < 3, array(), transform(sequence(1, size(ws) - 2)," +
           " i -> xxhash64(concat_ws(' ', element_at(ws, i)," +
           " element_at(ws, i + 1), element_at(ws, i + 2)))))"))
       .withColumn("is_contaminated",
-        arrays_overlap(col("sh_h"), typedLit(benchShingleHashes)))
+        col("doc_id") < benchMaxId ||
+          arrays_overlap(col("sh_h"), typedLit(benchShingleHashes)))
       // ---- x50 DSIR admission against the literal weight array
       .withColumn("bks", expr(
         "IF(size(ws) < 2, array(), transform(" +

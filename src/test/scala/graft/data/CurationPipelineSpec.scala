@@ -34,6 +34,8 @@ class CurationPipelineSpec extends AnyFunSuite {
     val counts = rep.total +: rep.stageCounts.map(_._2)
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"stage funnel not monotone: ${rep.stageCounts}")
+    // the written export verifies against its own manifest (r12)
+    assert(rep.manifestVerified, "fresh export failed manifest verification")
     val back = spark.read.parquet(outDir)
     val rows = back.orderBy("shard", "pos").collect().toSeq
     (rep.total, rep.stageCounts.last._2, rep.exported, rows)
@@ -67,6 +69,48 @@ class CurationPipelineSpec extends AnyFunSuite {
     val (_, _, _, rows2) = runPipeline(dir2)
     assert(rows1.map(_.toString) == rows2.map(_.toString),
       "re-run diverged — the export is not reproducible")
+  }
+
+  test("verifyExport catches a re-ordered and a substituted shard member that a row count passes") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("curation_mf").toString
+    val rep = CurationPipeline.run(docs, None,
+      CurationPipeline.Config(budgetTokens = 2000L, nShards = 4), dir)
+    assert(rep.manifestVerified && CurationPipeline.verifyExport(docs, dir))
+
+    val back = spark.read.parquet(dir)
+      .withColumn("shard", col("shard").cast("long"))
+    // a shard with at least two members, so a reorder is possible
+    val s = back.groupBy("shard").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).orderBy("shard").collect()(0).getLong(0)
+
+    def tamperedDir(df: org.apache.spark.sql.DataFrame): String = {
+      val d = java.nio.file.Files.createTempDirectory("curation_tamper").toString
+      df.write.mode("overwrite").partitionBy("shard").parquet(d)
+      // the stored manifest travels with the export unchanged — the
+      // attacker/bitrot model is the DATA moving under a stale manifest
+      spark.read.parquet(CurationPipeline.manifestDir(dir))
+        .write.mode("overwrite").parquet(CurationPipeline.manifestDir(d))
+      d
+    }
+
+    // (a) re-order: swap positions 0 and 1 within one shard — n_docs,
+    // max_pos, n_tokens are all unchanged; only the order-sensitive
+    // checksum can catch it
+    val reordered = back.withColumn("pos",
+      when(col("shard") === s && col("pos") === 0L, lit(1L))
+        .when(col("shard") === s && col("pos") === 1L, lit(0L))
+        .otherwise(col("pos")))
+    assert(!CurationPipeline.verifyExport(docs, tamperedDir(reordered)),
+      "re-ordered shard members passed manifest verification")
+
+    // (b) substitute: replace one member's doc_id with a foreign id —
+    // the member count per shard is unchanged
+    val substituted = back.withColumn("doc_id",
+      when(col("shard") === s && col("pos") === 0L, lit(999999999L))
+        .otherwise(col("doc_id")))
+    assert(!CurationPipeline.verifyExport(docs, tamperedDir(substituted)),
+      "substituted shard member passed manifest verification")
   }
 
   test("importance resampling slots between decontamination and the budget cap") {

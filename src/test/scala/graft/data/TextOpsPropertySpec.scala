@@ -39,6 +39,22 @@ class TextOpsPropertySpec extends AnyFunSuite {
   // breaking any concurrently-run suite that needs the native functions
   private lazy val spark = Tables.session("textops-property-spec", "4")
 
+  test("seeded operators reject a seed that would escape its SQL literal (ADVICE r11)") {
+    import spark.implicits._
+    val docs = Seq((1L, "src", "a b c d")).toDF("doc_id", "source", "text")
+    // the seed is spliced into md5(concat('<seed>:...')) expression text;
+    // a quote would break parsing or rewrite the expression — all five
+    // splice sites must refuse at plan-build time, before any action
+    for (bad <- Seq("x'); drop --", "a'b", "")) {
+      intercept[IllegalArgumentException](TextOps.shardExport(docs, seed = bad))
+      intercept[IllegalArgumentException](TextOps.budgetCap(docs, seed = bad))
+      intercept[IllegalArgumentException](TextOps.mixtureExpand(docs, seed = bad))
+      intercept[IllegalArgumentException](TextOps.importanceResample(docs, seed = bad))
+    }
+    // the documented alphabet passes (and is what every default uses)
+    assert(TextOps.shardExport(docs, seed = "graft_r12-A9").columns.contains("shard"))
+  }
+
   private val LineWords = 8
   private val MinDf = 2
 

@@ -600,6 +600,36 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("curation admission flags a sub-3-word benchmark doc by id, and streams reject SQL-escaping seeds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ADVICE r11: a benchmark doc with < 3 words has sh_h = [] and the
+    // overlap test alone would admit it into training through its own
+    // benchmark's gate; the batch chain drops all bench docs by id
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "source", "text", "ts_us")
+    val q = StreamingAnalytics.curationAdmissionStream(
+        df, benchShingleHashes = Seq(42L), bucketWeights = Seq.fill(16)(0L),
+        budgetTokens = 1000L)
+      .writeStream.format("memory").queryName("curadm_tiny")
+      .outputMode("append").start()
+    input.addData((3L, "s", "two words", T0), (50L, "s", "two words", T0 + 1))
+    q.processAllAvailable()
+    val got = spark.table("curadm_tiny")
+      .as[StreamingAnalytics.CurationVerdict].collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(got(3L).is_contaminated && !got(3L).admitted,
+      "sub-3-word benchmark doc slipped through the contamination gate")
+    assert(!got(50L).is_contaminated,
+      "same text under a non-benchmark id must not flag by id alone")
+    q.stop()
+    // seeds are spliced into SQL expression text in both admission streams
+    intercept[IllegalArgumentException](StreamingAnalytics
+      .curationAdmissionStream(df, Seq(1L), Seq(0L), 10L, seed = "a'b"))
+    intercept[IllegalArgumentException](StreamingAnalytics
+      .dsirAdmissionStream(df, spark.emptyDataFrame, seed = "a'b"))
+  }
+
   test("streaming quantile sketch: an all-null window reports NULL, not a crash") {
     // the sketch skips null values, count(1) does not — a window whose
     // rows all carry null yields an EMPTY sample with n_docs > 0, and an
