@@ -42,6 +42,7 @@ object DataQueries {
     "x10_distinct_by_lang" -> docs(TextOps.distinctByLang),
     "x11_sample_stratified" -> docs(TextOps.sampleStratified),
     "x12_decontaminate" -> docs(TextOps.decontaminate(_)),
+    "x52_bloom_decontaminate" -> docs(TextOps.decontaminateBloom(_)),
     "x13_langid_confusion" -> docs(TextOps.langIdConfusion),
     "x14_source_mix" -> docs(TextOps.sourceMix),
     "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
@@ -106,6 +107,7 @@ object DataQueries {
     "x40_tokenizer_fertility" -> docs(TextOps.tokenizerFertility(_)),
     "x37_perceptron_filter" -> docs(TextOps.perceptronFilter(_)),
     "x38_data_card" -> docs(TextOps.dataCard),
+    "x51_data_card_quantiles" -> docs(TextOps.dataCardQuantiles(_)),
     "m1_multimodal_features" -> docs(MultimodalOps.extractFeatures),
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
@@ -2347,6 +2349,40 @@ ORDER BY doc_a, doc_b"""),
              coalesce(o.n_overlap, 0) > 0 AS is_contaminated
       FROM dsz s LEFT JOIN dover o ON s.doc_id = o.doc_id
       ORDER BY s.doc_id"""),
+    // x52: the Bloom filter replayed bit-for-bit — positions are
+    // hex13(md5(j ':' sh)) mod m in both engines; the bench side is the
+    // distinct position set, a shingle bloom-hits iff all kHash of its
+    // positions are set, and the exact x12 verdict rides along so
+    // false_positive is oracle-checked too
+    "x52_bloom_decontaminate" -> (docProlog + s"""
+      , bpos AS (
+        SELECT doc_id, sh, j,
+               (${TextOps.hex13NumFragment("md5(CAST(j AS STRING) || ':' || sh)")}) % 4096 AS p
+        FROM (SELECT doc_id, sh, unnest(generate_series(0, 2)) AS j FROM shingles) q
+      ), bbits AS (
+        SELECT DISTINCT p AS bp FROM bpos WHERE doc_id < 10
+      ), bsh AS (
+        SELECT r.doc_id, r.sh,
+               CAST(sum(CASE WHEN b.bp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        FROM bpos r LEFT JOIN bbits b ON r.p = b.bp
+        WHERE r.doc_id >= 10 GROUP BY 1, 2
+      ), bdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(CASE WHEN n_set = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+        FROM bsh GROUP BY 1
+      ), xbench AS (
+        SELECT DISTINCT sh FROM shingles WHERE doc_id < 10
+      ), xover AS (
+        SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM shingles r JOIN xbench b ON r.sh = b.sh
+        WHERE r.doc_id >= 10 GROUP BY 1
+      )
+      SELECT d.doc_id, d.n_sh, d.n_bloom_hits,
+             d.n_bloom_hits > 0 AS bloom_contaminated,
+             coalesce(o.n_overlap, 0) > 0 AS exact_contaminated,
+             (d.n_bloom_hits > 0 AND NOT coalesce(o.n_overlap, 0) > 0) AS false_positive
+      FROM bdoc d LEFT JOIN xover o USING (doc_id)
+      ORDER BY d.doc_id"""),
     "x13_langid_confusion" -> s"""
       SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
              lang = lang_pred AS is_correct
@@ -2619,6 +2655,68 @@ ORDER BY g.s, g.code"""),
         b.n_dup_docs, CAST(b.n_dup_docs AS DOUBLE) / b.n_docs AS dup_rate,
         m.top_lang, CAST(m.top_lang_n AS DOUBLE) / b.n_docs AS top_lang_share
       FROM by_source b JOIN lang_mode m USING (source)
+      ORDER BY b.source""",
+    // x51: x38's card plus the per-source length percentiles, replaying
+    // the bottom-k sketch as an order statistic of the same md5 (the 64
+    // smallest hashes per source — x49's replay discipline at the
+    // consumer's k)
+    "x51_data_card_quantiles" -> s"""
+      WITH pd AS (
+        SELECT doc_id, source, lang, n_words,
+          NOT (n_words < 20 OR n_words > 88 OR n_stop = 0
+               OR n_distinct * 100 < n_words * 35) AS keep,
+          fp
+        FROM (SELECT doc_id, source, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                CAST(${cntSum(TextOps.StopwordsEn)} AS BIGINT) AS n_stop,
+                md5(text) AS fp
+              FROM documents) q
+      ), fpc AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS fp_n FROM pd GROUP BY 1
+      ), flagged AS (
+        SELECT p.*, c.fp_n >= 2 AS is_dup FROM pd p JOIN fpc c USING (fp)
+      ), by_source AS (
+        SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        FROM flagged GROUP BY 1
+      ), lang_mode AS (
+        SELECT source, lang AS top_lang, ln AS top_lang_n FROM (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS ln,
+                 row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+          FROM flagged GROUP BY source, lang) q WHERE rn = 1
+      ), h AS (
+        SELECT source, n_chars AS v,
+               (${TextOps.hex13NumFragment("md5(CAST(doc_id AS STRING) || ':qs')")}) AS hv
+        FROM documents
+      ), samp AS (
+        SELECT source, v FROM (
+          SELECT source, v,
+                 row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+          FROM h) q WHERE rn <= 64
+      ), sk AS (
+        SELECT source, list(v ORDER BY v) AS sample,
+               CAST(count(*) AS BIGINT) AS k_actual
+        FROM samp GROUP BY source
+      ), est AS (
+        SELECT source, k_actual,
+          sample[CAST(floor((k_actual + 1) / 2.0) AS INT)] AS p50_chars_est,
+          sample[CAST(floor((9 * k_actual + 9) / 10.0) AS INT)] AS p90_chars_est,
+          sample[CAST(floor((99 * k_actual + 99) / 100.0) AS INT)] AS p99_chars_est
+        FROM sk
+      )
+      SELECT b.source, b.n_docs, b.n_tokens,
+        CAST(b.n_tokens AS DOUBLE) / b.n_docs AS mean_tokens,
+        b.n_kept, CAST(b.n_kept AS DOUBLE) / b.n_docs AS keep_rate,
+        b.n_dup_docs, CAST(b.n_dup_docs AS DOUBLE) / b.n_docs AS dup_rate,
+        m.top_lang, CAST(m.top_lang_n AS DOUBLE) / b.n_docs AS top_lang_share,
+        e.k_actual, e.p50_chars_est, e.p90_chars_est, e.p99_chars_est
+      FROM by_source b
+      JOIN lang_mode m USING (source)
+      JOIN est e ON e.source = b.source
       ORDER BY b.source""",
     "m1_multimodal_features" -> {
       val fcols = MultimodalOps.FeatureBytes.zip(

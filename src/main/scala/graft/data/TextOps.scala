@@ -323,6 +323,97 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x52 — Bloom-filter decontamination calibration (VERDICT r11 #3):
+    * the scale path past x12's exact benchmark join and past the
+    * streaming chain's plan-time hash-list literal. A real eval suite
+    * (MMLU + GSM8K + HumanEval + ...) is 10⁵–10⁶ distinct shingles: the
+    * exact hash-list literal bloats every streaming plan and its per-row
+    * array scan is O(|bench|), while a Bloom filter holds the gate at a
+    * FIXED m bits regardless of benchmark size — per-shingle probe cost
+    * O(kHash), a measured false-positive rate in exchange, and NO false
+    * negatives by construction (a member's positions are all set), which
+    * is the direction decontamination must never err in.
+    *
+    * Positions are portable — pos_j(sh) = hex13(md5(j ':' sh)) mod m,
+    * the same md5 discipline as every other sketch — so the oracle
+    * replays the filter bit-for-bit. This audit is x47's
+    * calibration-before-trust pattern: per training doc, the Bloom
+    * verdict NEXT TO the exact x12 verdict; `false_positive` rows are
+    * exactly what the (m, kHash) choice over-drops on the gate corpus
+    * (expected FPR per shingle ≈ (1 − e^(−kn/m))^k). Per DOCUMENT the
+    * FPR compounds over its ~n_sh probes — 1 − (1 − fpr)^n_sh — so a
+    * deployment sizes m for the DOC-level target: the audit default
+    * m = 4096 deliberately undersizes at the gate corpus so
+    * false-positive rows EXIST to calibrate on (x49's k = 16 argument);
+    * the synthetic 10⁵-shingle spec point runs m = 2²³ for a sub-1%
+    * doc-level rate.
+    *
+    * Shape: bench bits = one distinct agg of O(|bench|·kHash) positions
+    * (≤ m rows — control-plane at ANY benchmark size, broadcast);
+    * training probe = one broadcast join of per-(doc, shingle, j)
+    * positions against the bit set + two keyed aggs. No pairwise scan,
+    * no window. */
+  def decontaminateBloom(documents: DataFrame, benchMaxId: Long = 10,
+      mBits: Int = 4096, kHash: Int = 3): DataFrame = {
+    val pos = shinglesShared(documents)
+      .withColumn("j", explode(sequence(lit(0), lit(kHash - 1))))
+      .withColumn("p", expr(
+        s"(${hex13Num("md5(concat(CAST(j AS STRING), ':', sh))")}) % $mBits"))
+    val bits = pos.filter(col("doc_id") < benchMaxId)
+      .select(col("p").as("bp")).distinct()
+    val rest = pos.filter(col("doc_id") >= benchMaxId)
+    // a shingle bloom-hits iff ALL kHash of its positions are set
+    val perShingle = rest
+      .join(broadcast(bits), col("p") === col("bp"), "left")
+      .groupBy("doc_id", "sh")
+      .agg(sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_set"))
+    val perDoc = perShingle.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("n_set") === kHash, 1L).otherwise(0L)).as("n_bloom_hits"))
+    perDoc
+      .join(decontaminate(documents, benchMaxId)
+        .select(col("doc_id"), col("is_contaminated").as("exact_contaminated")),
+        "doc_id")
+      .select(col("doc_id"), col("n_sh"), col("n_bloom_hits"),
+        (col("n_bloom_hits") > 0).as("bloom_contaminated"),
+        col("exact_contaminated"),
+        (col("n_bloom_hits") > 0 && !col("exact_contaminated")).as("false_positive"))
+      .orderBy("doc_id")
+  }
+
+  /** The benchmark side of [[decontaminateBloom]] as a driver-side
+    * BITMASK (mBits/64 longs) — the plan-time literal the streaming gate
+    * ships ([[graft.streaming.StreamingAnalytics.bloomDecontaminationStream]])
+    * instead of the shingle-hash list. Control-plane bounded at ANY
+    * benchmark size: the collect is ≤ min(|bench|·kHash, mBits) distinct
+    * positions and the literal is mBits/64 longs — a 2²⁰-bit filter is
+    * 16 K longs (128 KB) whether the benchmark has 10² or 10⁶ shingles,
+    * which is the whole point. */
+  def benchBloomBits(documents: DataFrame, benchMaxId: Long = 10,
+      mBits: Int = 4096, kHash: Int = 3): Seq[Long] = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64: $mBits")
+    val positions = shinglesShared(documents)
+      .filter(col("doc_id") < benchMaxId)
+      .withColumn("j", explode(sequence(lit(0), lit(kHash - 1))))
+      .select(expr(
+        s"(${hex13Num("md5(concat(CAST(j AS STRING), ':', sh))")}) % $mBits")
+        .as("p"))
+      .distinct().collect().map(_.getLong(0))
+    bloomBitsOf(positions, mBits)
+  }
+
+  /** Fold set bit positions into the mBits/64-long bitmask (word i holds
+    * bits [64i, 64i+64), LSB-first). Exposed for the synthetic-benchmark
+    * spec, which builds a 10⁵-shingle filter without a corpus. */
+  def bloomBitsOf(positions: Seq[Long], mBits: Int): Seq[Long] = {
+    val words = new Array[Long](mBits / 64)
+    positions.foreach { p =>
+      require(p >= 0 && p < mBits, s"bit position out of range: $p")
+      words(p.toInt / 64) |= 1L << (p.toInt % 64)
+    }
+    words.toSeq
+  }
+
   /** x13 — language-ID evaluation: confusion counts of the predictor
     * against the corpus's ground-truth `lang` column — the eval harness a
     * pipeline runs before trusting a classifier for filtering. One keyed
@@ -2513,6 +2604,38 @@ object TextOps {
         col("n_dup_docs"), expr("CAST(n_dup_docs AS DOUBLE) / n_docs").as("dup_rate"),
         col("top_lang"), expr("CAST(top_lang_n AS DOUBLE) / n_docs").as("top_lang_share"))
       .orderBy("source")
+  }
+
+  /** x51 — the data card's DISTRIBUTION columns (VERDICT r11 #4): per
+    * source, p50/p90/p99 document length estimated from the mergeable
+    * `graft_qsketch` bottom-k sample, next to x38's volume / keep-rate /
+    * dup-rate / language columns — the percentile line a released data
+    * card ships. x49 is the calibration audit that sizes k and measures
+    * the sketch's rank error against the exact histogram; THIS op is the
+    * consumer the sketch was built for: ONE map-side-combinable keyed agg
+    * (≤k longs per (group, partition) cross the shuffle — no histogram,
+    * no window, no sort over documents, the 100 TB data-card shape)
+    * joined onto the x38 rollup. k = 64 here so sampling ENGAGES on the
+    * gate corpus (sources carry ~25-250 docs at the test SFs); a
+    * deployment sizes k ≈ 16384 for ε ≈ 1.5% (x49's documented point).
+    * The sample is a pure order statistic of the per-doc md5 hash, so the
+    * estimates are replayable in any engine — the oracle re-derives them
+    * with a row_number window at the gate scale. */
+  def dataCardQuantiles(documents: DataFrame, k: Int = 64): DataFrame = {
+    val sk = documents
+      .select(col("source"), col("n_chars").as("v"),
+        expr(hex13Num("md5(concat(CAST(doc_id AS STRING), ':qs'))")).as("hv"))
+      .groupBy("source")
+      .agg(expr(s"graft_qsketch(hv, v, $k)").as("sample"))
+      .withColumn("k_actual", size(col("sample")).cast("long"))
+      .select(col("source"), col("k_actual"),
+        expr("element_at(sample, CAST(floor((k_actual + 1) / 2.0) AS INT))")
+          .as("p50_chars_est"),
+        expr("element_at(sample, CAST(floor((9 * k_actual + 9) / 10.0) AS INT))")
+          .as("p90_chars_est"),
+        expr("element_at(sample, CAST(floor((99 * k_actual + 99) / 100.0) AS INT))")
+          .as("p99_chars_est"))
+    dataCard(documents).join(sk, "source").orderBy("source")
   }
 
   /** x36's default phrase set: frequent bigram, two trigrams, and a

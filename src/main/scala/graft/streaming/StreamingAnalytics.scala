@@ -428,6 +428,52 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming Bloom decontamination gate — the scale upgrade past
+    * [[curationAdmissionStream]]'s plan-time hash-list literal (r11
+    * VERDICT #3): the benchmark ships as a FIXED-SIZE bitmask literal
+    * ([[graft.data.TextOps.benchBloomBits]], mBits/64 longs — 128 KB for
+    * a 2²⁰-bit filter whether the eval suite has 10² or 10⁶ shingles),
+    * and each arriving document probes it DOC-LOCALLY: per distinct
+    * trigram shingle, kHash portable positions
+    * (hex13(md5(j ':' sh)) mod m — bit-identical to the batch
+    * [[graft.data.TextOps.decontaminateBloom]] audit, so the measured FPR
+    * there is THIS gate's FPR), flagged iff every position's bit is set.
+    * No false negatives by construction — the filter can only over-drop,
+    * never admit a truly contaminated doc. Zero joins, zero shuffles,
+    * zero state: a narrow projection, append-compatible, composable in
+    * front of any admission chain. The HOF probe runs interpreted (the
+    * price of lambda bit-tests); per row it is O(shingles · kHash) md5s
+    * against O(|bench|) for the exact literal — the trade that wins from
+    * ~10³ benchmark shingles up. A doc whose id is in the benchmark set
+    * flags unconditionally (the [[curationAdmissionStream]] discipline —
+    * a sub-3-word bench doc has no shingles to probe). */
+  def bloomDecontaminationStream(docs: DataFrame, bloomBits: Seq[Long],
+      kHash: Int = 3, benchMaxId: Long = 10): DataFrame = {
+    require(bloomBits.nonEmpty, "empty Bloom bitmask")
+    val mBits = bloomBits.size * 64
+    val hexp = graft.data.TextOps.hex13NumFragment("h")
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("shs", expr(
+        """IF(size(ws) < 3, CAST(array() AS ARRAY<STRING>),
+           array_distinct(transform(sequence(1, size(ws) - 2),
+             i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                            element_at(ws, i + 2)))))"""))
+      .withColumn("__bloom", typedLit(bloomBits))
+      .withColumn("n_bloom_hits", expr(
+        s"""CAST(size(filter(shs, sh ->
+              forall(transform(transform(sequence(0, ${kHash - 1}),
+                       j -> md5(concat(CAST(j AS STRING), ':', sh))),
+                     h -> ($hexp) % $mBits),
+                p -> (shiftright(element_at(__bloom, CAST(p DIV 64 AS INT) + 1),
+                      CAST(p % 64 AS INT)) & 1) = 1))) AS BIGINT)"""))
+      .select(col("doc_id"),
+        expr("CAST(size(shs) AS BIGINT)").as("n_sh"),
+        col("n_bloom_hits"),
+        (col("doc_id") < benchMaxId || col("n_bloom_hits") > 0)
+          .as("is_contaminated"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

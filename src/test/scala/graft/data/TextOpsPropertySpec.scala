@@ -39,6 +39,29 @@ class TextOpsPropertySpec extends AnyFunSuite {
   // breaking any concurrently-run suite that needs the native functions
   private lazy val spark = Tables.session("textops-property-spec", "4")
 
+  test("Bloom decontamination never false-negatives on random corpora, at any filter size") {
+    import spark.implicits._
+    val rnd = new Random(0xB100)
+    for ((mBits, round) <- Seq(256, 1024, 8192).zipWithIndex) {
+      // small vocab => heavy bench/training shingle overlap by chance;
+      // tiny m => heavy hash collision pressure — both directions stress
+      // the one property that must hold: exact contamination implies a
+      // bloom flag (a member's positions are all set, always)
+      val vocab = (1 to 20 + rnd.nextInt(40)).map(i => s"w$i")
+      val docs = (0L until 40L).map { id =>
+        (id, (1 to 5 + rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = TextOps.decontaminateBloom(docs, mBits = mBits).collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val (bloom, exact) = (r.getBoolean(3), r.getBoolean(4))
+        assert(!exact || bloom,
+          s"round $round m=$mBits: doc ${r.getLong(0)} exact-contaminated " +
+            "but bloom-admitted — impossible for a correct Bloom filter")
+      }
+    }
+  }
+
   test("seeded operators reject a seed that would escape its SQL literal (ADVICE r11)") {
     import spark.implicits._
     val docs = Seq((1L, "src", "a b c d")).toDF("doc_id", "source", "text")
