@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+
+/** Executed-plan audit helpers shared by every scale rehearsal
+  * ([[ScaleRehearsal]], [[StreamRehearsal]], [[WireRehearsal]]): walk an
+  * AQE plan through its materialized query stages, enumerate the realized
+  * broadcasts with their runtime-measured sizes, and flag the two
+  * scale-killer shapes (cartesian products, unbounded nested-loop joins).
+  *
+  * Factored out in r12 so the streaming rehearsal audits each
+  * micro-batch's `IncrementalExecution.executedPlan` with the SAME rules
+  * the batch rehearsals apply — a divergent re-implementation here would
+  * quietly weaken one side's gate.
+  */
+object PlanWalk {
+
+  /** Execute a frame THROUGH ITS OWN QueryExecution (ADVICE r4, medium):
+    * `DataFrameWriter.save` wraps the plan in a SEPARATE QueryExecution,
+    * so the AdaptiveSparkPlanExec visible on `df.queryExecution` never
+    * actually ran — AQE's runtime join flips and the BroadcastExchange
+    * `dataSize` metrics the rehearsals gate on would be read off an
+    * un-executed plan. `toRdd` forces AdaptiveSparkPlanExec to pick its
+    * final physical plan on exactly the instance we subsequently walk,
+    * and draining every partition populates the SQL metrics. */
+  def execute(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  /** Every node of an EXECUTED plan, descending through the three leaf
+    * wrappers that hide subtrees: AdaptiveSparkPlanExec (the final plan),
+    * QueryStageExec (a materialized exchange — under AQE every executed
+    * Broadcast/ShuffleExchange hides inside one, so a walk that only
+    * descends `children` reports zero broadcasts on any executed plan),
+    * and ReusedExchangeExec (points back at an exchange built elsewhere —
+    * without descending it, a nested-loop join whose build side is a
+    * REUSED broadcast audits as "no broadcast found" and the size gate
+    * can't run). */
+  def walk(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p.children.flatMap(walk) ++ (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case _ => Nil
+    }))
+
+  def broadcastSizes(nodes: Seq[SparkPlan]): Seq[Long] =
+    nodes.collect { case b: BroadcastExchangeExec =>
+      b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+    }
+
+  /** One realized broadcast, NAMED: `bytes` is the HashedRelation's
+    * runtime `dataSize` metric — which reports ALLOCATED memory
+    * (BytesToBytesMap pages are power-of-two-quantized, so a KB-content
+    * frame can report its minimum page, e.g. ~64 MiB on a large heap),
+    * NOT content bytes — so `rows` (the exchange's numOutputRows) is the
+    * scale-honest content measure, and `frame` (the build side's output
+    * columns) identifies WHICH frame was broadcast so an artifact reader
+    * can match it to the plan (VERDICT r11 what's-wrong #1). */
+  final case class Bcast(bytes: Long, rows: Long, frame: String) {
+    def json: String =
+      s"""{"bytes":$bytes,"rows":$rows,"frame":"$frame"}"""
+  }
+
+  def broadcasts(nodes: Seq[SparkPlan]): Seq[Bcast] =
+    nodes.collect { case b: BroadcastExchangeExec =>
+      Bcast(
+        b.metrics.get("dataSize").map(_.value).getOrElse(-1L),
+        b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
+        b.child.output.map(_.name).take(8).mkString(","))
+    }
+
+  /** A BroadcastNestedLoopJoin build side above this is fatal even when
+    * measured: the physical form of crossJoin(broadcast(x)) is safe only
+    * for k-bounded scalar/centroid attaches, never a corpus-scaled
+    * frame. */
+  val BnljBuildCap: Long = 16L << 20
+
+  /** Scale-killer audit. CartesianProduct is always fatal. A
+    * BroadcastNestedLoopJoin is the PHYSICAL form of every
+    * crossJoin(broadcast(bounded-frame)) — centroid assignment, scalar
+    * attach — so it is fatal only when its build side is UNMEASURED or
+    * measured large: a corpus-scaled build frame is the driver-OOM shape
+    * regardless of the loop itself. */
+  def planKillers(nodes: Seq[SparkPlan]): Seq[String] = {
+    val cart = nodes.map(_.nodeName).filter(_.contains("CartesianProduct"))
+    val bnlj = nodes.filter(_.nodeName.contains("BroadcastNestedLoop")).flatMap { n =>
+      val sizes = walk(n).collect { case b: BroadcastExchangeExec =>
+        b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+      }
+      if (sizes.isEmpty || sizes.exists(s => s < 0 || s > BnljBuildCap))
+        Seq(s"BroadcastNestedLoopJoin(build=${sizes.mkString("/")}B)")
+      else Nil
+    }
+    cart ++ bnlj
+  }
+}

@@ -40,16 +40,11 @@ object ScaleRehearsal {
     // cross-copy pair volume GROW with the corpus, like the d3 bands
     "d7_simhash_near")
 
-  /** Execute a frame THROUGH ITS OWN QueryExecution (ADVICE r4, medium):
-    * `DataFrameWriter.save` wraps the plan in a SEPARATE QueryExecution,
-    * so the AdaptiveSparkPlanExec visible on `df.queryExecution` never
-    * actually ran — AQE's runtime join flips and the BroadcastExchange
-    * `dataSize` metrics this tool gates on would be read off an
-    * un-executed plan. `toRdd` forces AdaptiveSparkPlanExec to pick its
-    * final physical plan on exactly the instance we subsequently walk,
-    * and draining every partition populates the SQL metrics. */
+  // plan-audit helpers shared with StreamRehearsal (factored to PlanWalk
+  // in r12 — see its scaladoc for the execute-through-own-QueryExecution
+  // and QueryStage/ReusedExchange-descent rationale)
   private def execute(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.toRdd.foreach(_ => ())
+    PlanWalk.execute(df)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -105,47 +100,9 @@ object ScaleRehearsal {
     val nDocs = spark.read.parquet(docsPath).count()
 
     // ---- plan walking + killer audit, shared by every section ---------
+    // (PlanWalk since r12 — identical rules for batch and streaming)
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    // QueryStageExec is a LEAF wrapping the materialized exchange — under
-    // AQE every executed Broadcast/ShuffleExchange hides inside one, so a
-    // walk that only descends `children` reports zero broadcasts on any
-    // executed plan (exactly the blind spot this audit exists to close).
-    // ReusedExchangeExec is a LEAF pointing back at an exchange built
-    // elsewhere in the plan — without descending through it, a
-    // nested-loop join whose build side is a REUSED broadcast audits as
-    // "no broadcast found" and the size gate can't run.
-    def walk(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children.flatMap(walk) ++ (p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case s: QueryStageExec => walk(s.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-        case _ => Nil
-      }))
-    def broadcastSizes(nodes: Seq[SparkPlan]): Seq[Long] =
-      nodes.collect { case b: BroadcastExchangeExec =>
-        b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
-      }
-    // Scale-killer audit. CartesianProduct is always fatal. A
-    // BroadcastNestedLoopJoin is the PHYSICAL form of every
-    // crossJoin(broadcast(bounded-frame)) — centroid assignment, scalar
-    // attach — so it is fatal only when its build side is UNMEASURED or
-    // measured large: a corpus-scaled build frame is the driver-OOM shape
-    // regardless of the loop itself.
-    val BNLJ_BUILD_CAP = 16L << 20
-    def planKillers(nodes: Seq[SparkPlan]): Seq[String] = {
-      val cart = nodes.map(_.nodeName).filter(_.contains("CartesianProduct"))
-      val bnlj = nodes.filter(_.nodeName.contains("BroadcastNestedLoop")).flatMap { n =>
-        val sizes = walk(n).collect { case b: BroadcastExchangeExec =>
-          b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
-        }
-        if (sizes.isEmpty || sizes.exists(s => s < 0 || s > BNLJ_BUILD_CAP))
-          Seq(s"BroadcastNestedLoopJoin(build=${sizes.mkString("/")}B)")
-        else Nil
-      }
-      cart ++ bnlj
-    }
+    import PlanWalk.{walk, broadcastSizes, planKillers}
 
     // ---- run each family member once, timed, with a plan audit --------
     val results = rehearsed.map { name =>
@@ -236,14 +193,14 @@ object ScaleRehearsal {
         .repartition(32).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
       commitSlice(curEmbMeta, curEmbFp)
     }
-    val curStages = Seq.newBuilder[(String, Double, Seq[String], Seq[Long])]
+    val curStages = Seq.newBuilder[(String, Double, Seq[String], Seq[PlanWalk.Bcast])]
     def curStage(name: String)(df: org.apache.spark.sql.DataFrame):
         org.apache.spark.sql.DataFrame = {
       val t0s = System.nanoTime()
       execute(df)
       val secs = (System.nanoTime() - t0s) / 1e9
       val nodes = walk(df.queryExecution.executedPlan)
-      curStages += ((name, secs, planKillers(nodes), broadcastSizes(nodes)))
+      curStages += ((name, secs, planKillers(nodes), PlanWalk.broadcasts(nodes)))
       df
     }
     val curDocs = Tables.documents(spark, curDir)
@@ -270,7 +227,30 @@ object ScaleRehearsal {
       .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
       .collect()
     val curResults = curStages.result()
-    val curationFlips =
+    // r12 broadcast gate (VERDICT r11 what's-wrong #1): a curation-stage
+    // broadcast is legitimate iff (a) its CONTENT is partition-count-
+    // scaled — the x34/x35 two-phase prefix-sum offsets frames are
+    // ≤ #shuffle-partitions × #sources(or #shards) rows, so ≤ 8192 covers
+    // 32 partitions × ~100 sources with 2.5× slack — or (b) its measured
+    // bytes are small (≤ the vector family's 32 MB cap). The `dataSize`
+    // metric alone CANNOT gate arm (a): it reports the HashedRelation's
+    // ALLOCATED memory (BytesToBytesMap pages — the 10× and 100×
+    // artifacts both showed the SAME 67,109,872 bytes for the ~3k-row
+    // budget_cap offsets frame: one 64 MiB page on this 128 GiB heap),
+    // so numOutputRows is the scale-honest content measure. A genuinely
+    // corpus-scaled broadcast fails BOTH arms at 10× already (50k docs
+    // > 8192 rows, real content ≫ 32 MB) — exactly the hole the r11
+    // verdict flagged: before this gate, nothing failed the rehearsal if
+    // a data-scaled frame snuck into a stage's build side.
+    val CUR_BCAST_ROW_CAP = 8192L
+    val CUR_BCAST_BYTE_CAP = 32L << 20
+    val curationBcastFlips = curResults.flatMap { case (k, _, _, bs) =>
+      bs.filterNot(b => (b.rows >= 0 && b.rows <= CUR_BCAST_ROW_CAP) ||
+          (b.bytes >= 0 && b.bytes <= CUR_BCAST_BYTE_CAP))
+        .map(b => s"curation_$k:broadcast_unbounded(rows=${b.rows}," +
+          s"bytes=${b.bytes},frame=${b.frame})")
+    }
+    val curationFlips = curationBcastFlips ++
       curResults.flatMap { case (k, _, ks, _) => ks.map(x => s"curation_$k:$x") } ++
       (if (!(nCurClean > 0 && nCurClean < curTotal))
         Seq(s"curation:gates_vacuous($nCurClean of $curTotal)") else Nil) ++
@@ -652,7 +632,8 @@ object ScaleRehearsal {
       (if (flFilesProbe >= flFilesCellOnly || flFilesCellOnly >= flFilesTotal)
         Seq("ivf_lang:probe_unpruned") else Nil)
     val unmeasured = (relResults ++ vecResults ++ evtResults ++
-      curResults.map { case (k, s, f, bs) => (s"curation_$k", s, f, bs) }).flatMap {
+      curResults.map { case (k, s, f, bs) =>
+        (s"curation_$k", s, f, bs.map(_.bytes)) }).flatMap {
       case (k, _, _, bs) => if (bs.contains(-1L)) Seq(k) else Nil
     }
     // r8 gate: no vector-family broadcast may approach the unbounded
@@ -715,8 +696,14 @@ object ScaleRehearsal {
             .mkString("{", ",", "}")},""" +
         s""""stage_broadcast_bytes":${
           curResults.map { case (k, _, _, bs) =>
-            "\"" + k + "\":[" + bs.mkString(",") + "]"
-          }.mkString("{", ",", "}")}},""" +
+            "\"" + k + "\":[" + bs.map(_.bytes).mkString(",") + "]"
+          }.mkString("{", ",", "}")},""" +
+        s""""stage_broadcasts":${
+          curResults.map { case (k, _, _, bs) =>
+            "\"" + k + "\":[" + bs.map(_.json).mkString(",") + "]"
+          }.mkString("{", ",", "}")},""" +
+        s""""bcast_row_cap":$CUR_BCAST_ROW_CAP,""" +
+        s""""bcast_byte_cap":$CUR_BCAST_BYTE_CAP},""" +
         s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

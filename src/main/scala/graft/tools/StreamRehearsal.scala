@@ -1,0 +1,386 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Scale-rehearsal point for the STREAMING family (VERDICT r11
+  * prescription #1): the batch surface has six audited 10×/100×
+  * artifacts; this gives the heavyweight streaming chains the same
+  * treatment. The 10× document/embedding corpus (the ScaleRehearsal
+  * slice discipline: two verbatim copies so cross-copy dup density grows
+  * with the corpus, the rest perturbed) is replayed in BOUNDED
+  * micro-batches through a file-source stream — `waves` equal shards of
+  * the corpus, one wave of parquet files dropped into the source
+  * directory per `processAllAvailable()` round, so every wave is one
+  * data micro-batch (plus Spark's watermark-advance no-data batches).
+  *
+  * Per wave, per operator, it records: wall-clock, input rows, the
+  * state-store rows/bytes from the `stateOperators` progress metrics,
+  * and the SAME flip/broadcast audit the batch rehearsals run
+  * ([[PlanWalk]]) on the micro-batch's `IncrementalExecution`
+  * executedPlan. Why per-batch plans matter: stream-static joins
+  * RE-PLAN the static side every micro-batch — a frame planned as a
+  * broadcast at spec scale can stay a data-scaled broadcast at 10×, and
+  * nothing before this tool gated that. (A trailing no-data batch
+  * re-plans the identical logical plan — streaming planning is
+  * non-adaptive, the static side's strategy depends only on its own
+  * stats — so auditing the wave's last execution cannot hide a
+  * structural killer from its data batch.)
+  *
+  * Operators rehearsed (the heavyweight chains):
+  *   - curation_admission — the COMPOSED quality→decontaminate→DSIR→
+  *     budget chain; state must stay O(#sources) FLAT across waves
+  *   - qsketch_ingest    — windowed quantile-sketch state; watermark
+  *     eviction must hold state at O(open windows × sources), FLAT
+  *   - sem_ingest_dedup  — stream-static admission against the stored
+  *     keeper table; ZERO state, per-batch join plan audited
+  *   - phash_neardup     — probe-bucket membership state; grows LINEARLY
+  *     with distinct corpus by design (≤ 49 rows/doc, gated), the
+  *     documented pre-watermark-eviction contract
+  *   - bloom_decontaminate — the r12 fixed-size-literal gate; ZERO state,
+  *     narrow projection
+  *
+  * Gates (exit 1): any cartesian/unbounded-BNLJ flip in any wave's plan;
+  * any unmeasured broadcast; any broadcast failing the two-arm
+  * rows-or-bytes bound (the r12 curation gate's rule); bounded-state
+  * operators drifting past their contract bound; stateless operators
+  * reporting state; the curation gates not all engaging (a pass-all
+  * chain proves nothing).
+  *
+  * Usage: runMain graft.tools.StreamRehearsal [srcSfDir] [workDir] [outJson]
+  * Env: SPARK_GRAFT_STREAM_COPIES (default 10),
+  *      SPARK_GRAFT_STREAM_WAVES (default 8).
+  * Writes one JSON line to stdout AND to outJson (default BENCH_stream.json).
+  */
+object StreamRehearsal {
+
+  private val T0 = 1700000000000000L // µs epoch base (the spec family's)
+  private val WaveUs = 600000000L    // 10 min of event time per wave
+
+  // same two-arm rule as ScaleRehearsal's curation gate: a broadcast is
+  // fine iff its CONTENT is row-bounded (literal/offset/artifact frames;
+  // dataSize is page-allocated and lies about small frames) or its
+  // measured bytes are small. The row cap is sized to the largest
+  // LEGITIMATE static artifact here — the semantic-dedup keeper table,
+  // ≤ the base-corpus keeper count (≤ 45k at 10×; a stream-side frame
+  // can never appear under a broadcast: the stream is always the probe
+  // side of a stream-static join).
+  private val BcastRowCap = 65536L
+  private val BcastByteCap = 32L << 20
+
+  final case class WaveStat(wave: Int, inputRows: Long, wallSec: Double,
+      stateRows: Long, stateBytes: Long, batches: Int,
+      killers: Seq[String], bcasts: Seq[PlanWalk.Bcast]) {
+    def json: String =
+      s"""{"wave":$wave,"input_rows":$inputRows,"wall_sec":$wallSec,""" +
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
+        s""""batches":$batches,""" +
+        s""""broadcasts":[${bcasts.map(_.json).mkString(",")}]}"""
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
+  /** Drop one wave's parquet part-files into the live source directory
+    * (prefixed so names never collide across waves) — the bounded
+    * micro-batch: the file source picks up exactly these files in its
+    * next trigger. */
+  private def copyWave(waveDir: String, feedDir: String, w: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(waveDir)
+    java.nio.file.Files.list(src).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && !n.endsWith(".crc")
+      }
+      .foreach { p =>
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(feedDir, s"w${w}_${p.getFileName}"))
+      }
+  }
+
+  /** Replay the waves through one operator: per wave, copy files, drain,
+    * snapshot progress + state metrics, audit the last execution's plan.
+    * Output goes to a memory sink (bounded here: verdict/pair/window rows,
+    * never the corpus) so emitted-row counts are checkable. */
+  private def runOp(spark: SparkSession, name: String,
+      waveDirs: Seq[String], workDir: String)
+      (mk: DataFrame => DataFrame): (Seq[WaveStat], Long) = {
+    val feedDir = s"$workDir/feed_$name"
+    deleteRec(java.nio.file.Paths.get(feedDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
+    val schema = spark.read.parquet(waveDirs.head).schema
+    val stream = spark.readStream.schema(schema).parquet(feedDir)
+    val q: StreamingQuery = mk(stream).writeStream
+      .format("memory").queryName(s"sr_$name").outputMode("append").start()
+    val stats = waveDirs.zipWithIndex.map { case (wd, w) =>
+      val nBefore = q.recentProgress.length
+      val t0 = System.nanoTime()
+      copyWave(wd, feedDir, w)
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.drop(nBefore)
+      val inputRows = progs.map(_.numInputRows).sum
+      // state snapshot at wave end: the last progress carrying state
+      // operators (a trailing no-data batch reports post-eviction state,
+      // which is exactly the steady-state number the gate wants)
+      val so = progs.reverse.map(_.stateOperators).find(_.nonEmpty)
+      val (sRows, sBytes) = so
+        .map(s => (s.map(_.numRowsTotal).sum, s.map(_.memoryUsedBytes).sum))
+        .getOrElse((0L, 0L))
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      val nodes = PlanWalk.walk(exec.executedPlan)
+      WaveStat(w, inputRows, wall, sRows, sBytes, progs.length,
+        PlanWalk.planKillers(nodes), PlanWalk.broadcasts(nodes))
+    }
+    val outRows = spark.table(s"sr_$name").count()
+    q.stop()
+    (stats, outRows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_stream")
+    val outJson = args.lift(2).getOrElse("BENCH_stream.json")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STREAM_COPIES", "10").toInt
+    val waves = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "8").toInt
+    val spark = Tables.session("graft-stream-rehearsal")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(workDir))
+
+    def sliceIsCurrent(metaPath: String, fingerprint: String): Boolean = {
+      val f = java.nio.file.Paths.get(metaPath)
+      java.nio.file.Files.exists(f) &&
+        java.nio.file.Files.readString(f).trim == fingerprint
+    }
+    def commitSlice(metaPath: String, fingerprint: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), fingerprint)
+
+    // ---- 10× corpora, pre-sharded into waves -------------------------
+    // Event time is WAVE-ALIGNED: wave w's documents live in
+    // [T0 + w·10min, T0 + (w+1)·10min), so each arriving wave advances
+    // the watermark past the previous wave's windows — closed windows
+    // must EVICT, which is the flat-state claim under test. (A stream
+    // whose event time never advances would trivially hold state flat at
+    // one window and prove nothing.)
+    val D_OFF = 10000000L
+    val docsFp = s"src=$src copies=$copies waves=$waves v3"
+    val docsMeta = s"$workDir/docs_meta.txt"
+    if (!sliceIsCurrent(docsMeta, docsFp)) {
+      val base = Tables.documents(spark, src)
+      val scaled = (0 until copies).map { i =>
+        val d = base.withColumn("doc_id", col("doc_id") + lit(i * D_OFF))
+        if (i <= 1) d
+        else d.withColumn("text",
+          concat(col("text"), lit(s" uniq$i "), (col("doc_id") % 97).cast("string")))
+      }.reduce(_ unionByName _)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        // hash-assigned waves: doc_id % waves correlates with the
+        // corpus's source assignment (both are id-residue classes), which
+        // made each wave carry only gcd-many sources — every wave must
+        // mix ALL sources for the per-source state/budget readout to mean
+        // anything
+        .withColumn("wave", pmod(hash(col("doc_id")), lit(waves)).cast("int"))
+        .withColumn("ts_us", lit(T0) + col("wave").cast("long") * lit(WaveUs) +
+          pmod(hash(col("doc_id")), lit(WaveUs.toInt)).cast("long"))
+      scaled.repartition(32).write.mode("overwrite")
+        .parquet(s"$workDir/documents.parquet")
+      val full = spark.read.parquet(s"$workDir/documents.parquet")
+      (0 until waves).foreach { w =>
+        full.filter(col("wave") === w).drop("wave")
+          .repartition(4).write.mode("overwrite").parquet(s"$workDir/docs_waves/w$w")
+      }
+      commitSlice(docsMeta, docsFp)
+    }
+    val docsSlice = spark.read.parquet(s"$workDir/documents.parquet").drop("wave")
+    val nDocs = docsSlice.count()
+    val nSources = docsSlice.select("source").distinct().count()
+    val docWaveDirs = (0 until waves).map(w => s"$workDir/docs_waves/w$w")
+
+    val embFp = s"src=$src copies=$copies waves=$waves v2"
+    val embMeta = s"$workDir/emb_meta.txt"
+    if (!sliceIsCurrent(embMeta, embFp)) {
+      val emb = Tables.embeddings(spark, src)
+      (0 until copies).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * D_OFF))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$workDir/embeddings.parquet")
+      // the crawl-increment shape (d14): base = all but the last copy
+      // (its keepers are the stored artifact), the stream = the last
+      // copy's vectors, wave-sharded
+      val inc = spark.read.parquet(s"$workDir/embeddings.parquet")
+        .filter(col("vec_id") >= (copies - 1).toLong * D_OFF)
+        .withColumn("wave", pmod(hash(col("vec_id")), lit(waves)).cast("int"))
+      (0 until waves).foreach { w =>
+        inc.filter(col("wave") === w).drop("wave")
+          .repartition(2).write.mode("overwrite").parquet(s"$workDir/emb_waves/w$w")
+      }
+      commitSlice(embMeta, embFp)
+    }
+    val embSlice = spark.read.parquet(s"$workDir/embeddings.parquet")
+    val baseMax = (copies - 1).toLong * D_OFF
+    val embWaveDirs = (0 until waves).map(w => s"$workDir/emb_waves/w$w")
+
+    // ---- the deployed batch artifacts the streams run against --------
+    // (trained on the PIPELINE INPUT corpus — the full slice — matching
+    // the batch chain's decontaminateAgainst/benchmarkShingleHashes
+    // semantics)
+    val benchHashes = graft.data.TextOps.benchmarkShingleHashes(docsSlice)
+    val weights = graft.data.TextOps.dsirBucketWeightArray(docsSlice)
+    val bloomBits = graft.data.TextOps.benchBloomBits(docsSlice)
+    // The budget must ENGAGE (a pass-all run proves nothing), so derive
+    // it from the measured pre-gate pressure instead of guessing: the
+    // stream's quality/contamination/DSIR gates are spec-equal to the
+    // batch x16/x12/x50 frames, so the per-source gated token totals ARE
+    // the admission pressure. Budget = half the MINIMUM source's
+    // pressure ⇒ every source exhausts it mid-stream, and the first
+    // gated doc per source always admits, so neither direction can go
+    // vacuous. (The DSIR RESAMPLING gate is intentionally sparse — it
+    // keeps ~2^-u of docs — so a hand-picked "∝ corpus" constant sits
+    // above the real pressure and silently de-fangs the budget leg,
+    // which is exactly what the first r12 runs showed.)
+    val gatedTokensBySource = docsSlice
+      .join(graft.data.TextOps.filterFlags(docsSlice)
+        .select(col("doc_id"), col("keep")), "doc_id")
+      .join(graft.data.TextOps.importanceResample(docsSlice)
+        .select(col("doc_id"), col("accept")), "doc_id")
+      .join(graft.data.TextOps.decontaminate(docsSlice)
+        .select(col("doc_id"), col("is_contaminated")), "doc_id")
+      .join(graft.data.TextOps.tokenCount(docsSlice)
+        .select("doc_id", "bpe_tokens"), "doc_id")
+      .filter(col("keep") && col("accept") && !col("is_contaminated"))
+      .groupBy("source").agg(sum("bpe_tokens").as("t"))
+      .agg(min("t").as("mn"), max("t").as("mx")).collect()(0)
+    val (gatedMin, gatedMax) = (gatedTokensBySource.getLong(0),
+      gatedTokensBySource.getLong(1))
+    val budget = math.max(1L, gatedMin / 2)
+    val k = graft.data.VectorOps.autoCells(embSlice.filter(col("vec_id") < baseMax))
+    val cent = graft.data.VectorOps.convergedCentroids(
+      embSlice.filter(col("vec_id") < baseMax), k = k, maxIter = 8)
+    // keepers go THROUGH parquet (the deployment shape the scaladoc
+    // documents: "the static side is the stored keeper parquet re-read
+    // per micro-batch") — also required here: the in-session frame rides
+    // on SharedFrames localCheckpoints, which clear() drops while the
+    // stream would still re-plan it every batch
+    val keepersPath = s"$workDir/keepers.parquet"
+    graft.data.VectorOps.semBaseKeepers(
+      embSlice, baseMaxId = baseMax, k = k, maxIter = 8)
+      .write.mode("overwrite").parquet(keepersPath)
+    graft.data.SharedFrames.clear()
+    val keepers = spark.read.parquet(keepersPath)
+
+    // ---- replay every operator --------------------------------------
+    val results = Seq.newBuilder[(String, Seq[WaveStat], Long)]
+    def rehearse(name: String, dirs: Seq[String])(mk: DataFrame => DataFrame): Seq[WaveStat] = {
+      val (stats, outRows) = runOp(spark, name, dirs, workDir)(mk)
+      results += ((name, stats, outRows))
+      stats
+    }
+
+    val curStats = rehearse("curation_admission", docWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.curationAdmissionStream(
+        df, benchHashes, weights, budgetTokens = budget).toDF())
+    val qsStats = rehearse("qsketch_ingest", docWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.qsketchIngestStream(
+        df, k = 64, windowLength = "1 minute", watermarkDelay = "2 minutes"))
+    val semStats = rehearse("sem_ingest_dedup", embWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.semIngestDedup(df, cent, keepers))
+    val phStats = rehearse("phash_neardup", docWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.phashNearDupStream(
+        df.select("doc_id", "text")).toDF())
+    val blStats = rehearse("bloom_decontaminate", docWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.bloomDecontaminationStream(df, bloomBits))
+
+    // ---- gates --------------------------------------------------------
+    val fails = Seq.newBuilder[String]
+    val all = results.result()
+    all.foreach { case (op, stats, _) =>
+      stats.foreach { s =>
+        s.killers.foreach(x => fails += s"$op:w${s.wave}:$x")
+        s.bcasts.filter(_.bytes == -1L)
+          .foreach(_ => fails += s"$op:w${s.wave}:unmeasured_broadcast")
+        s.bcasts.filterNot(b => (b.rows >= 0 && b.rows <= BcastRowCap) ||
+            (b.bytes >= 0 && b.bytes <= BcastByteCap))
+          .foreach(b => fails += s"$op:w${s.wave}:broadcast_unbounded(" +
+            s"rows=${b.rows},bytes=${b.bytes},frame=${b.frame})")
+      }
+    }
+    // bounded-state contracts: FLAT across waves, not merely small at the
+    // end — a leak that doubles per wave would still look bounded on the
+    // last wave of a short rehearsal
+    def flat(op: String, stats: Seq[WaveStat], bound: Long): Unit = {
+      val mx = stats.map(_.stateRows).max
+      if (mx > bound) fails += s"$op:state_rows_unbounded($mx > $bound)"
+    }
+    flat("curation_admission", curStats, bound = nSources * 2)
+    // qsketch: open windows ≤ wave span/window + watermark horizon + the
+    // boundary window; ×2 slack for the hash spread of ts within a wave
+    val winPerWave = WaveUs / 60000000L
+    flat("qsketch_ingest", qsStats, bound = (winPerWave + 3) * nSources * 2)
+    // stateless contracts
+    Seq(("sem_ingest_dedup", semStats), ("bloom_decontaminate", blStats))
+      .foreach { case (op, st) =>
+        val mx = st.map(_.stateRows).max
+        if (mx != 0L) fails += s"$op:unexpected_state($mx rows)"
+      }
+    // phash: membership state grows with the DISTINCT corpus by design
+    // (pre-watermark-eviction contract) — gate the growth is ≤ its exact
+    // construction bound, 49 probe rows per arriving doc
+    var cum = 0L
+    phStats.foreach { s =>
+      cum += s.inputRows
+      if (s.stateRows > 49L * cum)
+        fails += s"phash_neardup:w${s.wave}:state_superlinear(${s.stateRows} > ${49L * cum})"
+    }
+    // every wave of every op must actually have ingested its shard
+    all.foreach { case (op, stats, _) =>
+      stats.filter(_.inputRows == 0L)
+        .foreach(s => fails += s"$op:w${s.wave}:empty_wave")
+    }
+    // the composed curation chain's gates must all ENGAGE at this scale
+    val verdicts = spark.table("sr_curation_admission")
+    def n(c: org.apache.spark.sql.Column): Long = verdicts.filter(c).count()
+    if (n(col("admitted")) == 0L) fails += "curation:nothing_admitted"
+    if (n(!col("keep_quality")) == 0L) fails += "curation:quality_vacuous"
+    if (n(col("is_contaminated")) == 0L) fails += "curation:decontamination_vacuous"
+    if (n(col("keep_quality") && !col("is_contaminated") &&
+        !col("dsir_admitted")) == 0L) fails += "curation:dsir_vacuous"
+    if (n(col("keep_quality") && !col("is_contaminated") &&
+        col("dsir_admitted") && !col("admitted")) == 0L)
+      fails += "curation:budget_vacuous"
+    if (verdicts.count() != nDocs) fails += "curation:verdict_count_mismatch"
+
+    val failList = fails.result()
+    val total = all.flatMap(_._2.map(_.wallSec)).sum
+    val json =
+      s"""{"metric":"stream_rehearsal","value":$total,"unit":"sec",""" +
+        s""""copies":$copies,"waves":$waves,"n_docs":$nDocs,""" +
+        s""""n_sources":$nSources,"n_base_vecs":${embSlice.filter(col("vec_id") < baseMax).count()},""" +
+        s""""budget_tokens":$budget,"gated_tokens_min_source":$gatedMin,""" +
+        s""""gated_tokens_max_source":$gatedMax,"src":"$src",""" +
+        s""""bcast_row_cap":$BcastRowCap,"bcast_byte_cap":$BcastByteCap,""" +
+        s""""ops":${
+          all.map { case (op, stats, outRows) =>
+            "\"" + op + "\":{\"out_rows\":" + outRows +
+              ",\"wall_sec\":" + stats.map(_.wallSec).sum +
+              ",\"state_rows_last\":" + stats.last.stateRows +
+              ",\"state_bytes_max\":" + stats.map(_.stateBytes).max +
+              ",\"waves\":[" + stats.map(_.json).mkString(",") + "]}"
+          }.mkString("{", ",", "}")},""" +
+        s""""gate_fails":[${failList.map("\"" + _ + "\"").mkString(",")}]}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
+    spark.stop()
+    if (failList.nonEmpty) {
+      System.err.println(s"[stream] GATE FAILURES: ${failList.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}
