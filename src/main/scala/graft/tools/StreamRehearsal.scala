@@ -306,10 +306,10 @@ object StreamRehearsal {
         s.killers.foreach(x => fails += s"$op:w${s.wave}:$x")
         s.bcasts.filter(_.bytes == -1L)
           .foreach(_ => fails += s"$op:w${s.wave}:unmeasured_broadcast")
-        s.bcasts.filterNot(b => (b.rows >= 0 && b.rows <= BcastRowCap) ||
-            (b.bytes >= 0 && b.bytes <= BcastByteCap))
+        s.bcasts.filterNot(PlanWalk.bounded(_, BcastRowCap, BcastByteCap))
           .foreach(b => fails += s"$op:w${s.wave}:broadcast_unbounded(" +
-            s"rows=${b.rows},bytes=${b.bytes},frame=${b.frame})")
+            s"rows=${b.rows},bytes=${b.bytes},content=${b.contentBytes}," +
+            s"frame=${b.frame})")
       }
     }
     // bounded-state contracts: FLAT across waves, not merely small at the
