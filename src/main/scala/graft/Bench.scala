@@ -72,6 +72,7 @@ object Bench {
     "x41_mixture_expand", "x42_cross_source_dups", "x43_dedup_mixture",
     "x44_shard_manifest", "x45_filter_agreement", "x47_cms_audit",
     "x49_quantile_sketch", "x50_importance_resample",
+    "x51_data_card_quantiles", "x52_bloom_decontaminate",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal", "m5_media_dedup", "m6_phash_neardup",
     "m7_cdc_chunks")
