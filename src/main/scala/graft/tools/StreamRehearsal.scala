@@ -228,6 +228,20 @@ object StreamRehearsal {
     val baseMax = (copies - 1).toLong * D_OFF
     val embWaveDirs = (0 until waves).map(w => s"$workDir/emb_waves/w$w")
 
+    // Which chains to replay (default: all five). The 100× point runs
+    // with phash_neardup EXCLUDED and documented at its 10× point: a
+    // near-dup PAIR stream's output is quadratic in duplicate
+    // multiplicity (the slice's verbatim copies collide by design —
+    // 9.5M pairs at 10× would be ~100× that at 100×), which is exactly
+    // why the batch dedup family reports clusters/keepers at scale, not
+    // pairs; the stream form documents the same contract.
+    val allOps = Seq("curation_admission", "qsketch_ingest",
+      "sem_ingest_dedup", "phash_neardup", "bloom_decontaminate")
+    val opsSel: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(allOps.toSet)
+    require(opsSel.subsetOf(allOps.toSet), s"unknown ops: ${opsSel -- allOps}")
+
     // ---- the deployed batch artifacts the streams run against --------
     // (trained on the PIPELINE INPUT corpus — the full slice — matching
     // the batch chain's decontaminateAgainst/benchmarkShingleHashes
@@ -246,43 +260,54 @@ object StreamRehearsal {
     // keeps ~2^-u of docs — so a hand-picked "∝ corpus" constant sits
     // above the real pressure and silently de-fangs the budget leg,
     // which is exactly what the first r12 runs showed.)
-    val gatedTokensBySource = docsSlice
-      .join(graft.data.TextOps.filterFlags(docsSlice)
-        .select(col("doc_id"), col("keep")), "doc_id")
-      .join(graft.data.TextOps.importanceResample(docsSlice)
-        .select(col("doc_id"), col("accept")), "doc_id")
-      .join(graft.data.TextOps.decontaminate(docsSlice)
-        .select(col("doc_id"), col("is_contaminated")), "doc_id")
-      .join(graft.data.TextOps.tokenCount(docsSlice)
-        .select("doc_id", "bpe_tokens"), "doc_id")
-      .filter(col("keep") && col("accept") && !col("is_contaminated"))
-      .groupBy("source").agg(sum("bpe_tokens").as("t"))
-      .agg(min("t").as("mn"), max("t").as("mx")).collect()(0)
-    val (gatedMin, gatedMax) = (gatedTokensBySource.getLong(0),
-      gatedTokensBySource.getLong(1))
+    val (gatedMin, gatedMax) =
+      if (!opsSel("curation_admission")) (-1L, -1L)
+      else {
+        val r = docsSlice
+          .join(graft.data.TextOps.filterFlags(docsSlice)
+            .select(col("doc_id"), col("keep")), "doc_id")
+          .join(graft.data.TextOps.importanceResample(docsSlice)
+            .select(col("doc_id"), col("accept")), "doc_id")
+          .join(graft.data.TextOps.decontaminate(docsSlice)
+            .select(col("doc_id"), col("is_contaminated")), "doc_id")
+          .join(graft.data.TextOps.tokenCount(docsSlice)
+            .select("doc_id", "bpe_tokens"), "doc_id")
+          .filter(col("keep") && col("accept") && !col("is_contaminated"))
+          .groupBy("source").agg(sum("bpe_tokens").as("t"))
+          .agg(min("t").as("mn"), max("t").as("mx")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
     val budget = math.max(1L, gatedMin / 2)
-    val k = graft.data.VectorOps.autoCells(embSlice.filter(col("vec_id") < baseMax))
-    val cent = graft.data.VectorOps.convergedCentroids(
-      embSlice.filter(col("vec_id") < baseMax), k = k, maxIter = 8)
     // keepers go THROUGH parquet (the deployment shape the scaladoc
     // documents: "the static side is the stored keeper parquet re-read
     // per micro-batch") — also required here: the in-session frame rides
     // on SharedFrames localCheckpoints, which clear() drops while the
     // stream would still re-plan it every batch
-    val keepersPath = s"$workDir/keepers.parquet"
-    graft.data.VectorOps.semBaseKeepers(
-      embSlice, baseMaxId = baseMax, k = k, maxIter = 8)
-      .write.mode("overwrite").parquet(keepersPath)
+    val (cent, keepers) =
+      if (!opsSel("sem_ingest_dedup")) (Nil, null)
+      else {
+        val k = graft.data.VectorOps.autoCells(
+          embSlice.filter(col("vec_id") < baseMax))
+        val c = graft.data.VectorOps.convergedCentroids(
+          embSlice.filter(col("vec_id") < baseMax), k = k, maxIter = 8)
+        val keepersPath = s"$workDir/keepers.parquet"
+        graft.data.VectorOps.semBaseKeepers(
+          embSlice, baseMaxId = baseMax, k = k, maxIter = 8)
+          .write.mode("overwrite").parquet(keepersPath)
+        (c, spark.read.parquet(keepersPath))
+      }
     graft.data.SharedFrames.clear()
-    val keepers = spark.read.parquet(keepersPath)
 
-    // ---- replay every operator --------------------------------------
+    // ---- replay every selected operator -------------------------------
     val results = Seq.newBuilder[(String, Seq[WaveStat], Long)]
-    def rehearse(name: String, dirs: Seq[String])(mk: DataFrame => DataFrame): Seq[WaveStat] = {
-      val (stats, outRows) = runOp(spark, name, dirs, workDir)(mk)
-      results += ((name, stats, outRows))
-      stats
-    }
+    def rehearse(name: String, dirs: Seq[String])
+        (mk: DataFrame => DataFrame): Option[Seq[WaveStat]] =
+      if (!opsSel(name)) None
+      else {
+        val (stats, outRows) = runOp(spark, name, dirs, workDir)(mk)
+        results += ((name, stats, outRows))
+        Some(stats)
+      }
 
     val curStats = rehearse("curation_admission", docWaveDirs)(df =>
       graft.streaming.StreamingAnalytics.curationAdmissionStream(
@@ -319,22 +344,25 @@ object StreamRehearsal {
       val mx = stats.map(_.stateRows).max
       if (mx > bound) fails += s"$op:state_rows_unbounded($mx > $bound)"
     }
-    flat("curation_admission", curStats, bound = nSources * 2)
+    curStats.foreach(flat("curation_admission", _, bound = nSources * 2))
     // qsketch: open windows ≤ wave span/window + watermark horizon + the
     // boundary window; ×2 slack for the hash spread of ts within a wave
     val winPerWave = WaveUs / 60000000L
-    flat("qsketch_ingest", qsStats, bound = (winPerWave + 3) * nSources * 2)
+    qsStats.foreach(flat("qsketch_ingest", _,
+      bound = (winPerWave + 3) * nSources * 2))
     // stateless contracts
     Seq(("sem_ingest_dedup", semStats), ("bloom_decontaminate", blStats))
-      .foreach { case (op, st) =>
-        val mx = st.map(_.stateRows).max
-        if (mx != 0L) fails += s"$op:unexpected_state($mx rows)"
+      .foreach { case (op, stOpt) =>
+        stOpt.foreach { st =>
+          val mx = st.map(_.stateRows).max
+          if (mx != 0L) fails += s"$op:unexpected_state($mx rows)"
+        }
       }
     // phash: membership state grows with the DISTINCT corpus by design
     // (pre-watermark-eviction contract) — gate the growth is ≤ its exact
     // construction bound, 49 probe rows per arriving doc
     var cum = 0L
-    phStats.foreach { s =>
+    phStats.getOrElse(Nil).foreach { s =>
       cum += s.inputRows
       if (s.stateRows > 49L * cum)
         fails += s"phash_neardup:w${s.wave}:state_superlinear(${s.stateRows} > ${49L * cum})"
@@ -345,17 +373,19 @@ object StreamRehearsal {
         .foreach(s => fails += s"$op:w${s.wave}:empty_wave")
     }
     // the composed curation chain's gates must all ENGAGE at this scale
-    val verdicts = spark.table("sr_curation_admission")
-    def n(c: org.apache.spark.sql.Column): Long = verdicts.filter(c).count()
-    if (n(col("admitted")) == 0L) fails += "curation:nothing_admitted"
-    if (n(!col("keep_quality")) == 0L) fails += "curation:quality_vacuous"
-    if (n(col("is_contaminated")) == 0L) fails += "curation:decontamination_vacuous"
-    if (n(col("keep_quality") && !col("is_contaminated") &&
-        !col("dsir_admitted")) == 0L) fails += "curation:dsir_vacuous"
-    if (n(col("keep_quality") && !col("is_contaminated") &&
-        col("dsir_admitted") && !col("admitted")) == 0L)
-      fails += "curation:budget_vacuous"
-    if (verdicts.count() != nDocs) fails += "curation:verdict_count_mismatch"
+    if (curStats.isDefined) {
+      val verdicts = spark.table("sr_curation_admission")
+      def n(c: org.apache.spark.sql.Column): Long = verdicts.filter(c).count()
+      if (n(col("admitted")) == 0L) fails += "curation:nothing_admitted"
+      if (n(!col("keep_quality")) == 0L) fails += "curation:quality_vacuous"
+      if (n(col("is_contaminated")) == 0L) fails += "curation:decontamination_vacuous"
+      if (n(col("keep_quality") && !col("is_contaminated") &&
+          !col("dsir_admitted")) == 0L) fails += "curation:dsir_vacuous"
+      if (n(col("keep_quality") && !col("is_contaminated") &&
+          col("dsir_admitted") && !col("admitted")) == 0L)
+        fails += "curation:budget_vacuous"
+      if (verdicts.count() != nDocs) fails += "curation:verdict_count_mismatch"
+    }
 
     val failList = fails.result()
     val total = all.flatMap(_._2.map(_.wallSec)).sum
