@@ -42,6 +42,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     documented pre-watermark-eviction contract
   *   - bloom_decontaminate — the r12 fixed-size-literal gate; ZERO state,
   *     narrow projection
+  *   - lm_quality_admission (tier 2) — the ONLY stream-static join in
+  *     the family whose static side is CORPUS-SCALED (the stored bigram
+  *     model, ~5M rows at 10×): static planning must keep it off the
+  *     broadcast class; per-doc groups close in-batch, zero carried state
+  *   - eval_contamination (tier 2) — stream-static join against the
+  *     benchmark window-hash set; zero carried state
+  *   - cms_ingest (tier 2) — the d·w windowed sketch grid; state FLAT at
+  *     O(cells × open windows) regardless of vocabulary or stream length
+  *   - activity_admission (tier 2) — the watched-set monitor over a 10×
+  *     events slice replayed in EVENT-TIME order (waves = time octiles);
+  *     watch set bounded by configuration (its deployment contract),
+  *     state stationary under a stationary feed
   *
   * Gates (exit 1): any cartesian/unbounded-BNLJ flip in any wave's plan;
   * any unmeasured broadcast; any broadcast failing the two-arm
@@ -228,7 +240,7 @@ object StreamRehearsal {
     val baseMax = (copies - 1).toLong * D_OFF
     val embWaveDirs = (0 until waves).map(w => s"$workDir/emb_waves/w$w")
 
-    // Which chains to replay (default: all five). The 100× point runs
+    // Which chains to replay (default: all nine). The 100× point runs
     // with phash_neardup EXCLUDED and documented at its 10× point: a
     // near-dup PAIR stream's output is quadratic in duplicate
     // multiplicity (the slice's verbatim copies collide by design —
@@ -236,7 +248,12 @@ object StreamRehearsal {
     // why the batch dedup family reports clusters/keepers at scale, not
     // pairs; the stream form documents the same contract.
     val allOps = Seq("curation_admission", "qsketch_ingest",
-      "sem_ingest_dedup", "phash_neardup", "bloom_decontaminate")
+      "sem_ingest_dedup", "phash_neardup", "bloom_decontaminate",
+      // tier 2 (r12): the stream-static joins against CORPUS-SCALED
+      // model tables (lm), the benchmark window set (eval), the
+      // windowed CMS grid, and the watched-set activity monitor
+      "lm_quality_admission", "eval_contamination", "cms_ingest",
+      "activity_admission")
     val opsSel: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(allOps.toSet)
@@ -296,6 +313,105 @@ object StreamRehearsal {
           .write.mode("overwrite").parquet(keepersPath)
         (c, spark.read.parquet(keepersPath))
       }
+    // ---- tier-2 batch artifacts (through parquet: the deployment shape
+    // AND a SharedFrames-safety requirement — the in-session model
+    // frames ride on localCheckpoints that clear() drops while a stream
+    // re-plans its static side every batch) ----------------------------
+    // lm: the stored bigram model is CORPUS-SCALED (~5M rows at 10×) —
+    // this is the one stream-static join in the family whose static side
+    // grows with the corpus, which is exactly why it belongs in the
+    // rehearsal: static planning must keep it a shuffle-side join (or a
+    // measured broadcast below cap), never a forced corpus broadcast.
+    val (lmBi, lmUni, lmThr) =
+      if (!opsSel("lm_quality_admission")) (null, null, 0.0)
+      else {
+        val (bi, uniB) = graft.data.TextOps.bigramLmModel(docsSlice)
+        bi.write.mode("overwrite").parquet(s"$workDir/lm_bi.parquet")
+        uniB.write.mode("overwrite").parquet(s"$workDir/lm_uni.parquet")
+        // threshold at the corpus median ⇒ the admission gate provably
+        // engages in BOTH directions (the budget-derivation lesson)
+        val thr = graft.data.TextOps.bigramSurprisal(docsSlice)
+          .select(expr(
+            "percentile_approx(bits_q / n_bigrams / 1048576e0, 0.5)"))
+          .collect()(0).getDouble(0)
+        (spark.read.parquet(s"$workDir/lm_bi.parquet"),
+          spark.read.parquet(s"$workDir/lm_uni.parquet"), thr)
+      }
+    val benchWins =
+      if (!opsSel("eval_contamination")) null
+      else {
+        graft.data.TextOps.evalBenchmarkWindows(docsSlice)
+          .write.mode("overwrite").parquet(s"$workDir/bench_windows.parquet")
+        spark.read.parquet(s"$workDir/bench_windows.parquet")
+      }
+    // activity: a 10× events slice replayed in EVENT-TIME order (waves =
+    // time octiles — an admission monitor consumes an ordered feed), the
+    // watch set BOUNDED by configuration (30 watched users), which is
+    // the operator's documented deployment contract: the monitor scores
+    // arrivals against a stored watch list, never corpus × corpus.
+    val (evtWaveDirs, qprof, evtT0, evtSpan, actThr, actWin) =
+      if (!opsSel("activity_admission"))
+        (Seq.empty[String], null, 0L, 1L, 0L, "1 minute")
+      else {
+        val U_OFF = 1000000L // multiple of 5: shifted ids keep the %5 rule
+        val evtFp = s"src=$src copies=$copies waves=$waves v1"
+        val evtMeta = s"$workDir/evt_meta.txt"
+        if (!sliceIsCurrent(evtMeta, evtFp)) {
+          val base = Tables.events(spark, src).select("user_id", "ts_us")
+          (0 until copies).map { i =>
+            base.withColumn("user_id", col("user_id") + lit(i * U_OFF))
+          }.reduce(_ unionByName _)
+            .repartition(32).write.mode("overwrite")
+            .parquet(s"$workDir/evt_events.parquet")
+          commitSlice(evtMeta, evtFp)
+        }
+        val ev = spark.read.parquet(s"$workDir/evt_events.parquet")
+        val mm = ev.agg(min("ts_us"), max("ts_us")).collect()(0)
+        val (t0e, t1e) = (mm.getLong(0), mm.getLong(1))
+        val spanUs = t1e - t0e + 1
+        val wavesFp = s"$evtFp t0=$t0e"
+        val wavesMeta = s"$workDir/evt_waves_meta.txt"
+        if (!sliceIsCurrent(wavesMeta, wavesFp)) {
+          val withWave = ev.withColumn("wave", least(
+            floor((col("ts_us") - lit(t0e)) * waves / lit(spanUs)),
+            lit(waves - 1)).cast("int"))
+          (0 until waves).foreach { w =>
+            withWave.filter(col("wave") === w).drop("wave")
+              .repartition(4).write.mode("overwrite")
+              .parquet(s"$workDir/evt_waves/w$w")
+          }
+          commitSlice(wavesMeta, wavesFp)
+        }
+        // the q32 sparse profile of the WATCHED users only (ids ≡ 0
+        // mod 500 — ~3 per copy), stored as the deployment artifact
+        val sparse = ev
+          .withColumn("bucket",
+            expr(s"((ts_us - ${t0e}L) * 64) div ${spanUs}L"))
+          .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+        sparse.filter(col("user_id") % 5 === 0 && col("user_id") % 500 === 0)
+          .select(col("user_id").as("q_user"), col("bucket"),
+            col("n").as("q_n"))
+          .write.mode("overwrite").parquet(s"$workDir/qprof.parquet")
+        val qp = spark.read.parquet(s"$workDir/qprof.parquet")
+        // window = span/32 (≥ 4 windows per wave, so closed windows must
+        // evict within the run), expressed in minutes for the duration
+        val winMin = math.max(1L, spanUs / 32 / 60000000L)
+        // flag threshold at the median PER-WINDOW dot — the exact
+        // quantity the stream emits (a full-span median sits ~32× above
+        // every windowed dot and silently un-engages the flag, which is
+        // what the first r12 tier-2 run showed) ⇒ both verdicts occur
+        val thr = ev
+          .withColumn("bucket",
+            expr(s"((ts_us - ${t0e}L) * 64) div ${spanUs}L"))
+          .withColumn("w", expr(s"ts_us div ${winMin * 60000000L}L"))
+          .join(qp, "bucket")
+          .filter(col("user_id") =!= col("q_user"))
+          .groupBy("w", "user_id", "q_user").agg(sum("q_n").as("dot"))
+          .select(expr("percentile_approx(dot, 0.5)")).collect()(0).getLong(0)
+        (0 until waves).map(w => s"$workDir/evt_waves/w$w").toSeq match {
+          case dirs => (dirs, qp, t0e, spanUs, thr, s"$winMin minutes")
+        }
+      }
     graft.data.SharedFrames.clear()
 
     // ---- replay every selected operator -------------------------------
@@ -322,6 +438,24 @@ object StreamRehearsal {
         df.select("doc_id", "text")).toDF())
     val blStats = rehearse("bloom_decontaminate", docWaveDirs)(df =>
       graft.streaming.StreamingAnalytics.bloomDecontaminationStream(df, bloomBits))
+    val lmStats = rehearse("lm_quality_admission", docWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.lmQualityAdmissionStream(
+        df.select("doc_id", "text"), lmBi, lmUni,
+        oovBits = 99L << 20, maxBitsPerBigram = lmThr).toDF())
+    val evStats = rehearse("eval_contamination", docWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.evalContaminationStream(
+        // the benchmark docs are the GATE side, not the feed — the batch
+        // audit's domain (x39 reports training docs only)
+        df.filter(col("doc_id") >= 10).select("doc_id", "text"),
+        benchWins).toDF())
+    val cmsStats = rehearse("cms_ingest", docWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.cmsIngestStream(
+        df, windowLength = "1 minute", watermarkDelay = "2 minutes"))
+    val actStats = rehearse("activity_admission", evtWaveDirs)(df =>
+      graft.streaming.StreamingAnalytics.activityAdmissionStream(
+        df, qprof, t0Us = evtT0, spanUs = evtSpan,
+        dotThreshold = actThr, windowLength = actWin,
+        watermarkDelay = actWin))
 
     // ---- gates --------------------------------------------------------
     val fails = Seq.newBuilder[String]
@@ -350,8 +484,23 @@ object StreamRehearsal {
     val winPerWave = WaveUs / 60000000L
     qsStats.foreach(flat("qsketch_ingest", _,
       bound = (winPerWave + 3) * nSources * 2))
-    // stateless contracts
-    Seq(("sem_ingest_dedup", semStats), ("bloom_decontaminate", blStats))
+    // cms: the sketch grid is d·w cells per open window — the whole point
+    // of CMS is that this never grows with vocabulary or stream length
+    cmsStats.foreach(flat("cms_ingest", _,
+      bound = (winPerWave + 3) * 4 * 64 * 2))
+    // activity: state = (open windows × active users × matched WATCHED
+    // users) — bounded by the watermark horizon and the configured watch
+    // set, so across a stationary feed it must be stationary: the worst
+    // late-half wave may not exceed 2× the worst early-half wave
+    actStats.foreach { st =>
+      val (early, late) = st.map(_.stateRows).splitAt(st.size / 2)
+      if (late.max > early.max * 2)
+        fails += s"activity_admission:state_drift(${early.max} -> ${late.max})"
+    }
+    // stateless contracts (lm/eval groups close within their own batch:
+    // a document is one input row, nothing is carried)
+    Seq(("sem_ingest_dedup", semStats), ("bloom_decontaminate", blStats),
+      ("lm_quality_admission", lmStats), ("eval_contamination", evStats))
       .foreach { case (op, stOpt) =>
         stOpt.foreach { st =>
           val mx = st.map(_.stateRows).max
@@ -385,6 +534,26 @@ object StreamRehearsal {
           col("dsir_admitted") && !col("admitted")) == 0L)
         fails += "curation:budget_vacuous"
       if (verdicts.count() != nDocs) fails += "curation:verdict_count_mismatch"
+    }
+    // tier-2 engagement: every gate must fire in BOTH directions — a
+    // monitor that only ever says yes (or no) at this scale proves nothing
+    if (lmStats.isDefined) {
+      val lm = spark.table("sr_lm_quality_admission")
+      if (lm.filter(col("admitted")).count() == 0L ||
+          lm.filter(!col("admitted")).count() == 0L)
+        fails += "lm:admission_vacuous"
+    }
+    if (evStats.isDefined) {
+      val ev = spark.table("sr_eval_contamination")
+      if (ev.filter(col("n_hit_windows") > 0).count() == 0L ||
+          ev.filter(col("n_hit_windows") === 0).count() == 0L)
+        fails += "eval:contamination_vacuous"
+    }
+    if (actStats.isDefined) {
+      val act = spark.table("sr_activity_admission")
+      if (act.filter(col("flagged")).count() == 0L ||
+          act.filter(!col("flagged")).count() == 0L)
+        fails += "activity:flag_vacuous"
     }
 
     val failList = fails.result()
