@@ -81,5 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantileSketch].getName, "graft_qsketch"),
       (children: Seq[Expression]) =>
         QuantileSketch(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_hits"),
+      new ExpressionInfo(classOf[BloomHits].getName, "graft_bloom_hits"),
+      (children: Seq[Expression]) =>
+        BloomHits(children(0), children(1), children(2), children(3))))
   }
 }

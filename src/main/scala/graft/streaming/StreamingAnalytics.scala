@@ -441,17 +441,31 @@ object StreamingAnalytics {
     * No false negatives by construction — the filter can only over-drop,
     * never admit a truly contaminated doc. Zero joins, zero shuffles,
     * zero state: a narrow projection, append-compatible, composable in
-    * front of any admission chain. The HOF probe runs interpreted (the
-    * price of lambda bit-tests); per row it is O(shingles · kHash) md5s
-    * against O(|bench|) for the exact literal — the trade that wins from
-    * ~10³ benchmark shingles up. A doc whose id is in the benchmark set
-    * flags unconditionally (the [[curationAdmissionStream]] discipline —
-    * a sub-3-word bench doc has no shingles to probe). */
+    * front of any admission chain. The probe runs as the NATIVE
+    * [[graft.functions.BloomHits]] expression (r12): O(shingles · kHash)
+    * md5s per row against O(|bench|) for the exact literal — the trade
+    * that wins from ~10³ benchmark shingles up — with none of the
+    * interpreted-lambda machinery the original HOF formulation paid
+    * (~1 ms/doc → ~0.02 ms/doc measured at the rehearsal points;
+    * BloomHitsSpec pins the two forms value-identical). A doc whose id
+    * is in the benchmark set flags unconditionally (the
+    * [[curationAdmissionStream]] discipline — a sub-3-word bench doc has
+    * no shingles to probe). */
   def bloomDecontaminationStream(docs: DataFrame, bloomBits: Seq[Long],
       kHash: Int = 3, benchMaxId: Long = 10): DataFrame = {
     require(bloomBits.nonEmpty, "empty Bloom bitmask")
     val mBits = bloomBits.size * 64
-    val hexp = graft.data.TextOps.hex13NumFragment("h")
+    // the probe runs as the NATIVE expression (r12,
+    // [[graft.functions.BloomHits]]): identical math to the SQL
+    // higher-order-function form — BloomHitsSpec pins them equal
+    // value-for-value on random corpora — minus the interpreted lambda
+    // trees and the 13-substring hex13 re-parse per hash, which
+    // dominated the gate's per-doc cost (~1 ms/doc at the 10× point)
+    // call_function resolves the session-registered expression by name;
+    // array(lit…) is a CreateArray of literals — FOLDABLE, which the
+    // expression requires so it materializes the filter words once
+    val probe = call_function("graft_bloom_hits", col("shs"),
+      array(bloomBits.map(w => lit(w)): _*), lit(kHash), lit(mBits))
     docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("shs", expr(
@@ -459,14 +473,7 @@ object StreamingAnalytics {
            array_distinct(transform(sequence(1, size(ws) - 2),
              i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
                             element_at(ws, i + 2)))))"""))
-      .withColumn("__bloom", typedLit(bloomBits))
-      .withColumn("n_bloom_hits", expr(
-        s"""CAST(size(filter(shs, sh ->
-              forall(transform(transform(sequence(0, ${kHash - 1}),
-                       j -> md5(concat(CAST(j AS STRING), ':', sh))),
-                     h -> ($hexp) % $mBits),
-                p -> (shiftright(element_at(__bloom, CAST(p DIV 64 AS INT) + 1),
-                      CAST(p % 64 AS INT)) & 1) = 1))) AS BIGINT)"""))
+      .withColumn("n_bloom_hits", probe)
       .select(col("doc_id"),
         expr("CAST(size(shs) AS BIGINT)").as("n_sh"),
         col("n_bloom_hits"),
