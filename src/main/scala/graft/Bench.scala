@@ -75,7 +75,7 @@ object Bench {
     "x51_data_card_quantiles", "x52_bloom_decontaminate",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal", "m5_media_dedup", "m6_phash_neardup",
-    "m7_cdc_chunks")
+    "m7_cdc_chunks", "m8_phash_keepers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

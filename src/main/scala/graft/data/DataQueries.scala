@@ -114,7 +114,8 @@ object DataQueries {
     "m4_pack_multimodal" -> docs(MultimodalOps.packMultimodal(_)),
     "m5_media_dedup" -> docs(MultimodalOps.mediaDedup(_).orderBy("doc_id")),
     "m6_phash_neardup" -> docs(MultimodalOps.phashNearDup),
-    "m7_cdc_chunks" -> docs(MultimodalOps.cdcChunks(_))
+    "m7_cdc_chunks" -> docs(MultimodalOps.cdcChunks(_)),
+    "m8_phash_keepers" -> docs(MultimodalOps.phashKeepers)
   )
 
   // ---- DuckDB oracle --------------------------------------------------
@@ -1815,6 +1816,40 @@ ORDER BY stage"""),
              CAST(bit_count(xor(p.ph_a, r.phash)) AS INT) AS hamming
       FROM pr p JOIN ph r ON p.probe = r.phash AND p.doc_a < r.doc_id
       ORDER BY doc_a, doc_b""",
+    // m6's scale-safe keeper view: keeper = least doc_id within
+    // hamming <= 1 among ids <= own (self when no earlier neighbor).
+    // The oracle states the semantics directly as the all-pairs left
+    // join; the Spark side computes it multiplicity-collapsed over
+    // distinct phash groups — same view by construction.
+    "m8_phash_keepers" -> """
+      WITH lw AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) AS BIGINT)) AS lens
+        FROM documents
+      ), st AS (
+        SELECT doc_id, lens, CAST(len(lens) AS BIGINT) AS n,
+               CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS tot,
+               CAST((len(lens) + 47) // 48 AS BIGINT) AS blk
+        FROM lw
+      ), ph AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(0, 47), b ->
+            CASE WHEN CAST(coalesce(list_sum(list_transform(
+                        generate_series(b * blk + 1, least((b + 1) * blk, n)),
+                        i -> lens[CAST(i AS INT)])), 0) AS BIGINT) * n
+                      > tot * greatest(least((b + 1) * blk, n) - b * blk, 0)
+                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        FROM st
+      )
+      SELECT d.doc_id,
+             coalesce(min(a.doc_id), d.doc_id) AS keeper,
+             min(a.doc_id) IS NOT NULL AS is_dup
+      FROM ph d LEFT JOIN ph a
+        ON a.doc_id < d.doc_id AND bit_count(xor(a.phash, d.phash)) <= 1
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id""",
     // content-defined chunking: boundary where the 3-token rolling hash
     // hits 0 mod 8; chunk identity = md5 of the chunk text
     "m7_cdc_chunks" -> s"""

@@ -289,6 +289,50 @@ object MultimodalOps {
                 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""))
     .select("doc_id", "phash")
 
+  /** Near-dup KEEPER assignment — m6's scale-safe report form (VERDICT
+    * r12 #2): one row per asset, `keeper` = the least doc_id within
+    * hamming ≤ 1 of the asset among ids ≤ its own (itself when no
+    * earlier neighbor exists). The pair report ([[phashNearDup]]) is
+    * quadratic in duplicate multiplicity — a corpus with thousand-copy
+    * assets emits millions of pair rows; the keeper view is LINEAR in
+    * assets no matter how hot the duplicate groups get, which is the
+    * form the batch dedup family (d6/x24) already reports at scale.
+    *
+    * Multiplicity-collapsed plan: collapse to DISTINCT phash groups
+    * first (groupBy phash → group min), run the 49-probe join on the
+    * GROUP table (its size is the distinct-hash count, not the corpus),
+    * take each group's neighborhood minimum, then one hash join back
+    * onto the assets. A doc's keeper is its group's neighborhood min
+    * when that min is an earlier id, else itself — no member-level pair
+    * is ever materialized. The streaming twin
+    * ([[graft.streaming.StreamingAnalytics.phashKeeperStream]]) computes
+    * the same view incrementally and is spec-pinned equal to this on
+    * id-ordered replays. */
+  def phashKeepers(documents: DataFrame): DataFrame = {
+    val sigs = withPhash(documents)
+      .persist() // group side and assignment side share the hashing scan
+    val groups = sigs.groupBy("phash").agg(min("doc_id").as("g_min"))
+      .persist() // probe side and raw side share the group collapse
+    val probes = groups
+      .withColumn("j", explode(sequence(lit(0), lit(48))))
+      .withColumn("probe", expr(
+        "CASE WHEN j = 48 THEN phash ELSE CAST(phash ^ shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) END"))
+      .select(col("phash").as("ph_a"), col("probe"))
+    val raw = groups.select(col("phash").as("ph_b"), col("g_min").as("min_b"))
+    // neighborhood minimum per group: every hamming ≤ 1 group pair meets
+    // on a probe (identity probe covers self, flip probes the ham-1
+    // neighbors, both directions), so min(min_b) over the join IS the
+    // min doc_id across the group's whole ≤1-ball
+    val cand = probes.join(raw, col("probe") === col("ph_b"))
+      .groupBy(col("ph_a").as("phash")).agg(min("min_b").as("cand"))
+    sigs.join(cand, Seq("phash")) // inner: the identity probe guarantees a row
+      .select(col("doc_id"),
+        when(col("cand") < col("doc_id"), col("cand"))
+          .otherwise(col("doc_id")).as("keeper"),
+        (col("cand") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   def phashNearDup(documents: DataFrame): DataFrame = {
     val sigs = withPhash(documents)
       .persist() // probe side and raw side share the hashing scan

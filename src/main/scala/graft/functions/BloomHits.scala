@@ -53,13 +53,20 @@ case class BloomHits(shingles: Expression, bits: Expression,
         else {
           val k = kHash.eval().asInstanceOf[Number].intValue()
           val m = mBits.eval().asInstanceOf[Number].intValue()
-          val nWords = Option(bits.eval())
-            .map(_.asInstanceOf[ArrayData].numElements()).getOrElse(-1)
+          val bitsArr = Option(bits.eval()).map(_.asInstanceOf[ArrayData])
+          val nWords = bitsArr.map(_.numElements()).getOrElse(-1)
+          val nullWords = bitsArr.map { a =>
+            (0 until a.numElements()).count(a.isNullAt)
+          }.getOrElse(0)
           if (k < 1) TypeCheckFailure(s"$prettyName: kHash must be >= 1, got $k")
           else if (m < 64 || m % 64 != 0)
             TypeCheckFailure(s"$prettyName: mBits must be a positive multiple of 64, got $m")
           else if (nWords != m / 64)
             TypeCheckFailure(s"$prettyName: bits must hold mBits/64 = ${m / 64} words, got $nWords")
+          else if (nullWords > 0)
+            // caught here so a malformed filter literal fails at analysis
+            // time, not as toLongArray()'s opaque executor-side NPE
+            TypeCheckFailure(s"$prettyName: bits must not contain null elements, got $nullWords")
           else TypeCheckSuccess
         }
       case _ => TypeCheckFailure(

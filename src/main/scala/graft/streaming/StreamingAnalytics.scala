@@ -370,6 +370,77 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class PhashProbeRow(bucket: Long, doc_id: Long, phash: Long,
+      is_id: Boolean)
+  final case class PhashKeeper(doc_id: Long, keeper: Long, is_dup: Boolean)
+
+  /** Streaming perceptual-hash KEEPER assignment — the scale-safe form of
+    * [[phashNearDupStream]] (VERDICT r12 #2) and the continuous twin of
+    * the batch [[graft.data.MultimodalOps.phashKeepers]] (m8): one output
+    * row per arriving asset, `keeper` = the least doc_id within
+    * hamming ≤ 1 seen so far (itself when none) — output LINEAR in
+    * arrivals no matter how hot the duplicate groups get, where the pair
+    * stream's output is quadratic in duplicate multiplicity (9.5M pairs
+    * on the 10× rehearsal copy-slice).
+    *
+    * Mechanics: every asset registers its phash GROUP MINIMUM under its
+    * 49 probe buckets (identity + one-bit flips, the d7 trick), so any
+    * asset's IDENTITY bucket holds the group minima of its entire
+    * hamming ≤ 1 ball among groups seen so far — the identity-bucket row
+    * alone decides the keeper (one emission per asset); flip-bucket rows
+    * are registration-only. Per-bucket state is a (phash → min doc_id)
+    * map with AT MOST 49 entries (only hashes within one bit of the
+    * bucket value can register there), so state COLLAPSES under
+    * duplicate multiplicity: a thousand-copy asset costs the same one
+    * entry per bucket as a singleton — state scales with DISTINCT
+    * hashes, the pair stream's member lists scaled with the corpus.
+    *
+    * Determinism contract (spec-pinned): fed in doc_id order — under any
+    * micro-batch split; in-batch rows are sorted by id before folding —
+    * the emitted view equals batch m8 exactly: at d's arrival the bucket
+    * holds every neighbor group's GLOBAL minimum among ids < d. Under an
+    * arbitrary arrival order it degrades gracefully to the admission
+    * contract (keeper = earliest-seen ≤1-ball representative, always a
+    * real neighbor or self), the d14/semIngestDedup discipline. */
+  def phashKeeperStream(docs: DataFrame): Dataset[PhashKeeper] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probes = graft.data.MultimodalOps.withPhash(docs)
+      .withColumn("j", explode(sequence(lit(0), lit(48))))
+      .withColumn("bucket", expr(
+        "CASE WHEN j = 48 THEN phash ELSE CAST(phash ^ shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) END"))
+      .select(col("bucket"), col("doc_id"), col("phash"),
+        (col("j") === 48).as("is_id"))
+      .as[PhashProbeRow]
+    def fn(bucket: Long, rows: Iterator[PhashProbeRow],
+        state: GroupState[Map[Long, Long]]): Iterator[PhashKeeper] = {
+      var mins = state.getOption.getOrElse(Map.empty[Long, Long])
+      val out = Seq.newBuilder[PhashKeeper]
+      // id-sorted fold: a same-batch earlier id registers before a later
+      // id's identity row reads the map, so batch splits can't change
+      // the id-ordered result
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (r.is_id) {
+          // entries are within one bit of the bucket value by
+          // construction, but flip-meets-flip entries sit at hamming 2
+          // from r — re-check the exact pair predicate like the batch
+          var cand = r.doc_id
+          mins.foreach { case (ph, m) =>
+            if (java.lang.Long.bitCount(ph ^ r.phash) <= 1 && m < cand)
+              cand = m
+          }
+          out += PhashKeeper(r.doc_id, cand, cand < r.doc_id)
+        }
+        if (r.doc_id < mins.getOrElse(r.phash, Long.MaxValue))
+          mins = mins.updated(r.phash, r.doc_id)
+      }
+      state.update(mins)
+      out.result().iterator
+    }
+    probes.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class WinRow(doc_id: Long, n_tokens: Long, i: Int,
       h: Option[Long], hit: Boolean)
   final case class ContamReport(doc_id: Long, n_tokens: Long,

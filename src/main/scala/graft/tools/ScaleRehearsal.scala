@@ -321,10 +321,10 @@ object ScaleRehearsal {
       val secs = (System.nanoTime() - t0r) / 1e9
       val nodes = walk(df.queryExecution.executedPlan)
       val qFlips = planKillers(nodes)
-      // every realized broadcast must have a measured dataSize metric —
-      // -1 would mean an exchange that never populated its runtime size
-      val qBcast = broadcastSizes(nodes)
-      (name, secs, qFlips, qBcast)
+      // named (bytes, rows, content, frame) records like every other
+      // family since r13 — the r12 artifact's raw dataSize lists left a
+      // reader re-deriving the page-allocation story per value
+      (name, secs, qFlips, PlanWalk.broadcasts(nodes))
     }
 
     // one corpus family at a time: release the previous section's memoized
@@ -516,7 +516,7 @@ object ScaleRehearsal {
       execute(df)
       val secs = (System.nanoTime() - t0e) / 1e9
       val nodes = walk(df.queryExecution.executedPlan)
-      (name, secs, planKillers(nodes), broadcastSizes(nodes))
+      (name, secs, planKillers(nodes), PlanWalk.broadcasts(nodes))
     }
 
     // blocked-pair-join task audit on q32's REAL dense frames, sized
@@ -613,7 +613,7 @@ object ScaleRehearsal {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relQs = relResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val relBcast = relResults.map { case (k, _, _, bs) =>
-      "\"" + k + "\":[" + bs.mkString(",") + "]"
+      "\"" + k + "\":[" + bs.map(_.json).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val flips = results.flatMap { case (k, _, ks) => ks.map(x => s"$k:$x") } ++
       rawFlips.map(x => s"d3_raw:$x") ++
@@ -630,11 +630,31 @@ object ScaleRehearsal {
       // probe opens strictly fewer files than the cell alone
       (if (flFilesProbe >= flFilesCellOnly || flFilesCellOnly >= flFilesTotal)
         Seq("ivf_lang:probe_unpruned") else Nil)
-    val unmeasured = (relResults ++ evtResults ++
-      vecResults.map { case (k, s, f, bs) => (k, s, f, bs.map(_.bytes)) } ++
-      curResults.map { case (k, s, f, bs) =>
-        (s"curation_$k", s, f, bs.map(_.bytes)) }).flatMap {
-      case (k, _, _, bs) => if (bs.contains(-1L)) Seq(k) else Nil
+    val unmeasured = (relResults ++ evtResults ++ vecResults ++
+      curResults.map { case (k, s, f, bs) => (s"curation_$k", s, f, bs) })
+      .flatMap { case (k, _, _, bs) =>
+        if (bs.exists(_.bytes == -1L)) Seq(k) else Nil
+      }
+    // r13 (VERDICT r12 #1b): the rel/evt sections now run the SAME
+    // bounded() gate as vec/curation instead of recording ungated raw
+    // dataSize lists. Their legitimate broadcast class is AQE runtime
+    // promotions under the no-hint pin — frames AQE itself MEASURED
+    // small (≲ the adaptive broadcast threshold serialized) — plus
+    // k-bounded aggregate frames; both are far under 1M rows, while the
+    // fact tables start at 1.5M (orders) / 6M (lineitem) at the 10×
+    // point, so a forced fact-side broadcast fails the rows arm with an
+    // order of magnitude to spare. The byte cap mirrors the vector
+    // family's 32 MB: page allocation on the 96 GB rehearsal JVM puts
+    // legitimate promotions at ~64-96 MB allocated, which the rows arm's
+    // +MaxPageBytes backstop absorbs — a genuinely fat frame (rows under
+    // cap, megabyte strings) now fails instead of hiding behind the
+    // rows arm.
+    val RELEVT_BCAST_ROW_CAP = 1L << 20
+    val RELEVT_BCAST_BYTE_CAP = 32L << 20
+    val relEvtOversized = (relResults ++ evtResults).flatMap { case (k, _, _, bs) =>
+      bs.filterNot(PlanWalk.bounded(_, RELEVT_BCAST_ROW_CAP, RELEVT_BCAST_BYTE_CAP))
+        .map(b => s"$k:broadcast_unbounded(rows=${b.rows},bytes=${b.bytes}," +
+          s"content=${b.contentBytes},frame=${b.frame})")
     }
     // r8 gate, re-based in r12 on PlanWalk.bounded: no vector-family
     // broadcast may approach the unbounded forced-broadcast class the
@@ -666,7 +686,9 @@ object ScaleRehearsal {
         s""""d13_raw_build_sec":$prSecs,""" +
         s""""d13_broadcast_bytes":[${prBcast.mkString(",")}],""" +
         s""""rel_queries":$relQs,"n_lineitem":$nLineitem,""" +
-        s""""rel_broadcast_bytes":$relBcast,""" +
+        s""""rel_broadcasts":$relBcast,""" +
+        s""""relevt_bcast_row_cap":$RELEVT_BCAST_ROW_CAP,""" +
+        s""""relevt_bcast_byte_cap":$RELEVT_BCAST_BYTE_CAP,""" +
         s""""vec_queries":${
           vecResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")},"n_vecs":$nVecs,""" +
@@ -686,9 +708,9 @@ object ScaleRehearsal {
         s""""evt_queries":${
           evtResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")},"n_events":$nEvents,""" +
-        s""""evt_broadcast_bytes":${
+        s""""evt_broadcasts":${
           evtResults.map { case (k, _, _, bs) =>
-            "\"" + k + "\":[" + bs.mkString(",") + "]"
+            "\"" + k + "\":[" + bs.map(_.json).mkString(",") + "]"
           }.mkString("{", ",", "}")},""" +
         s""""q32_grid":{"pair_budget":$budget,"fact_blocks":$gF,""" +
         s""""probe_blocks":$gP,"tasks":${gF.toLong * gP},""" +
@@ -716,14 +738,19 @@ object ScaleRehearsal {
           }.mkString("{", ",", "}")},""" +
         s""""bcast_row_cap":$CUR_BCAST_ROW_CAP,""" +
         s""""bcast_byte_cap":$CUR_BCAST_BYTE_CAP},""" +
-        s""""plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}"""
+        s""""plan_flips":[${
+          (flips ++ oversized ++ relEvtOversized ++
+            unmeasured.map(k => s"$k:unmeasured_broadcast"))
+            .map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()
-    if (flips.nonEmpty || unmeasured.nonEmpty || oversized.nonEmpty) {
+    if (flips.nonEmpty || unmeasured.nonEmpty || oversized.nonEmpty ||
+        relEvtOversized.nonEmpty) {
       System.err.println(s"[sf1] SCALE-KILLER plan flips: ${flips.mkString(", ")}" +
         (if (unmeasured.nonEmpty) s"; unmeasured broadcasts: ${unmeasured.mkString(", ")}" else "") +
-        (if (oversized.nonEmpty) s"; oversized vector broadcasts: ${oversized.mkString(", ")}" else ""))
+        (if (oversized.nonEmpty) s"; oversized vector broadcasts: ${oversized.mkString(", ")}" else "") +
+        (if (relEvtOversized.nonEmpty) s"; oversized rel/evt broadcasts: ${relEvtOversized.mkString(", ")}" else ""))
       sys.exit(1)
     }
   }

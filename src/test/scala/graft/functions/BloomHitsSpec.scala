@@ -80,5 +80,12 @@ class BloomHitsSpec extends AnyFunSuite {
     fails(call_function("graft_bloom_hits", col("shs"), array(lit(0L)), lit(0), lit(64)))
     fails(call_function("graft_bloom_hits", col("shs"), array(lit(0L)), lit(1), lit(63)))
     fails(call_function("graft_bloom_hits", col("shs"), array(lit(0L), lit(0L)), lit(1), lit(64)))
+    // a null ELEMENT in the bits literal must fail AT ANALYSIS, not as
+    // toLongArray()'s opaque executor-side error (ADVICE r12) — pin the
+    // exception class, a runtime failure would not be an improvement
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.withColumn("x", call_function("graft_bloom_hits", col("shs"),
+        array(lit(0L), lit(null).cast("bigint")), lit(1), lit(128))).collect()
+    }
   }
 }

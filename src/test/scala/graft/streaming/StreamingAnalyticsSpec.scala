@@ -307,6 +307,52 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming phash keeper assignment equals batch m8 on id-ordered replays under any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val batch = graft.data.MultimodalOps.phashKeepers(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(batch.values.exists(_._2), "no dup at this scale — spec vacuous")
+    assert(batch.values.exists(!_._2), "all docs dup — spec vacuous")
+
+    // cross-check the batch keeper view against the batch m6 PAIR set:
+    // keeper(d) = min earlier hamming<=1 neighbor, else self — the two
+    // reports must tell one story before the stream is held to it
+    val nbrMin = graft.data.MultimodalOps.phashNearDup(docs)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(org.apache.spark.sql.functions.min("doc_a").as("mn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.foreach { case (d, (keeper, isDup)) =>
+      assert(keeper == nbrMin.getOrElse(d, d) && isDup == nbrMin.contains(d),
+        s"m8 keeper of $d disagrees with the m6 pair set")
+    }
+
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq // id-ordered replay: the determinism contract
+    val splitsVariants = Seq(
+      Seq(rows),                                        // one batch
+      { val (a, b) = rows.splitAt(rows.size / 3); Seq(a, b) }, // uneven two
+      rows.grouped(7).toSeq)                            // many small batches
+    splitsVariants.foreach { waves =>
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingAnalytics.phashKeeperStream(
+          input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("phkeep")
+        .outputMode("append").start()
+      waves.foreach { w => input.addData(w); q.processAllAvailable() }
+      val streaming = spark.table("phkeep").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(streaming.size == rows.size,
+        s"one assignment per arriving asset, got ${streaming.size} of ${rows.size}")
+      assert(streaming == batch,
+        s"streaming keepers diverged from batch m8 at ${waves.size} waves:\n" +
+          s"diff=${(streaming.toSet -- batch.toSet).take(5)}")
+      q.stop()
+    }
+  }
+
   test("streaming rate-anomaly monitor flags the spike window by the exact batch rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
