@@ -639,18 +639,20 @@ object ScaleRehearsal {
     // bounded() gate as vec/curation instead of recording ungated raw
     // dataSize lists. Their legitimate broadcast class is AQE runtime
     // promotions under the no-hint pin — frames AQE itself MEASURED
-    // small (≲ the adaptive broadcast threshold serialized) — plus
-    // k-bounded aggregate frames; both are far under 1M rows, while the
-    // fact tables start at 1.5M (orders) / 6M (lineitem) at the 10×
-    // point, so a forced fact-side broadcast fails the rows arm with an
-    // order of magnitude to spare. The byte cap mirrors the vector
-    // family's 32 MB: page allocation on the 96 GB rehearsal JVM puts
-    // legitimate promotions at ~64-96 MB allocated, which the rows arm's
-    // +MaxPageBytes backstop absorbs — a genuinely fat frame (rows under
-    // cap, megabyte strings) now fails instead of hiding behind the
-    // rows arm.
+    // below the broadcast threshold on the materialized stage's
+    // COMPRESSED shuffle bytes. UnsafeRow content runs several× those
+    // compressed bytes (measured here: a 1.5M-row orders (key, date)
+    // projection promotes at 10× with 36 MB exact content — dates and
+    // near-sequential keys compress well below the 10 MB threshold), so
+    // the content cap sits at 64 MB: ~6× compression headroom above the
+    // threshold class, and an order of magnitude below fact-scale
+    // content (lineitem at 10× is 6M rows / ≥0.5 GB — a forced fact
+    // broadcast fails every arm at every rehearsed point, and AQE
+    // itself stops promoting these frames at 100× when it re-measures
+    // them). The rows arm covers variable-width frames the content arm
+    // can't price, with the r13 fat-frame byte backstop.
     val RELEVT_BCAST_ROW_CAP = 1L << 20
-    val RELEVT_BCAST_BYTE_CAP = 32L << 20
+    val RELEVT_BCAST_BYTE_CAP = 64L << 20
     val relEvtOversized = (relResults ++ evtResults).flatMap { case (k, _, _, bs) =>
       bs.filterNot(PlanWalk.bounded(_, RELEVT_BCAST_ROW_CAP, RELEVT_BCAST_BYTE_CAP))
         .map(b => s"$k:broadcast_unbounded(rows=${b.rows},bytes=${b.bytes}," +

@@ -39,13 +39,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     keeper table; ZERO state, per-batch join plan audited
   *   - phash_neardup     — probe-bucket membership state; grows LINEARLY
   *     with distinct corpus by design (≤ 49 rows/doc, gated), the
-  *     documented pre-watermark-eviction contract
+  *     documented pre-watermark-eviction contract; its OUTPUT is
+  *     quadratic in duplicate multiplicity, so it stays a 10×-only
+  *     fine-grained audit
+  *   - phash_keepers (r13) — the scale-safe keeper-assignment form of
+  *     the same monitor ([[graft.streaming.StreamingAnalytics
+  *     .phashKeeperStream]]): ONE output row per arriving asset,
+  *     per-bucket state collapsed to ≤ 49 (phash → min id) entries —
+  *     this is the form that runs at the 100× point
   *   - bloom_decontaminate — the r12 fixed-size-literal gate; ZERO state,
   *     narrow projection
   *   - lm_quality_admission (tier 2) — the ONLY stream-static join in
   *     the family whose static side is CORPUS-SCALED (the stored bigram
-  *     model, ~5M rows at 10×): static planning must keep it off the
-  *     broadcast class; per-doc groups close in-batch, zero carried state
+  *     model — vocabulary-bounded in practice: the committed artifacts
+  *     measure 1,955 rows at 10× and 13,475 at 100×): static planning
+  *     must keep it off the broadcast class; per-doc groups close
+  *     in-batch, zero carried state
   *   - eval_contamination (tier 2) — stream-static join against the
   *     benchmark window-hash set; zero carried state
   *   - cms_ingest (tier 2) — the d·w windowed sketch grid; state FLAT at
@@ -56,15 +65,37 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     state stationary under a stationary feed
   *
   * Gates (exit 1): any cartesian/unbounded-BNLJ flip in any wave's plan;
-  * any unmeasured broadcast; any broadcast failing the two-arm
-  * rows-or-bytes bound (the r12 curation gate's rule); bounded-state
-  * operators drifting past their contract bound; stateless operators
-  * reporting state; the curation gates not all engaging (a pass-all
-  * chain proves nothing).
+  * any unmeasured broadcast; any broadcast failing [[PlanWalk.bounded]]'s
+  * three-arm rule (bytes, rows with the r13 fat-frame byte backstop, or
+  * exact fixed-width content); bounded-state operators drifting past
+  * their contract bound; stateless operators reporting state; the
+  * curation gates not all engaging (a pass-all chain proves nothing);
+  * and (r13) the crash-resume runs diverging from their uninterrupted
+  * twins.
+  *
+  * Crash-resume (VERDICT r12 #4): the two stateful heavyweights
+  * (curation_admission, qsketch_ingest) run a SECOND pass that stops the
+  * query at the midpoint wave boundary and restarts it from its
+  * checkpoint — the reference's failure-recovery semantics
+  * (failure_recovery_test.py:227-349: kill mid-stream, restart, no
+  * dupes, same final state), ported to the analytics plane. The resumed
+  * run's full output must equal the uninterrupted run's row-for-row
+  * (budget verdicts include the running `used` counter, sketches the
+  * retained samples — equality is exact, not statistical).
+  *
+  * Sinks: heavyweight-output chains (activity_admission at 100× emits
+  * tens of millions of rows; phash_keepers/curation emit one row per
+  * doc) sink to PARQUET with a checkpoint — the deployment shape, and
+  * what lets the 100× point run without collecting the output on the
+  * driver (the r12 reason activity_admission was pinned at 10×). Counts
+  * and engagement gates read the files back.
   *
   * Usage: runMain graft.tools.StreamRehearsal [srcSfDir] [workDir] [outJson]
   * Env: SPARK_GRAFT_STREAM_COPIES (default 10),
-  *      SPARK_GRAFT_STREAM_WAVES (default 8).
+  *      SPARK_GRAFT_STREAM_WAVES (default 8),
+  *      SPARK_GRAFT_STREAM_OPS (default all),
+  *      SPARK_GRAFT_STREAM_RESUME (default curation_admission,qsketch_ingest;
+  *      set empty to skip the resume passes).
   * Writes one JSON line to stdout AND to outJson (default BENCH_stream.json).
   */
 object StreamRehearsal {
@@ -72,10 +103,12 @@ object StreamRehearsal {
   private val T0 = 1700000000000000L // µs epoch base (the spec family's)
   private val WaveUs = 600000000L    // 10 min of event time per wave
 
-  // same two-arm rule as ScaleRehearsal's curation gate: a broadcast is
-  // fine iff its CONTENT is row-bounded (literal/offset/artifact frames;
-  // dataSize is page-allocated and lies about small frames) or its
-  // measured bytes are small. The row cap is sized to the largest
+  // same three-arm PlanWalk.bounded rule as ScaleRehearsal's gates: a
+  // broadcast is fine iff its measured bytes are small, its CONTENT is
+  // row-bounded (with the r13 fat-frame byte backstop when column widths
+  // are unknowable; dataSize is page-allocated and lies about small
+  // frames), or its exact fixed-width content is small. The row cap is
+  // sized to the largest
   // LEGITIMATE static artifact here — the semantic-dedup keeper table,
   // ≤ the base-corpus keeper count (≤ 45k at 10×; a stream-side frame
   // can never appear under a broadcast: the stream is always the probe
@@ -100,39 +133,90 @@ object StreamRehearsal {
         .foreach(java.nio.file.Files.delete)
     }
 
-  /** Drop one wave's parquet part-files into the live source directory
-    * (prefixed so names never collide across waves) — the bounded
-    * micro-batch: the file source picks up exactly these files in its
-    * next trigger. */
+  /** Drop one wave's parquet part-files into the live source tree — the
+    * bounded micro-batch: the file source picks up exactly these files.
+    *
+    * ATOMICITY (r13): the query's trigger thread lists the source
+    * continuously, so copying part-files one by one into the watched
+    * path races the trigger — at 100× a trigger caught PARTIAL waves,
+    * splitting a wave across micro-batches differently run-to-run, which
+    * shifted the curation budget's per-batch fold order and made the
+    * crash-resume equality gate fail against its uninterrupted twin (the
+    * divergence started in wave 0, i.e. harness nondeterminism, not
+    * checkpoint recovery — the gate did its job). The wave is therefore
+    * staged in a DOT-PREFIXED dir (outside the `w*` source glob and
+    * hidden from Spark's file index) and RENAMED into the glob in one
+    * atomic move: a wave becomes visible all-or-nothing, so with a drain
+    * between waves the batch structure is exactly one data batch per
+    * wave, every run. */
   private def copyWave(waveDir: String, feedDir: String, w: Int): Unit = {
     import scala.jdk.CollectionConverters._
     val src = java.nio.file.Paths.get(waveDir)
+    val stage = java.nio.file.Paths.get(feedDir, s".stage_w$w")
+    deleteRec(stage)
+    java.nio.file.Files.createDirectories(stage)
     java.nio.file.Files.list(src).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") && !n.endsWith(".crc")
       }
       .foreach { p =>
-        java.nio.file.Files.copy(p,
-          java.nio.file.Paths.get(feedDir, s"w${w}_${p.getFileName}"))
+        java.nio.file.Files.copy(p, stage.resolve(p.getFileName.toString))
       }
+    java.nio.file.Files.move(stage,
+      java.nio.file.Paths.get(feedDir, s"w$w"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Replay the waves through one operator: per wave, copy files, drain,
     * snapshot progress + state metrics, audit the last execution's plan.
-    * Output goes to a memory sink (bounded here: verdict/pair/window rows,
-    * never the corpus) so emitted-row counts are checkable. */
+    *
+    * Sinks: by default a memory sink (bounded outputs: verdict/pair/
+    * window rows, never the corpus). With `fileSink` the query writes
+    * PARQUET under a checkpoint — the deployment shape, required for the
+    * heavyweight-output chains (an 100× activity feed emits tens of
+    * millions of rows; a memory sink would collect them on the driver —
+    * the r12 reason that chain was pinned at 10×) and for crash-resume.
+    * Either way the output lands in temp view `sr_$name$suffix` so the
+    * engagement gates read one name.
+    *
+    * `restartAfterWave ≥ 0` (file sink only): stop the query after that
+    * wave's drain and START A NEW ONE on the same checkpoint before the
+    * next wave — the crash-resume path. Exactly-once comes from the file
+    * source's committed offsets + the parquet sink's _spark_metadata
+    * log, so the resumed run's output must be row-identical to an
+    * uninterrupted one. */
   private def runOp(spark: SparkSession, name: String,
-      waveDirs: Seq[String], workDir: String)
+      waveDirs: Seq[String], workDir: String,
+      fileSink: Boolean = false, suffix: String = "",
+      restartAfterWave: Int = -1)
       (mk: DataFrame => DataFrame): (Seq[WaveStat], Long) = {
-    val feedDir = s"$workDir/feed_$name"
-    deleteRec(java.nio.file.Paths.get(feedDir))
+    require(restartAfterWave < 0 || fileSink,
+      "restart rehearsal needs the checkpointed file sink")
+    val feedDir = s"$workDir/feed_$name$suffix"
+    val outDir = s"$workDir/out_$name$suffix"
+    val ckptDir = s"$workDir/ckpt_$name$suffix"
+    Seq(feedDir, outDir, ckptDir)
+      .foreach(d => deleteRec(java.nio.file.Paths.get(d)))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
     val schema = spark.read.parquet(waveDirs.head).schema
-    val stream = spark.readStream.schema(schema).parquet(feedDir)
-    val q: StreamingQuery = mk(stream).writeStream
-      .format("memory").queryName(s"sr_$name").outputMode("append").start()
+    // glob over the atomically-renamed wave dirs (see copyWave): the
+    // hidden .stage_* dirs never match, so a partial wave is invisible
+    val stream = spark.readStream.schema(schema).parquet(s"$feedDir/w*")
+    def start(): StreamingQuery =
+      if (fileSink)
+        mk(stream).writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckptDir)
+          .outputMode("append").start()
+      else
+        mk(stream).writeStream.format("memory")
+          .queryName(s"sr_$name$suffix").outputMode("append").start()
+    var q: StreamingQuery = start()
     val stats = waveDirs.zipWithIndex.map { case (wd, w) =>
+      if (restartAfterWave >= 0 && w == restartAfterWave + 1) {
+        q.stop() // clean midpoint kill; state lives in the checkpoint
+        q = start()
+      }
       val nBefore = q.recentProgress.length
       val t0 = System.nanoTime()
       copyWave(wd, feedDir, w)
@@ -152,8 +236,13 @@ object StreamRehearsal {
       WaveStat(w, inputRows, wall, sRows, sBytes, progs.length,
         PlanWalk.planKillers(nodes), PlanWalk.broadcasts(nodes))
     }
-    val outRows = spark.table(s"sr_$name").count()
     q.stop()
+    val outRows =
+      if (fileSink) {
+        spark.read.parquet(outDir)
+          .createOrReplaceTempView(s"sr_$name$suffix")
+        spark.table(s"sr_$name$suffix").count()
+      } else spark.table(s"sr_$name$suffix").count()
     (stats, outRows)
   }
 
@@ -164,6 +253,14 @@ object StreamRehearsal {
     val copies = sys.env.getOrElse("SPARK_GRAFT_STREAM_COPIES", "10").toInt
     val waves = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "8").toInt
     val spark = Tables.session("graft-stream-rehearsal")
+    // recentProgress is a RING BUFFER (default 100 entries): with enough
+    // waves × batches (data + watermark-advance no-data batches, ≤ ~6
+    // observed per wave) it saturates and later waves read 0 input rows —
+    // a spurious empty_wave failure that silently drops state snapshots
+    // too (ADVICE r12). Progress objects are tiny; size the buffer to the
+    // whole run with an order-of-magnitude slack.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(512, waves * 64).toString)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(workDir))
 
     def sliceIsCurrent(metaPath: String, fingerprint: String): Boolean = {
@@ -240,15 +337,17 @@ object StreamRehearsal {
     val baseMax = (copies - 1).toLong * D_OFF
     val embWaveDirs = (0 until waves).map(w => s"$workDir/emb_waves/w$w")
 
-    // Which chains to replay (default: all nine). The 100× point runs
+    // Which chains to replay (default: all ten). The 100× point runs
     // with phash_neardup EXCLUDED and documented at its 10× point: a
     // near-dup PAIR stream's output is quadratic in duplicate
     // multiplicity (the slice's verbatim copies collide by design —
     // 9.5M pairs at 10× would be ~100× that at 100×), which is exactly
     // why the batch dedup family reports clusters/keepers at scale, not
-    // pairs; the stream form documents the same contract.
+    // pairs. phash_keepers (r13) IS that keeper report as a stream — one
+    // output row per arrival — and is the member that runs at 100×.
     val allOps = Seq("curation_admission", "qsketch_ingest",
-      "sem_ingest_dedup", "phash_neardup", "bloom_decontaminate",
+      "sem_ingest_dedup", "phash_neardup", "phash_keepers",
+      "bloom_decontaminate",
       // tier 2 (r12): the stream-static joins against CORPUS-SCALED
       // model tables (lm), the benchmark window set (eval), the
       // windowed CMS grid, and the watched-set activity monitor
@@ -258,6 +357,14 @@ object StreamRehearsal {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(allOps.toSet)
     require(opsSel.subsetOf(allOps.toSet), s"unknown ops: ${opsSel -- allOps}")
+    // crash-resume passes (r13): the two stateful heavyweights by
+    // default; empty to skip (e.g. a targeted single-op run)
+    val resumeSel: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_RESUME")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("curation_admission", "qsketch_ingest"))
+      .intersect(opsSel)
+    require(resumeSel.subsetOf(Set("curation_admission", "qsketch_ingest")),
+      s"resume supports the stateful heavyweights only, got $resumeSel")
 
     // ---- the deployed batch artifacts the streams run against --------
     // (trained on the PIPELINE INPUT corpus — the full slice — matching
@@ -317,7 +424,9 @@ object StreamRehearsal {
     // AND a SharedFrames-safety requirement — the in-session model
     // frames ride on localCheckpoints that clear() drops while a stream
     // re-plans its static side every batch) ----------------------------
-    // lm: the stored bigram model is CORPUS-SCALED (~5M rows at 10×) —
+    // lm: the stored bigram model is CORPUS-SCALED in kind though
+    // vocabulary-bounded in practice (measured 1,955 rows at 10× and
+    // 13,475 at 100× — sub-linear growth, the rows arm's exact story) —
     // this is the one stream-static join in the family whose static side
     // grows with the corpus, which is exactly why it belongs in the
     // rehearsal: static planning must keep it a shuffle-side join (or a
@@ -383,12 +492,19 @@ object StreamRehearsal {
           commitSlice(wavesMeta, wavesFp)
         }
         // the q32 sparse profile of the WATCHED users only (ids ≡ 0
-        // mod 500 — ~3 per copy), stored as the deployment artifact
+        // mod 500 — ~3 per copy), stored as the deployment artifact.
+        // The watch set is BOUNDED BY CONFIGURATION — that is the
+        // operator's deployment contract — so it is pinned to the first
+        // ten copies' watched ids (30 users) at EVERY rehearsal scale:
+        // a 100× corpus means 10× the arrivals scored against the SAME
+        // watch list, not a watch list that grows with the corpus
+        // (which would quietly turn the monitor into corpus × corpus).
         val sparse = ev
           .withColumn("bucket",
             expr(s"((ts_us - ${t0e}L) * 64) div ${spanUs}L"))
           .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
-        sparse.filter(col("user_id") % 5 === 0 && col("user_id") % 500 === 0)
+        sparse.filter(col("user_id") % 5 === 0 && col("user_id") % 500 === 0
+            && col("user_id") < lit(10L * U_OFF))
           .select(col("user_id").as("q_user"), col("bucket"),
             col("n").as("q_n"))
           .write.mode("overwrite").parquet(s"$workDir/qprof.parquet")
@@ -416,25 +532,37 @@ object StreamRehearsal {
 
     // ---- replay every selected operator -------------------------------
     val results = Seq.newBuilder[(String, Seq[WaveStat], Long)]
-    def rehearse(name: String, dirs: Seq[String])
+    def rehearse(name: String, dirs: Seq[String], fileSink: Boolean = false)
         (mk: DataFrame => DataFrame): Option[Seq[WaveStat]] =
       if (!opsSel(name)) None
       else {
-        val (stats, outRows) = runOp(spark, name, dirs, workDir)(mk)
+        val (stats, outRows) =
+          runOp(spark, name, dirs, workDir, fileSink = fileSink)(mk)
         results += ((name, stats, outRows))
         Some(stats)
       }
 
-    val curStats = rehearse("curation_admission", docWaveDirs)(df =>
+    // the two resume-rehearsed chains keep named transforms so the
+    // uninterrupted and resumed passes run the IDENTICAL query
+    val curMk: DataFrame => DataFrame = df =>
       graft.streaming.StreamingAnalytics.curationAdmissionStream(
-        df, benchHashes, weights, budgetTokens = budget).toDF())
-    val qsStats = rehearse("qsketch_ingest", docWaveDirs)(df =>
+        df, benchHashes, weights, budgetTokens = budget).toDF()
+    val qsMk: DataFrame => DataFrame = df =>
       graft.streaming.StreamingAnalytics.qsketchIngestStream(
-        df, k = 64, windowLength = "1 minute", watermarkDelay = "2 minutes"))
+        df, k = 64, windowLength = "1 minute", watermarkDelay = "2 minutes")
+
+    val curStats = rehearse("curation_admission", docWaveDirs,
+      fileSink = true)(curMk)
+    val qsStats = rehearse("qsketch_ingest", docWaveDirs,
+      fileSink = true)(qsMk)
     val semStats = rehearse("sem_ingest_dedup", embWaveDirs)(df =>
       graft.streaming.StreamingAnalytics.semIngestDedup(df, cent, keepers))
     val phStats = rehearse("phash_neardup", docWaveDirs)(df =>
       graft.streaming.StreamingAnalytics.phashNearDupStream(
+        df.select("doc_id", "text")).toDF())
+    val pkStats = rehearse("phash_keepers", docWaveDirs,
+      fileSink = true)(df =>
+      graft.streaming.StreamingAnalytics.phashKeeperStream(
         df.select("doc_id", "text")).toDF())
     val blStats = rehearse("bloom_decontaminate", docWaveDirs)(df =>
       graft.streaming.StreamingAnalytics.bloomDecontaminationStream(df, bloomBits))
@@ -451,11 +579,37 @@ object StreamRehearsal {
     val cmsStats = rehearse("cms_ingest", docWaveDirs)(df =>
       graft.streaming.StreamingAnalytics.cmsIngestStream(
         df, windowLength = "1 minute", watermarkDelay = "2 minutes"))
-    val actStats = rehearse("activity_admission", evtWaveDirs)(df =>
+    // file sink: the 100× point's output (windows × users × watch
+    // matches) is tens of millions of rows — sinking to storage is what
+    // a deployment does and what the r12 memory sink could not
+    val actStats = rehearse("activity_admission", evtWaveDirs,
+      fileSink = true)(df =>
       graft.streaming.StreamingAnalytics.activityAdmissionStream(
         df, qprof, t0Us = evtT0, spanUs = evtSpan,
         dotThreshold = actThr, windowLength = actWin,
         watermarkDelay = actWin))
+
+    // ---- crash-resume passes (r13, VERDICT r12 #4) ---------------------
+    // Re-run the stateful heavyweights with a clean stop + checkpoint
+    // restart at the midpoint wave boundary; the full resumed output must
+    // equal the uninterrupted run's EXACTLY (budget verdicts carry the
+    // running counter, sketches their retained samples — any replayed or
+    // lost row diverges).
+    val restartAfter = waves / 2 - 1
+    val resumeResults: Seq[(String, Double, Long, Boolean)] =
+      resumeSel.toSeq.sorted.map { name =>
+        val mk = if (name == "curation_admission") curMk else qsMk
+        val t0r = System.nanoTime()
+        val (_, rRows) = runOp(spark, name, docWaveDirs, workDir,
+          fileSink = true, suffix = "__resume",
+          restartAfterWave = restartAfter)(mk)
+        val wall = (System.nanoTime() - t0r) / 1e9
+        val a = spark.table(s"sr_$name")
+        val b = spark.table(s"sr_${name}__resume")
+        val equal = a.count() == rRows &&
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        (name, wall, rRows, equal)
+      }
 
     // ---- gates --------------------------------------------------------
     val fails = Seq.newBuilder[String]
@@ -516,6 +670,34 @@ object StreamRehearsal {
       if (s.stateRows > 49L * cum)
         fails += s"phash_neardup:w${s.wave}:state_superlinear(${s.stateRows} > ${49L * cum})"
     }
+    // phash_keepers: state KEYS are the same distinct probe values (the
+    // 49/doc construction bound holds a fortiori — values are collapsed
+    // to ≤ 49 group-min entries per bucket, so multiplicity costs
+    // nothing), and the output contract is ONE assignment per arrival
+    var cumk = 0L
+    pkStats.getOrElse(Nil).foreach { s =>
+      cumk += s.inputRows
+      if (s.stateRows > 49L * cumk)
+        fails += s"phash_keepers:w${s.wave}:state_superlinear(${s.stateRows} > ${49L * cumk})"
+    }
+    if (pkStats.isDefined) {
+      val pk = spark.table("sr_phash_keepers")
+      if (pk.count() != nDocs) fails += "phash_keepers:assignment_count_mismatch"
+      if (pk.filter(col("is_dup")).count() == 0L ||
+          pk.filter(!col("is_dup")).count() == 0L)
+        fails += "phash_keepers:dup_verdict_vacuous"
+      // every dup's keeper must be an EARLIER-seen real asset, never a
+      // dangling id (self-join on the emitted assignments)
+      val dangling = pk.filter(col("is_dup"))
+        .join(pk.select(col("doc_id").as("keeper")), Seq("keeper"), "left_anti")
+        .count()
+      if (dangling > 0L) fails += s"phash_keepers:dangling_keepers($dangling)"
+    }
+    // crash-resume: the resumed run must be row-identical to the
+    // uninterrupted one (the reference's failure-recovery contract)
+    resumeResults.foreach { case (name, _, _, equal) =>
+      if (!equal) fails += s"$name:resume_divergence"
+    }
     // every wave of every op must actually have ingested its shard
     all.foreach { case (op, stats, _) =>
       stats.filter(_.inputRows == 0L)
@@ -572,6 +754,12 @@ object StreamRehearsal {
               ",\"state_rows_last\":" + stats.last.stateRows +
               ",\"state_bytes_max\":" + stats.map(_.stateBytes).max +
               ",\"waves\":[" + stats.map(_.json).mkString(",") + "]}"
+          }.mkString("{", ",", "}")},""" +
+        s""""resume":${
+          resumeResults.map { case (name, wall, rows, equal) =>
+            "\"" + name + "\":{\"restart_after_wave\":" + restartAfter +
+              ",\"wall_sec\":" + wall + ",\"rows\":" + rows +
+              ",\"equal_to_uninterrupted\":" + equal + "}"
           }.mkString("{", ",", "}")},""" +
         s""""gate_fails":[${failList.map("\"" + _ + "\"").mkString(",")}]}"""
     println(json)
