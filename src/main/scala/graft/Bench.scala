@@ -42,12 +42,12 @@ object Bench {
     "q28_promo_window", "q29_cohort_retention", "q30_conversion_funnel",
     "q31_zorder_cells", "q32_activity_similarity", "q32b_activity_range",
     "q33_session_funnel",
-    "q34_rate_anomaly",
+    "q34_rate_anomaly", "q35_event_cooccurrence", "q36_event_transitions",
     "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
     "d4_dedup_simhash", "d5_dedup_embedding", "d6_dedup_clusters",
     "d7_simhash_near", "d8_dedup_agreement", "d9_dedup_savings",
     "d10_minhash_calibration", "d11_dedup_incremental", "d12_semdedup",
-    "d13_pagerank_neardup",
+    "d13_pagerank_neardup", "d15_exact_blocks",
     "s1_ann_brute", "s2_ann_ivf", "s3_ann_lsh", "s4_kmeans_step", "s5_ann_int8",
     "s6_ann_ivf_trained", "s7_ann_pq", "s8_ann_ivf_multiprobe", "s9_ann_ivfpq",
     "s10_ivf_drift", "s11_ann_imi", "s12_ann_recall", "s13_pq_health",
@@ -72,7 +72,7 @@ object Bench {
     "x41_mixture_expand", "x42_cross_source_dups", "x43_dedup_mixture",
     "x44_shard_manifest", "x45_filter_agreement", "x47_cms_audit",
     "x49_quantile_sketch", "x50_importance_resample",
-    "x51_data_card_quantiles", "x52_bloom_decontaminate",
+    "x51_data_card_quantiles", "x52_bloom_decontaminate", "x53_cluster_split",
     "m1_multimodal_features", "m2_frame_sample", "m3_resize",
     "m4_pack_multimodal", "m5_media_dedup", "m6_phash_neardup",
     "m7_cdc_chunks", "m8_phash_keepers")

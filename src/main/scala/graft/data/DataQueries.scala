@@ -36,6 +36,7 @@ object DataQueries {
     "d12_semdedup" -> embs(VectorOps.semDedup(_)),
     "d14_semdedup_incremental" -> embs(VectorOps.semDedupIncremental(_)),
     "d13_pagerank_neardup" -> docs(TextOps.pageRankNearDup(_)),
+    "d15_exact_blocks" -> docs(TextOps.dedupExactBlocks(_)),
     "x7_repetition" -> docs(TextOps.repetition),
     "x8_length_quantiles" -> docs(TextOps.lengthQuantiles),
     "x9_distinct_kmv" -> docs(TextOps.distinctEstimate(_)),
@@ -43,6 +44,7 @@ object DataQueries {
     "x11_sample_stratified" -> docs(TextOps.sampleStratified),
     "x12_decontaminate" -> docs(TextOps.decontaminate(_)),
     "x52_bloom_decontaminate" -> docs(TextOps.decontaminateBloom(_)),
+    "x53_cluster_split" -> docs(TextOps.clusterSplit(_)),
     "x13_langid_confusion" -> docs(TextOps.langIdConfusion),
     "x14_source_mix" -> docs(TextOps.sourceMix),
     "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
@@ -1547,6 +1549,59 @@ WHERE rnk <= $k ORDER BY query_id, rnk"""
       SELECT l.doc_id, l.cluster_id, s.cluster_size
       FROM lab l JOIN csizes s ON l.cluster_id = s.cluster_id
       ORDER BY l.doc_id"""),
+    // d6's transitive-closure chain + the salted cluster-id hash split:
+    // the split column depends ONLY on cluster_id, so both members of any
+    // dup pair land in the same split by construction
+    "x53_cluster_split" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + s"""
+      , e0 AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM lsh_cands c JOIN jacp j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jac >= 0.5
+      ), e AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+      ), walk(n, m) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a
+      ), comp AS (
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM walk GROUP BY n
+      ), lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      ), csizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1
+      ), sp AS (
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+               md5('graft:csplit:' || CAST(l.cluster_id AS VARCHAR)) AS h
+        FROM lab l JOIN csizes s ON l.cluster_id = s.cluster_id
+      )
+      SELECT doc_id, cluster_id, cluster_size,
+        ${TextOps.hex13NumFragment("h")} % 100 AS bucket,
+        CASE WHEN ${TextOps.hex13NumFragment("h")} % 100 < 80 THEN 'train'
+             WHEN ${TextOps.hex13NumFragment("h")} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM sp ORDER BY doc_id"""),
+    // block-position multiset semantics: blocks are position-keyed, NOT
+    // deduped per doc — a passage repeated inside one document is a
+    // duplicate exactly as a cross-document copy is
+    "d15_exact_blocks" -> """
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), blk AS (
+        SELECT doc_id,
+               md5(array_to_string(ws[(b*16+1):(b*16+16)], ' ')) AS bh
+        FROM (SELECT doc_id, ws,
+                unnest(generate_series(0, len(ws) // 16 - 1)) AS b FROM w) q
+      ), bdf AS (
+        SELECT bh, CAST(count(*) AS BIGINT) AS df FROM blk GROUP BY 1
+      )
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+        CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac,
+        CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.25
+          AS is_flagged
+      FROM blk b JOIN bdf f ON b.bh = f.bh
+      GROUP BY b.doc_id ORDER BY b.doc_id""",
     // d6's transitive-closure chain + the x2 quality projection: each
     // cluster keeps its highest-quality member (ties to smaller doc_id)
     "x24_cluster_reps" -> (docProlog.replaceFirst("WITH", "WITH RECURSIVE") + s"""

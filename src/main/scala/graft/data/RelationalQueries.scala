@@ -583,6 +583,31 @@ object RelationalQueries {
           col("dev2"), col("thr"), (col("dev2") > col("thr")).as("is_anomaly"))
         .orderBy("event_type", "bucket")
     },
+    "q35_event_cooccurrence" -> t { (spark, dir) =>
+      // market-basket lift over event types: which pairs of event types the
+      // same users perform, scored by lift = P(a∧b) / (P(a)·P(b)) — the
+      // co-occurrence signal a recommender or anomaly triage reads. The
+      // numerator and denominator are CROSS-MULTIPLIED exact BIGINTs
+      // (n_ab·N and n_a·n_b) with ONE final double division, so the value
+      // hash-matches the oracle. Scale: the distinct (user, type) frame is
+      // one shuffle keyed by (user, type); the self-join fans out ≤
+      // (#types per user)² rows per user — the event-type vocabulary is an
+      // enumerable constant, so the pair stage is LINEAR in users, and the
+      // output is #types², not data-scaled. The user count is a group-less
+      // scalar (whitelisted 1-row broadcast).
+      cooccurrenceLift(Tables.events(spark, dir))
+    },
+    "q36_event_transitions" -> t { (spark, dir) =>
+      // first-order Markov transition matrix over each user's time-ordered
+      // event stream: P(next | prev) with exact-integer counts and one
+      // final division. The order is made TOTAL by the (ts_us, event_id)
+      // tie-break — without it, same-timestamp events would make the lag
+      // nondeterministic and the oracle hash unstable. Scale: one shuffle
+      // keyed by user for the lag window (each user's history sorts within
+      // its partition — the q33 sessionize shape), then one keyed agg on
+      // (prev, next); output is ≤ #types², not data-scaled.
+      eventTransitions(Tables.events(spark, dir))
+    },
     "q04_order_priority" -> t { (spark, dir) =>
       // EXISTS → left_semi: the lineitem side is reduced to distinct keys
       // before the join, so no row multiplication ever happens.
@@ -1058,6 +1083,63 @@ object RelationalQueries {
     }
   )
 
+  /** q35's core over a (user_id, event_type) frame — market-basket lift
+    * between event types: lift = P(a∧b) / (P(a)·P(b)) over users, with the
+    * numerator and denominator CROSS-MULTIPLIED as exact BIGINTs
+    * (n_ab·N and n_a·n_b) and ONE final double division, so the value
+    * hash-matches the oracle. Scale: the distinct (user, type) frame is
+    * one shuffle keyed by (user, type); the self-join fans out ≤
+    * (#types per user)² rows per user — the event-type vocabulary is an
+    * enumerable constant, so the pair stage is LINEAR in users, and the
+    * output is #types², not data-scaled. The user count is a group-less
+    * scalar (whitelisted 1-row broadcast). */
+  private[data] def cooccurrenceLift(events: DataFrame): DataFrame = {
+    // feeds singles, the user count, and both join sides; memoPersisted so
+    // repeated invocations (spec trials, bench passes) reuse one copy
+    // instead of leaking fresh persists (the r8 ADVICE class)
+    val distinctUe = events.select("user_id", "event_type").distinct()
+    val ue = SharedFrames.memoPersisted(distinctUe, "q35-user-types")(distinctUe)
+    val singles = ue.groupBy("event_type").agg(count(lit(1)).as("n_single"))
+    val users = ue.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    ue.as("a").join(ue.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(singles.toDF("type_a", "n_a"), "type_a")
+      .join(singles.toDF("type_b", "n_b"), "type_b")
+      .crossJoin(broadcast(users))
+      .withColumn("lift", expr("CAST(n_ab * n_users AS DOUBLE) / (n_a * n_b)"))
+      .select("type_a", "type_b", "n_ab", "n_a", "n_b", "n_users", "lift")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q36's core over a (user_id, event_type, ts_us, event_id) frame —
+    * first-order Markov transition matrix of each user's time-ordered
+    * event stream: P(next | prev) with exact-integer counts and one final
+    * division. The order is made TOTAL by the (ts_us, event_id) tie-break
+    * — without it, same-timestamp events would make the lag
+    * nondeterministic and the oracle hash unstable. Scale: one shuffle
+    * keyed by user for the lag window (each user's history sorts within
+    * its partition — the q33 sessionize shape), then one keyed agg on
+    * (prev, next); output is ≤ #types², not data-scaled. */
+  private[graft] def eventTransitions(events: DataFrame): DataFrame = {
+    val trans = events
+      .select("user_id", "event_type", "ts_us", "event_id")
+      .withColumn("prev_type", lag("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val from = trans.groupBy("prev_type").agg(sum("n_trans").as("n_from"))
+    trans.join(from, "prev_type")
+      .withColumn("prob", expr("CAST(n_trans AS DOUBLE) / n_from"))
+      .select("prev_type", "next_type", "n_trans", "n_from", "prob")
+      .orderBy("prev_type", "next_type")
+  }
+
   /** q30's staged chain over an (user_id, event_type, ts_us) frame: one
     * per-user min-timestamp frame per funnel stage, each bounded strictly
     * after the previous stage. Each stage is a [[SharedFrames]] pay-once
@@ -1263,6 +1345,45 @@ object RelationalQueries {
              (64 * g.n - st.sm) * (64 * g.n - st.sm) > 9 * (64 * st.ss - st.sm * st.sm) AS is_anomaly
       FROM grid g JOIN st ON g.event_type = st.event_type
       ORDER BY g.event_type, g.bucket""",
+    "q35_event_cooccurrence" -> """
+      WITH ue AS (
+        SELECT DISTINCT user_id, event_type FROM events
+      ), singles AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_single FROM ue GROUP BY 1
+      ), nu AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ue
+      ), p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ue a JOIN ue b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+      )
+      SELECT p.type_a, p.type_b, p.n_ab,
+             na.n_single AS n_a, nb.n_single AS n_b, nu.n_users,
+             CAST(p.n_ab * nu.n_users AS DOUBLE) / (na.n_single * nb.n_single) AS lift
+      FROM p
+      JOIN singles na ON p.type_a = na.event_type
+      JOIN singles nb ON p.type_b = nb.event_type
+      CROSS JOIN nu
+      ORDER BY p.type_a, p.type_b""",
+    "q36_event_transitions" -> """
+      WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+      ), tr AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n_trans
+        FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      ), fr AS (
+        SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from FROM tr GROUP BY 1
+      )
+      SELECT t.prev_type, t.next_type, t.n_trans, f.n_from,
+             CAST(t.n_trans AS DOUBLE) / f.n_from AS prob
+      FROM tr t JOIN fr f ON t.prev_type = f.prev_type
+      ORDER BY t.prev_type, t.next_type""",
     "q04_order_priority" -> """
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
       FROM orders

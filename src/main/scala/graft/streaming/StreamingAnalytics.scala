@@ -767,6 +767,41 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class TransEv(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long)
+  final case class LastEv(ts_us: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      next_type: String, ts_us: Long, event_id: Long)
+
+  /** Streaming first-order transition emission — q36's continuous form.
+    * State per user is the LAST event only (O(1) per user, O(#users)
+    * total — bounded by the user population, not the stream length); each
+    * micro-batch sorts its per-user slice by the same (ts_us, event_id)
+    * total order the batch query uses and emits one transition per
+    * arrival after the user's first. The state carries exactly the
+    * boundary event a batch split would otherwise lose, so on any
+    * time-ordered wave split the emitted multiset equals the batch q36
+    * pair walk (convergence spec aggregates the emissions and compares
+    * counts). Output is LINEAR in arrivals — the matrix roll-up
+    * downstream is one keyed streaming count, never a re-walk. */
+  def eventTransitionsStream(events: Dataset[TransEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[TransEv], state: GroupState[LastEv]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(
+              userId, l.event_type, e.event_type, e.ts_us, e.event_id))
+            last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class FunnelEv(user_id: Long, event_id: Long, ts_us: Long,
       event_type: String)
   final case class FunnelState(startUs: Long, lastUs: Long,

@@ -63,6 +63,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     events slice replayed in EVENT-TIME order (waves = time octiles);
   *     watch set bounded by configuration (its deployment contract),
   *     state stationary under a stationary feed
+  *   - event_transitions (r13) — q36's continuous form over the same
+  *     events slice: O(#users) last-event state, one emission per
+  *     arrival after a user's first; gated by EXACT counts (emissions =
+  *     arrivals − users, state = users) and by the rolled-up matrix
+  *     equalling the batch q36 walk over the identical slice
   *
   * Gates (exit 1): any cartesian/unbounded-BNLJ flip in any wave's plan;
   * any unmeasured broadcast; any broadcast failing [[PlanWalk.bounded]]'s
@@ -337,7 +342,7 @@ object StreamRehearsal {
     val baseMax = (copies - 1).toLong * D_OFF
     val embWaveDirs = (0 until waves).map(w => s"$workDir/emb_waves/w$w")
 
-    // Which chains to replay (default: all ten). The 100× point runs
+    // Which chains to replay (default: all eleven). The 100× point runs
     // with phash_neardup EXCLUDED and documented at its 10× point: a
     // near-dup PAIR stream's output is quadratic in duplicate
     // multiplicity (the slice's verbatim copies collide by design —
@@ -352,7 +357,10 @@ object StreamRehearsal {
       // model tables (lm), the benchmark window set (eval), the
       // windowed CMS grid, and the watched-set activity monitor
       "lm_quality_admission", "eval_contamination", "cms_ingest",
-      "activity_admission")
+      "activity_admission",
+      // r13: q36's continuous form — O(#users) last-event state, one
+      // emission per arrival after a user's first
+      "event_transitions")
     val opsSel: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(allOps.toSet)
@@ -458,17 +466,23 @@ object StreamRehearsal {
     // watch set BOUNDED by configuration (30 watched users), which is
     // the operator's documented deployment contract: the monitor scores
     // arrivals against a stored watch list, never corpus × corpus.
+    val needEvt = opsSel("activity_admission") || opsSel("event_transitions")
     val (evtWaveDirs, qprof, evtT0, evtSpan, actThr, actWin) =
-      if (!opsSel("activity_admission"))
+      if (!needEvt)
         (Seq.empty[String], null, 0L, 1L, 0L, "1 minute")
       else {
         val U_OFF = 1000000L // multiple of 5: shifted ids keep the %5 rule
-        val evtFp = s"src=$src copies=$copies waves=$waves v1"
+        // v2: event_type + per-copy-shifted event_id joined the slice for
+        // the transitions chain (the id shift keeps the tie-break total
+        // across copies, exactly as doc_id/user_id shifts do)
+        val evtFp = s"src=$src copies=$copies waves=$waves v2"
         val evtMeta = s"$workDir/evt_meta.txt"
         if (!sliceIsCurrent(evtMeta, evtFp)) {
-          val base = Tables.events(spark, src).select("user_id", "ts_us")
+          val base = Tables.events(spark, src)
+            .select("user_id", "ts_us", "event_type", "event_id")
           (0 until copies).map { i =>
             base.withColumn("user_id", col("user_id") + lit(i * U_OFF))
+              .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
           }.reduce(_ unionByName _)
             .repartition(32).write.mode("overwrite")
             .parquet(s"$workDir/evt_events.parquet")
@@ -499,33 +513,39 @@ object StreamRehearsal {
         // a 100× corpus means 10× the arrivals scored against the SAME
         // watch list, not a watch list that grows with the corpus
         // (which would quietly turn the monitor into corpus × corpus).
-        val sparse = ev
-          .withColumn("bucket",
-            expr(s"((ts_us - ${t0e}L) * 64) div ${spanUs}L"))
-          .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
-        sparse.filter(col("user_id") % 5 === 0 && col("user_id") % 500 === 0
-            && col("user_id") < lit(10L * U_OFF))
-          .select(col("user_id").as("q_user"), col("bucket"),
-            col("n").as("q_n"))
-          .write.mode("overwrite").parquet(s"$workDir/qprof.parquet")
-        val qp = spark.read.parquet(s"$workDir/qprof.parquet")
-        // window = span/32 (≥ 4 windows per wave, so closed windows must
-        // evict within the run), expressed in minutes for the duration
-        val winMin = math.max(1L, spanUs / 32 / 60000000L)
-        // flag threshold at the median PER-WINDOW dot — the exact
-        // quantity the stream emits (a full-span median sits ~32× above
-        // every windowed dot and silently un-engages the flag, which is
-        // what the first r12 tier-2 run showed) ⇒ both verdicts occur
-        val thr = ev
-          .withColumn("bucket",
-            expr(s"((ts_us - ${t0e}L) * 64) div ${spanUs}L"))
-          .withColumn("w", expr(s"ts_us div ${winMin * 60000000L}L"))
-          .join(qp, "bucket")
-          .filter(col("user_id") =!= col("q_user"))
-          .groupBy("w", "user_id", "q_user").agg(sum("q_n").as("dot"))
-          .select(expr("percentile_approx(dot, 0.5)")).collect()(0).getLong(0)
+        val (qp, thr, winStr) =
+          if (!opsSel("activity_admission")) (null, 0L, "1 minute")
+          else {
+            val sparse = ev
+              .withColumn("bucket",
+                expr(s"((ts_us - ${t0e}L) * 64) div ${spanUs}L"))
+              .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+            sparse.filter(col("user_id") % 5 === 0 && col("user_id") % 500 === 0
+                && col("user_id") < lit(10L * U_OFF))
+              .select(col("user_id").as("q_user"), col("bucket"),
+                col("n").as("q_n"))
+              .write.mode("overwrite").parquet(s"$workDir/qprof.parquet")
+            val qpd = spark.read.parquet(s"$workDir/qprof.parquet")
+            // window = span/32 (≥ 4 windows per wave, so closed windows
+            // must evict within the run), in minutes for the duration
+            val winMin = math.max(1L, spanUs / 32 / 60000000L)
+            // flag threshold at the median PER-WINDOW dot — the exact
+            // quantity the stream emits (a full-span median sits ~32×
+            // above every windowed dot and silently un-engages the flag,
+            // which is what the first r12 tier-2 run showed) ⇒ both
+            // verdicts occur
+            val t = ev
+              .withColumn("bucket",
+                expr(s"((ts_us - ${t0e}L) * 64) div ${spanUs}L"))
+              .withColumn("w", expr(s"ts_us div ${winMin * 60000000L}L"))
+              .join(qpd, "bucket")
+              .filter(col("user_id") =!= col("q_user"))
+              .groupBy("w", "user_id", "q_user").agg(sum("q_n").as("dot"))
+              .select(expr("percentile_approx(dot, 0.5)")).collect()(0).getLong(0)
+            (qpd, t, s"$winMin minutes")
+          }
         (0 until waves).map(w => s"$workDir/evt_waves/w$w").toSeq match {
-          case dirs => (dirs, qp, t0e, spanUs, thr, s"$winMin minutes")
+          case dirs => (dirs, qp, t0e, spanUs, thr, winStr)
         }
       }
     graft.data.SharedFrames.clear()
@@ -588,6 +608,15 @@ object StreamRehearsal {
         df, qprof, t0Us = evtT0, spanUs = evtSpan,
         dotThreshold = actThr, windowLength = actWin,
         watermarkDelay = actWin))
+    // file sink: emissions are linear in arrivals (one per event after a
+    // user's first) — millions of rows at 100×, the deployment shape
+    val trStats = rehearse("event_transitions", evtWaveDirs,
+      fileSink = true) { df =>
+      import spark.implicits._
+      graft.streaming.StreamingAnalytics.eventTransitionsStream(
+        df.select("user_id", "event_type", "ts_us", "event_id")
+          .as[graft.streaming.StreamingAnalytics.TransEv]).toDF()
+    }
 
     // ---- crash-resume passes (r13, VERDICT r12 #4) ---------------------
     // Re-run the stateful heavyweights with a clean stop + checkpoint
@@ -736,6 +765,31 @@ object StreamRehearsal {
       if (act.filter(col("flagged")).count() == 0L ||
           act.filter(!col("flagged")).count() == 0L)
         fails += "activity:flag_vacuous"
+    }
+    // transitions: exact-count contracts — one emission per arrival after
+    // a user's first, state exactly one last-event row per user ever
+    // seen, and the rolled-up matrix EQUAL to the batch q36 walk over the
+    // same slice (the strongest gate: any lost, duplicated, or reordered
+    // boundary event diverges a count)
+    if (trStats.isDefined) {
+      val evAll = spark.read.parquet(s"$workDir/evt_events.parquet")
+      val nEvt = evAll.count()
+      val nUsers = evAll.select("user_id").distinct().count()
+      val tr = spark.table("sr_event_transitions")
+      if (tr.count() != nEvt - nUsers)
+        fails += s"transitions:emission_count(${tr.count()} != ${nEvt - nUsers})"
+      trStats.foreach { st =>
+        if (st.last.stateRows != nUsers)
+          fails += s"transitions:state_rows(${st.last.stateRows} != $nUsers)"
+        if (st.map(_.stateRows).max > nUsers)
+          fails += "transitions:state_overcount"
+      }
+      val want = graft.data.RelationalQueries.eventTransitions(evAll)
+        .select("prev_type", "next_type", "n_trans")
+      val got = tr.groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n_trans"))
+      if (want.exceptAll(got).count() != 0L || got.exceptAll(want).count() != 0L)
+        fails += "transitions:matrix_divergence"
     }
 
     val failList = fails.result()

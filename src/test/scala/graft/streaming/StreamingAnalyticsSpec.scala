@@ -897,6 +897,40 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition emitter converges to the batch q36 matrix under any wave split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // time-ordered arrival (the binlog-replay deployment shape), tie-broken
+    // on event_id — the SAME total order batch q36's lag window uses, so a
+    // wave boundary can never reorder a tie group
+    val all = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts_us", "event_id")
+      .as[StreamingAnalytics.TransEv].collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[StreamingAnalytics.TransEv]
+    val q = StreamingAnalytics.eventTransitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("transq36")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("transq36")
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n_trans"))
+        .as[(String, String, Long)].collect().toSet
+      val want = graft.data.RelationalQueries
+        .queries("q36_event_transitions")(spark, sfDir)
+        .select("prev_type", "next_type", "n_trans")
+        .as[(String, String, Long)].collect().toSet
+      assert(want.nonEmpty, "degenerate: batch q36 returned no transitions")
+      assert(got == want,
+        s"streaming/batch diverge: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("streaming funnel tracker converges to the batch q33 rollup under any wave split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
