@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++ cdc.CdcControlQueries.queries ++
-      data.DataQueries.queries ++ data.RelationalQueries.queries
+      data.DataQueries.queries ++ data.RelationalQueries.queries ++
+      streaming.ComposedQueries.queries
 
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracle ++ cdc.CdcControlQueries.oracle ++
-      data.DataQueries.oracle ++ data.RelationalQueries.oracle
+      data.DataQueries.oracle ++ data.RelationalQueries.oracle ++
+      streaming.ComposedQueries.oracle
 }

@@ -14,7 +14,13 @@ object DataQueries {
   private def embs(fn: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (spark, sfDir) => fn(Tables.embeddings(spark, sfDir))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The production-API frames, UNORDERED by contract (r8 rule, extended
+    * repo-wide in r14): a terminal global orderBy would be the single
+    * most expensive node of these otherwise-narrow plans at 100 TB, so
+    * no production API carries one — [[gateSort]] re-adds the
+    * deterministic order HERE, only for the driver's hash gate.
+    * PlanSpec pins the invariant over this whole map. */
+  val unsorted: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_lang_id" -> docs(TextOps.langId),
     "x2_quality_score" -> docs(TextOps.qualityScore),
     "x3_token_count" -> docs(TextOps.tokenCount),
@@ -50,11 +56,7 @@ object DataQueries {
     "x15_pack_sequences" -> docs(TextOps.packSequences(_)),
     "x18_curation_funnel" -> docs(TextOps.curationFunnel),
     "x19_novelty" -> docs(TextOps.noveltyScore),
-    // gate-only terminal sorts (r8): the big-output operators return
-    // UNORDERED frames (their scaladocs state the contract); the orderBy
-    // lives HERE because the driver's hash gate needs a total row order,
-    // while the production path carries no global sort
-    "x20_chunk_sliding" -> docs(TextOps.chunkSliding(_).orderBy("doc_id", "chunk_idx")),
+    "x20_chunk_sliding" -> docs(TextOps.chunkSliding(_)),
     "x21_split_leakage" -> docs(TextOps.splitLeakage),
     "x16_filter_audit" -> docs(TextOps.filterAudit),
     "x17_mixture_temperature" -> docs(TextOps.mixtureTemperature(_)),
@@ -69,11 +71,11 @@ object DataQueries {
     "x29_bm25_topk" -> docs(TextOps.bm25TopK(_)),
     "x30_source_drift" -> docs(TextOps.sourceDrift),
     "x31_bpe_encode" -> docs(TextOps.bpeEncode(_)),
-    "x32_span_scrub" -> docs(TextOps.spanScrub(_).orderBy("doc_id")),
+    "x32_span_scrub" -> docs(TextOps.spanScrub(_)),
     "x33_perplexity_buckets" -> docs(TextOps.perplexityBuckets),
     "x27_duplicated_spans" -> docs(TextOps.duplicatedSpans(_)),
-    "x34_shard_export" -> docs(TextOps.shardExport(_).orderBy("shard", "pos")),
-    "x35_budget_cap" -> docs(TextOps.budgetCap(_).orderBy("doc_id")),
+    "x34_shard_export" -> docs(TextOps.shardExport(_)),
+    "x35_budget_cap" -> docs(TextOps.budgetCap(_)),
     "s5_ann_int8" -> embs(VectorOps.annInt8(_)),
     "s6_ann_ivf_trained" -> embs(VectorOps.annIvfTrained(_)),
     "s1_ann_brute" -> embs(VectorOps.annBrute(_)),
@@ -95,7 +97,7 @@ object DataQueries {
     "s16_ann_range" -> embs(VectorOps.annRange(_)),
     "s17_ivf_retrain" -> embs(VectorOps.ivfRetrainReport(_)),
     "x41_mixture_expand" ->
-      docs(TextOps.mixtureExpand(_).orderBy("doc_id", "epoch")),
+      docs(TextOps.mixtureExpand(_)),
     "x42_cross_source_dups" -> docs(TextOps.crossSourceDups),
     "x43_dedup_mixture" -> docs(TextOps.dedupMixture),
     "x44_shard_manifest" -> docs(TextOps.shardManifest(_)),
@@ -104,8 +106,8 @@ object DataQueries {
     "x49_quantile_sketch" -> docs(TextOps.quantileSketchAudit(_)),
     "x36_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "x39_eval_span_contamination" ->
-      docs(TextOps.evalSpanContamination(_).orderBy("doc_id")),
-    "x46_eval_span_scrub" -> docs(TextOps.evalSpanScrub(_).orderBy("doc_id")),
+      docs(TextOps.evalSpanContamination(_)),
+    "x46_eval_span_scrub" -> docs(TextOps.evalSpanScrub(_)),
     "x40_tokenizer_fertility" -> docs(TextOps.tokenizerFertility(_)),
     "x37_perceptron_filter" -> docs(TextOps.perceptronFilter(_)),
     "x38_data_card" -> docs(TextOps.dataCard),
@@ -114,11 +116,111 @@ object DataQueries {
     "m2_frame_sample" -> docs(MultimodalOps.sampleFrames(_)),
     "m3_resize" -> docs(MultimodalOps.resize(_)),
     "m4_pack_multimodal" -> docs(MultimodalOps.packMultimodal(_)),
-    "m5_media_dedup" -> docs(MultimodalOps.mediaDedup(_).orderBy("doc_id")),
+    "m5_media_dedup" -> docs(MultimodalOps.mediaDedup(_)),
     "m6_phash_neardup" -> docs(MultimodalOps.phashNearDup),
     "m7_cdc_chunks" -> docs(MultimodalOps.cdcChunks(_)),
     "m8_phash_keepers" -> docs(MultimodalOps.phashKeepers)
   )
+
+  /** Deterministic gate sort per query — the columns each API's terminal
+    * orderBy carried before r14 moved them registry-side. Queries absent
+    * here never had one (single-row outputs, or limit-ordered top-N like
+    * x6/s4b whose order is part of the semantics and stays API-side). */
+  val gateSort: Map[String, Seq[String]] = Map(
+    "x5_top_terms" -> Seq("doc_id", "rnk"),
+    "x7_repetition" -> Seq("doc_id"),
+    "x8_length_quantiles" -> Seq("lang_pred"),
+    "x10_distinct_by_lang" -> Seq("lang_pred"),
+    "x11_sample_stratified" -> Seq("doc_id"),
+    "x12_decontaminate" -> Seq("doc_id"),
+    "x13_langid_confusion" -> Seq("lang", "lang_pred"),
+    "x14_source_mix" -> Seq("source", "lang"),
+    "x15_pack_sequences" -> Seq("doc_id"),
+    "x16_filter_audit" -> Seq("doc_id"),
+    "x17_mixture_temperature" -> Seq("source"),
+    "x18_curation_funnel" -> Seq("stage"),
+    "x19_novelty" -> Seq("doc_id"),
+    "x20_chunk_sliding" -> Seq("doc_id", "chunk_idx"),
+    "x21_split_leakage" -> Seq("doc_a", "doc_b"),
+    "x22_boilerplate_lines" -> Seq("doc_id"),
+    "x23_pii_redact" -> Seq("doc_id"),
+    "x24_cluster_reps" -> Seq("cluster_id"),
+    "x25_unigram_surprisal" -> Seq("doc_id"),
+    "x26_bpe_merges" -> Seq("round"),
+    "x27_duplicated_spans" -> Seq("doc_id"),
+    "x28_dsir_importance" -> Seq("doc_id"),
+    "x29_bm25_topk" -> Seq("rnk"),
+    "x30_source_drift" -> Seq("source"),
+    "x31_bpe_encode" -> Seq("doc_id"),
+    "x32_span_scrub" -> Seq("doc_id"),
+    "x33_perplexity_buckets" -> Seq("bucket"),
+    "x34_shard_export" -> Seq("shard", "pos"),
+    "x35_budget_cap" -> Seq("doc_id"),
+    "x36_phrase_search" -> Seq("phrase", "doc_id"),
+    "x37_perceptron_filter" -> Seq("doc_id"),
+    "x38_data_card" -> Seq("source"),
+    "x39_eval_span_contamination" -> Seq("doc_id"),
+    "x40_tokenizer_fertility" -> Seq("source", "lang_pred"),
+    "x41_mixture_expand" -> Seq("doc_id", "epoch"),
+    "x42_cross_source_dups" -> Seq("src_a", "src_b"),
+    "x43_dedup_mixture" -> Seq("source"),
+    "x44_shard_manifest" -> Seq("shard"),
+    "x45_filter_agreement" -> Seq("source"),
+    "x46_eval_span_scrub" -> Seq("doc_id"),
+    "x47_cms_audit" -> Seq("rnk"),
+    "x48_bigram_surprisal" -> Seq("doc_id"),
+    "x49_quantile_sketch" -> Seq("source"),
+    "x50_importance_resample" -> Seq("doc_id"),
+    "x51_data_card_quantiles" -> Seq("source"),
+    "x52_bloom_decontaminate" -> Seq("doc_id"),
+    "x53_cluster_split" -> Seq("doc_id"),
+    "d1_dedup_exact" -> Seq("keeper"),
+    "d2_dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+    "d4_dedup_simhash" -> Seq("doc_id"),
+    "d5_dedup_embedding" -> Seq("vec_id"),
+    "d6_dedup_clusters" -> Seq("doc_id"),
+    "d7_simhash_near" -> Seq("doc_a", "doc_b"),
+    "d8_dedup_agreement" -> Seq("doc_a", "doc_b"),
+    "d9_dedup_savings" -> Seq("cluster_id"),
+    "d10_minhash_calibration" -> Seq("doc_a", "doc_b"),
+    "d11_dedup_incremental" -> Seq("doc_a", "doc_b"),
+    "d12_semdedup" -> Seq("vec_id"),
+    "d13_pagerank_neardup" -> Seq("doc_id"),
+    "d14_semdedup_incremental" -> Seq("vec_id"),
+    "d15_exact_blocks" -> Seq("doc_id"),
+    "s1_ann_brute" -> Seq("query_id", "rnk"),
+    "s2_ann_ivf" -> Seq("query_id", "rnk"),
+    "s3_ann_lsh" -> Seq("query_id", "rnk"),
+    "s4_kmeans_step" -> Seq("c_id", "d"),
+    "s5_ann_int8" -> Seq("query_id", "rnk"),
+    "s6_ann_ivf_trained" -> Seq("query_id", "rnk"),
+    "s7_ann_pq" -> Seq("query_id", "rnk"),
+    "s8_ann_ivf_multiprobe" -> Seq("query_id", "rnk"),
+    "s9_ann_ivfpq" -> Seq("query_id", "rnk"),
+    "s10_ivf_drift" -> Seq("cell"),
+    "s11_ann_imi" -> Seq("query_id", "rnk"),
+    "s12_ann_recall" -> Seq("query_id"),
+    "s13_pq_health" -> Seq("s", "code"),
+    "s14_ann_filtered" -> Seq("query_id", "rnk"),
+    "s15_hard_negatives" -> Seq("query_id", "rnk"),
+    "s16_ann_range" -> Seq("query_id", "neighbor_id"),
+    "s17_ivf_retrain" -> Seq("cell"),
+    "m1_multimodal_features" -> Seq("doc_id"),
+    "m2_frame_sample" -> Seq("doc_id", "frame_idx"),
+    "m3_resize" -> Seq("doc_id"),
+    "m4_pack_multimodal" -> Seq("doc_id"),
+    "m5_media_dedup" -> Seq("doc_id"),
+    "m6_phash_neardup" -> Seq("doc_a", "doc_b"),
+    "m7_cdc_chunks" -> Seq("doc_id"),
+    "m8_phash_keepers" -> Seq("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    unsorted.map { case (name, build) =>
+      name -> { (spark: SparkSession, sfDir: String) =>
+        val df = build(spark, sfDir)
+        gateSort.get(name).fold(df)(cs => df.orderBy(cs.head, cs.tail: _*))
+      }
+    }
 
   // ---- DuckDB oracle --------------------------------------------------
 

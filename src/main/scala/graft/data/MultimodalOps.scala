@@ -52,7 +52,7 @@ object MultimodalOps {
         }
         Resized(r.doc_id, r.payload.length.toLong, n, sum)
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF()
   }
 
   /** m2 — frame sampling: chunk the binary payload into fixed-size frames
@@ -76,7 +76,7 @@ object MultimodalOps {
           Frame(r.doc_id, i, (until - from).toLong, fe)
         }
       }
-    }.toDF().orderBy("doc_id", "frame_idx")
+    }.toDF()
   }
 
   /** m1 — batch feature extraction over binary payloads. The per-partition
@@ -104,7 +104,7 @@ object MultimodalOps {
           counts(0), counts(1), counts(2), counts(3),
           counts(4), counts(5), counts(6), counts(7))
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF()
   }
 
   /** m4 — multimodal sequence packing: each document costs its text
@@ -142,7 +142,6 @@ object MultimodalOps {
       .select(col("doc_id"), col("txt_tokens"), col("img_tokens"), col("cost"),
         expr(s"cum_before DIV $budget").as("batch_id"),
         expr(s"cum_before % $budget").as("batch_offset"))
-      .orderBy("doc_id")
   }
 
   /** m5 — media payload dedup: the storage-level dedup a multimodal
@@ -245,7 +244,6 @@ object MultimodalOps {
         sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_shared"))
       .withColumn("shared_frac",
         expr("CAST(n_shared AS DOUBLE) / n_chunks"))
-      .orderBy("doc_id")
   }
 
   /** m6 — perceptual-hash near-duplicate detection, the media-asset form
@@ -330,7 +328,6 @@ object MultimodalOps {
         when(col("cand") < col("doc_id"), col("cand"))
           .otherwise(col("doc_id")).as("keeper"),
         (col("cand") < col("doc_id")).as("is_dup"))
-      .orderBy("doc_id")
   }
 
   def phashNearDup(documents: DataFrame): DataFrame = {
@@ -345,6 +342,5 @@ object MultimodalOps {
     probes.join(raw, col("probe") === col("ph_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"),
         expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
-      .orderBy("doc_a", "doc_b")
   }
 }

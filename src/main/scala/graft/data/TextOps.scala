@@ -131,7 +131,6 @@ object TextOps {
         expr("CAST(n_words - n_distinct_words AS DOUBLE) / n_words").as("dup_word_frac"),
         expr("CAST(top_word_n AS DOUBLE) / n_words").as("top_word_frac"),
         expr("CAST(n_tris - n_distinct_tris AS DOUBLE) / n_tris").as("dup_trigram_frac"))
-      .orderBy("doc_id")
   }
 
   /** x8 — exact per-language length quantiles WITHOUT a global sort: the
@@ -158,7 +157,6 @@ object TextOps {
       .join(pick("CAST(floor((9 * n + 9) / 10.0) AS BIGINT)", "p90_words"), "lang_pred")
       .join(cum.groupBy("lang_pred").agg(max("n").as("n_docs")), "lang_pred")
       .select("lang_pred", "n_docs", "p50_words", "p90_words")
-      .orderBy("lang_pred")
   }
 
   /** Big-endian numeric value of the first 13 hex chars (52 bits) of the
@@ -254,7 +252,6 @@ object TextOps {
       .withColumn("kth_num", expr(hex13Num("kth_hex")))
       .withColumn("est_distinct",
         expr("CAST(k_actual - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth_num"))
-      .orderBy("lang_pred")
   }
 
   /** x11 — deterministic stratified sampling: keep a per-language rate by
@@ -275,7 +272,6 @@ object TextOps {
         """(lang_pred = 'en' AND hv * 10 < CAST(4503599627370496 AS BIGINT))
            OR (lang_pred <> 'en' AND hv * 2 < CAST(4503599627370496 AS BIGINT))"""))
       .select("doc_id", "lang_pred")
-      .orderBy("doc_id")
   }
 
   /** x12 — decontamination: flag training documents whose shingles overlap
@@ -320,7 +316,6 @@ object TextOps {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         expr("CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_sh").as("overlap_frac"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("is_contaminated"))
-      .orderBy("doc_id")
   }
 
   /** x52 — Bloom-filter decontamination calibration (VERDICT r11 #3):
@@ -378,7 +373,6 @@ object TextOps {
         (col("n_bloom_hits") > 0).as("bloom_contaminated"),
         col("exact_contaminated"),
         (col("n_bloom_hits") > 0 && !col("exact_contaminated")).as("false_positive"))
-      .orderBy("doc_id")
   }
 
   /** The benchmark side of [[decontaminateBloom]] as a driver-side
@@ -424,7 +418,6 @@ object TextOps {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
       .withColumn("is_correct", col("lang") === col("lang_pred"))
-      .orderBy("lang", "lang_pred")
 
   /** x14 — dataset mixture report: per (source, lang) document counts and
     * exact size totals — the data-card / mixture-weights table every
@@ -438,7 +431,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("total_chars"),
         sum("n_words").as("total_words"))
-      .orderBy("source", "lang")
 
   /** x15 — training-sequence packing: concatenate the corpus in doc_id
     * order and chunk it into fixed token-budget sequences (the
@@ -476,7 +468,6 @@ object TextOps {
         // (cum_before=0, n_tokens=0 → -1) would diverge between engines
         expr(s"(cum_before + greatest(n_tokens, 1) - 1) DIV $budget - cum_before DIV $budget + 1")
           .as("n_seqs_spanned"))
-      .orderBy("doc_id")
   }
 
   /** x34 — deterministic seeded shuffle + shard assignment: the training
@@ -559,7 +550,6 @@ object TextOps {
         max("pos").as("max_pos"),
         sum("bpe_tokens").as("n_tokens"),
         sum(expr("(fp20 + 1) * ((pos % 1048576) + 1)")).as("checksum"))
-      .orderBy("shard")
   }
 
   /** x35 — per-source token-budget cap: APPLY the mixture budgets x17
@@ -700,7 +690,7 @@ object TextOps {
         "r_too_short", "r_too_long", "r_no_stopwords", "r_repetitive", "keep")
 
   def filterAudit(documents: DataFrame): DataFrame =
-    filterFlags(documents).orderBy("doc_id")
+    filterFlags(documents)
 
   /** x17 — temperature-reweighted mixture: per-source sampling
     * probabilities p_i ∝ tokens_i^(1/2) (temperature α = 0.5, the
@@ -731,7 +721,6 @@ object TextOps {
       .withColumn("p", expr("CAST(w AS DOUBLE) / w_total"))
       .withColumn("epochs", expr(s"CAST(w AS DOUBLE) / w_total * $targetTokens / tokens"))
       .select("source", "n_docs", "tokens", "w", "p", "epochs")
-      .orderBy("source")
   }
 
   /** x18 — the end-to-end curation funnel: quality filter → exact dedup →
@@ -783,7 +772,6 @@ object TextOps {
         '2_exact_dedup', n2, n1 - n2,
         '3_near_dedup',  n3, n2 - n3,
         '4_sampled',     n4, n3 - n4) AS (stage, n_docs, n_removed)""")
-      .orderBy("stage")
   }
 
   /** x19 — n-gram novelty: the fraction of a document's shingles whose
@@ -805,7 +793,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_frac", expr("CAST(n_novel AS DOUBLE) / n_sh"))
-      .orderBy("doc_id")
   }
 
   /** x20 — sliding-window chunking: split each document into overlapping
@@ -859,7 +846,6 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jac"),
         col("split_a"), col("split_b"),
         (col("split_a") =!= col("split_b")).as("is_leak"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // -------------------------------------------------------------------
@@ -874,7 +860,6 @@ object TextOps {
       .groupBy("fp")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
       .select("fp", "keeper", "n_dups")
-      .orderBy("keeper")
 
   /** d15 — block-level exact-substring dedup: the ExactSubstr idea (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better")
@@ -916,7 +901,6 @@ object TextOps {
       .withColumn("dup_frac", expr("CAST(n_dup_blocks AS DOUBLE) / n_blocks"))
       .withColumn("is_flagged", col("dup_frac") >= flagFrac)
       .select("doc_id", "n_blocks", "n_dup_blocks", "dup_frac", "is_flagged")
-      .orderBy("doc_id")
   }
 
   /** Distinct word-3gram shingles per doc. Generator + element_at instead
@@ -979,7 +963,6 @@ object TextOps {
     jaccardPairs(documents)
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "common", "sa", "sb", "jac")
-      .orderBy("doc_a", "doc_b")
 
   /** MinHash signatures: h_i(doc) = min over shingles of md5(i ':' sh) for
     * i in 1..12 — the "permutation" is the keyed MD5, portable across
@@ -1041,7 +1024,6 @@ object TextOps {
       .withColumn("jac", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d11 — incremental (new-vs-base) MinHash dedup: the crawl-increment
@@ -1085,7 +1067,6 @@ object TextOps {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"),
         (col("doc_a") < baseMaxId).as("is_cross"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d10 — MinHash calibration audit: for every LSH candidate pair,
@@ -1144,7 +1125,6 @@ object TextOps {
       .withColumn("err", expr("CAST(est_matches AS DOUBLE) / 12 - jac_exact"))
       .select("doc_a", "doc_b", "est_matches", "jac_est",
         "common", "sa", "sb", "jac_exact", "err")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The minhash dup-pair frame as a pay-once shared artifact: d3 emits
@@ -1185,7 +1165,6 @@ object TextOps {
     pairCounts.join(docCounts, Seq("src_a", "src_b"))
       .withColumn("is_cross", col("src_a") =!= col("src_b"))
       .select("src_a", "src_b", "n_pairs", "n_docs", "is_cross")
-      .orderBy("src_a", "src_b")
   }
 
   /** x43 — dedup-adjusted mixture weights: x17's temperature formula
@@ -1236,7 +1215,6 @@ object TextOps {
         "CAST(w_kept AS DOUBLE) / wt_kept - CAST(w_raw AS DOUBLE) / wt_raw"))
       .select("source", "n_raw", "tokens_raw", "n_kept", "tokens_kept",
         "dup_frac", "p_raw", "p_kept", "p_shift")
-      .orderBy("source")
   }
 
   /** d6's cluster labels as a pay-once shared artifact (d9 re-consumes
@@ -1265,7 +1243,7 @@ object TextOps {
     * retains) plus the cluster size. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.5,
       maxIters: Int = 25): DataFrame =
-    clusterLabels(documents, threshold, maxIters).orderBy("doc_id")
+    clusterLabels(documents, threshold, maxIters)
 
   /** x53 — leakage-safe train/val/test split: every document is assigned
     * its split by the salted hash of its near-dup CLUSTER id (the d6
@@ -1274,8 +1252,15 @@ object TextOps {
     * (x21 measures how often a naive per-doc hash split leaks; this split
     * makes that count zero by construction). 80/10/10 via the hash's
     * residue mod 100 — deterministic, reproducible, and stable under
-    * re-runs and corpus append (an existing cluster's assignment never
-    * moves, because it depends only on the cluster id = min member).
+    * re-runs and NON-BRIDGING corpus append (an existing cluster's
+    * assignment depends only on the cluster id = min member, so appended
+    * docs that don't connect existing clusters change nothing). An
+    * appended document that BRIDGES two previously-separate clusters
+    * merges them: the merged component takes the smaller of the two min
+    * members as its id, so the side whose min was larger is reassigned
+    * AS A UNIT to the surviving cluster's split — near-dups still never
+    * straddle, but that side's split label can move (spec-pinned:
+    * the x53 bridging-append case in SplitBlocksSpec).
     *
     * Scale: the component labels are the memoized d6 artifact (pay-once);
     * the split itself is a per-row hash — no additional shuffle at all.
@@ -1292,7 +1277,6 @@ object TextOps {
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
       .select("doc_id", "cluster_id", "cluster_size", "bucket", "split")
-      .orderBy("doc_id")
   }
 
   /** d4 — SimHash: 16-bit signature from MD5-hex-digit parity weighted by
@@ -1319,7 +1303,6 @@ object TextOps {
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)).cast("int"))
       .filter(col("rnk") <= k)
       .select("doc_id", "rnk", "term", "tf", "df")
-      .orderBy("doc_id", "rnk")
   }
 
   /** x47 — Count-Min sketch heavy-hitter audit, d10's
@@ -1363,7 +1346,6 @@ object TextOps {
       .agg(min("c").as("cms_est"))
       .withColumn("overestimate", col("cms_est") - col("exact"))
       .select("rnk", "term", "exact", "cms_est", "overestimate")
-      .orderBy("rnk")
   }
 
   /** x49 — mergeable quantile sketch audit, x47's calibration-before-
@@ -1433,7 +1415,6 @@ object TextOps {
         "p50_est", "p50_exact", "p50_rank_err",
         "p90_est", "p90_exact", "p90_rank_err",
         "p99_est", "p99_exact", "p99_rank_err")
-      .orderBy("source")
   }
 
   /** x6 — corpus bigram vocabulary, top-N by frequency: the vocabulary-
@@ -1473,7 +1454,6 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jac"), col("cos"),
         col("jac").isNotNull.as("in_text"),
         col("cos").isNotNull.as("in_embedding"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d9 — dedup savings report: per near-dup cluster (d6's connected
@@ -1494,7 +1474,6 @@ object TextOps {
           .otherwise(0L)).as("chars_saved"),
         sum(when(col("doc_id") =!= col("cluster_id"), col("n_words"))
           .otherwise(0L)).as("words_saved"))
-      .orderBy("cluster_id")
   }
 
   /** 16-bit SimHash signature per document.
@@ -1523,7 +1502,6 @@ object TextOps {
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
       .select("doc_id", "simhash", "n_same")
-      .orderBy("doc_id")
 
   /** d7 — SimHash NEAR-dup: pairs at hamming distance ≤ 1, found by
     * bit-flip probing instead of any pairwise comparison. Each signature
@@ -1544,7 +1522,6 @@ object TextOps {
     probes.join(raw, col("probe") === col("sig_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"),
         expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").as("hamming"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d13 — PageRank over the near-dup graph (nodes = documents, edges =
@@ -1577,7 +1554,7 @@ object TextOps {
     // r7 they lingered for the session on every invocation.
     SharedFrames.memoReleasing(documents, s"pagerank-neardup iters=$iters") {
       pageRankNearDupChain(documents, iters)
-    }.orderBy("doc_id")
+    }
 
   /** The un-memoized chain, reachable for the 10× scale rehearsal (the
     * memoized form executes as a checkpoint scan, so the rehearsal's plan
@@ -1673,7 +1650,6 @@ object TextOps {
       .withColumn("kept_frac",
         expr("CAST(n_lines - n_boiler AS DOUBLE) / n_lines"))
       .select("doc_id", "n_lines", "n_boiler", "kept_frac", "clean_md5")
-      .orderBy("doc_id")
   }
 
   /** Deterministic PII injection: the corpus is synthetic word-salad with
@@ -1717,7 +1693,6 @@ object TextOps {
       .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
         (col("n_email") + col("n_phone") + col("n_ip") > 0).as("has_pii"),
         md5(col("redacted")).as("red_md5"))
-      .orderBy("doc_id")
 
   /** The (doc_id, start, window-hash) frame shared by x27's detection and
     * x32's scrub — a SharedFrames pay-once artifact, like the d3 dup-pair
@@ -1780,7 +1755,6 @@ object TextOps {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       .withColumn("dup_frac", expr(
         "CASE WHEN n_windows = 0 THEN 0e0 ELSE CAST(n_dup AS DOUBLE) / n_windows END"))
-      .orderBy("doc_id")
   }
 
   /** x32 — duplicated-span REMOVAL: the completion of x27's detection
@@ -1960,7 +1934,6 @@ object TextOps {
       .withColumn("bits_per_token",
         expr("CAST(bits_q AS DOUBLE) / n_tokens / 1048576e0"))
       .select("doc_id", "n_tokens", "bits_q", "bits_per_token")
-      .orderBy("doc_id")
   }
 
   /** x48 — interpolated BIGRAM-LM surprisal: one model order past x25's
@@ -2026,7 +1999,6 @@ object TextOps {
       .withColumn("bits_per_bigram",
         expr("CAST(bits_q AS DOUBLE) / n_bigrams / 1048576e0"))
       .select("doc_id", "n_bigrams", "bits_q", "bits_per_bigram")
-      .orderBy("doc_id")
   }
 
   /** x48's quantized interpolated surprisal — ONE shared fragment spliced
@@ -2073,7 +2045,6 @@ object TextOps {
       .withColumn("avg_bits_per_token",
         expr("CAST(bits_q AS DOUBLE) / n_tokens / 1048576e0"))
       .select("bucket", "n_docs", "n_tokens", "avg_bits_per_token")
-      .orderBy("bucket")
   }
 
   /** x24 — near-dup cluster representative selection: instead of d6's
@@ -2101,7 +2072,6 @@ object TextOps {
           struct(negate(col("quality_score")), col("doc_id"))).as("rep_quality"))
       .withColumn("n_dropped", col("cluster_size") - 1)
       .select("cluster_id", "cluster_size", "rep_doc", "rep_quality", "n_dropped")
-      .orderBy("cluster_id")
   }
 
   /** x30 — per-source distribution drift: KL(P_source ‖ P_corpus) over
@@ -2141,7 +2111,6 @@ object TextOps {
         count(lit(1)).as("n_vocab"),
         sum("term_q").as("kl_q"))
       .withColumn("kl_bits", expr("CAST(kl_q AS DOUBLE) / 1048576e0"))
-      .orderBy("source")
   }
 
   /** x29 — BM25 keyword retrieval: top-k documents for a fixed query-term
@@ -2200,9 +2169,6 @@ object TextOps {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score_q").desc, col("doc_id"))).cast("int"))
       .select("rnk", "doc_id", "n_terms", "score_q", "score")
-      // the window's sort is an execution detail — the RETURNED ordering
-      // must be explicit (the oracle has ORDER BY rnk)
-      .orderBy("rnk")
   }
 
   /** x28's hashed-bigram stream with per-doc target flags — shared by
@@ -2303,7 +2269,6 @@ object TextOps {
       .withColumn("importance", expr(
         "CASE WHEN n_bigrams = 0 THEN 0e0 " +
           "ELSE CAST(score_q AS DOUBLE) / n_bigrams / 1048576e0 END"))
-      .orderBy("doc_id")
   }
 
   /** x50 — DSIR importance RESAMPLING: materializes the accepted subset
@@ -2335,7 +2300,6 @@ object TextOps {
       .withColumn("accept",
         col("n_bigrams") > 0 && col("u_q") * col("n_bigrams") <= col("score_q"))
       .select("doc_id", "n_bigrams", "score_q", "u_q", "accept")
-      .orderBy("doc_id")
   }
 
   /** x26 — distributed BPE tokenizer training: `rounds` greedy merges
@@ -2361,7 +2325,6 @@ object TextOps {
     import spark.implicits._
     val (merges, _) = bpeTrained(documents, rounds)
     merges.toDF("round", "pa", "pb", "merged", "cnt")
-      .orderBy("round")
   }
 
   /** Session-memoized trained tokenizer (merge table + final vocab), the
@@ -2469,7 +2432,6 @@ object TextOps {
         sum("n_sym").as("n_tokens"))
       .withColumn("chars_per_token", expr(
         "CASE WHEN n_tokens = 0 THEN 0e0 ELSE CAST(n_chars AS DOUBLE) / n_tokens END"))
-      .orderBy("doc_id")
     // vocab stays checkpointed: the returned plan reads it (truncated
     // lineage — unpersisting before materialization would strand it)
     out
@@ -2507,7 +2469,6 @@ object TextOps {
           "ELSE CAST(n_chars AS DOUBLE) / n_tokens END").as("fertility"),
         expr("CAST(n_chars AS DOUBLE) / t_chars").as("char_share"),
         expr("CAST(n_tokens AS DOUBLE) / t_tokens").as("token_share"))
-      .orderBy("source", "lang_pred")
   }
 
   /** x37 — distributed batch perceptron over hashed bigram features: the
@@ -2611,7 +2572,6 @@ object TextOps {
       .select(col("doc_id"), col("y"), col("margin"),
         (col("margin") > 0).as("pred"),
         ((col("margin") > 0) === (col("y") > 0)).as("correct"))
-      .orderBy("doc_id")
   }
 
   /** x45 — rule-vs-model filter agreement, d8's signal-fusion audit
@@ -2637,7 +2597,6 @@ object TextOps {
         sum(when(col("y") < 0 && !col("pred"), 1L).otherwise(0L)).as("n_both_drop"))
       .withColumn("agree_frac",
         expr("CAST(n_both_keep + n_both_drop AS DOUBLE) / n"))
-      .orderBy("source")
 
   /** x38 — the per-source data card: the one-table summary a curated
     * release ships (and the dashboard a 100 TB ingest is steered by) —
@@ -2674,7 +2633,6 @@ object TextOps {
         col("n_kept"), expr("CAST(n_kept AS DOUBLE) / n_docs").as("keep_rate"),
         col("n_dup_docs"), expr("CAST(n_dup_docs AS DOUBLE) / n_docs").as("dup_rate"),
         col("top_lang"), expr("CAST(top_lang_n AS DOUBLE) / n_docs").as("top_lang_share"))
-      .orderBy("source")
   }
 
   /** x51 — the data card's DISTRIBUTION columns (VERDICT r11 #4): per
@@ -2706,7 +2664,7 @@ object TextOps {
           .as("p90_chars_est"),
         expr("element_at(sample, CAST(floor((99 * k_actual + 99) / 100.0) AS INT))")
           .as("p99_chars_est"))
-    dataCard(documents).join(sk, "source").orderBy("source")
+    dataCard(documents).join(sk, "source")
   }
 
   /** x36's default phrase set: frequent bigram, two trigrams, and a
@@ -2750,6 +2708,5 @@ object TextOps {
       .filter(col("hit") === col("plen"))
       .groupBy("phrase", "doc_id")
       .agg(count(lit(1)).as("n_hits"), min("start").as("first_pos"))
-      .orderBy("phrase", "doc_id")
   }
 }

@@ -120,7 +120,6 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("dot"), col("cos"))
-      .orderBy("query_id", "rnk")
 
   /** s1 — brute-force top-k cosine (baseline; exact). */
   def annBrute(embeddings: DataFrame, everyNth: Int = 50, k: Int = 5): DataFrame = {
@@ -176,7 +175,6 @@ object VectorOps {
       q.join(vb, col("q_bucket") === col("bucket") && col("vec_id") =!= col("query_id")), k)
       .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
       .select("query_id", "neighbor_id", "rnk", "dot", "cos", "bucket")
-      .orderBy("query_id", "rnk")
   }
 
   /** s5 — int8-quantized ANN with exact rerank: the
@@ -239,7 +237,6 @@ object VectorOps {
       .withColumn("cos_exact", expr(
         "CAST(graft_dot_long(q_qv, qv) AS DOUBLE) / sqrt(CAST(q_nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
       .select("query_id", "neighbor_id", "rnk", "dot8", "cos8", "cos_exact")
-      .orderBy("query_id", "rnk")
   }
 
   /** Exact-integer nearest-centroid assignment against a broadcast k-row
@@ -343,7 +340,6 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("adc_d2"), col("dot"), col("cos"))
-      .orderBy("query_id", "rnk")
   }
 
   /** s9 — full IVF-PQ (Jégou et al. 2011; FAISS `IVFPQ`): a trained
@@ -458,7 +454,6 @@ object VectorOps {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("adc_d2"), col("dot"), col("cos"), col("cell"))
-      .orderBy("query_id", "rnk")
   }
 
   private def assignToCentroids(v: DataFrame, cent: DataFrame): DataFrame =
@@ -506,7 +501,6 @@ object VectorOps {
         topK)
       .join(q.select(col("query_id"), col("q_cell").as("cell")), "query_id") // Q-scaled: AQE-sized
       .select("query_id", "neighbor_id", "rnk", "dot", "cos", "cell")
-      .orderBy("query_id", "rnk")
   }
 
   /** s8 — multi-probe IVF: each query scans its `nProbe` NEAREST cells
@@ -552,7 +546,6 @@ object VectorOps {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("dot"), col("cos"), col("cell"))
-      .orderBy("query_id", "rnk")
   }
 
   /** s14 — metadata-filtered ANN (the FAISS `IDSelector` / filtered-
@@ -603,7 +596,6 @@ object VectorOps {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("q_lang"), col("vec_id").as("neighbor_id"),
         col("rnk"), col("dot"), col("cos"), assigned("cell"))
-      .orderBy("query_id", "rnk")
   }
 
   /** s15 — hard-negative mining for contrastive/retriever training (the
@@ -651,7 +643,6 @@ object VectorOps {
       .join(anchorCell, "query_id")
       .select(col("query_id"), col("q_cell"), col("vec_id").as("neighbor_id"),
         col("rnk"), col("dot"), col("cos"), col("cell"))
-      .orderBy("query_id", "rnk")
   }
 
   /** s16 — range (radius) search, FAISS `range_search`: every candidate
@@ -687,7 +678,6 @@ object VectorOps {
       .filter(col("cos") >= minCos)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("dot"), col("cos"), col("cell"))
-      .orderBy("query_id", "neighbor_id")
   }
 
   /** Half-space cell count for [[annImi]]: the inverted multi-index
@@ -785,7 +775,6 @@ object VectorOps {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("dot"), col("cos"), col("cell_a"), col("cell_b"))
-      .orderBy("query_id", "rnk")
   }
 
   /** s12 — ANN recall monitor: recall@k of the approximate index against
@@ -814,7 +803,6 @@ object VectorOps {
       .groupBy("query_id")
       .agg(sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("n_hits"))
       .withColumn("recall", expr(s"CAST(n_hits AS DOUBLE) / $topK"))
-      .orderBy("query_id")
   }
 
   /** s13 — PQ codebook health audit: per (subspace, codeword) occupancy
@@ -868,7 +856,6 @@ object VectorOps {
         "CASE WHEN n_assigned = 0 THEN 0e0 ELSE CAST(sum_d2 AS DOUBLE) / n_assigned END"))
       .withColumn("dead", col("n_assigned") === 0L)
       .select("s", "code", "n_assigned", "sum_d2", "share", "mean_d2", "dead")
-      .orderBy("s", "code")
   }
 
   /** s4 — one distributed k-means step (assign + update) over quantized
@@ -894,7 +881,6 @@ object VectorOps {
       .groupBy("c_id", "d").agg(sum("q").as("s"), count(lit(1)).as("n"))
       .select(col("c_id"), col("d").cast("int").as("d"), col("n"),
         expr("CAST(s AS DOUBLE) / n / 1048576.0").as("mean"))
-      .orderBy("c_id", "d")
   }
 
   /** s4b — Lloyd's algorithm iterated to convergence on the 2^20 integer
@@ -1134,7 +1120,6 @@ object VectorOps {
         coalesce(col("moved_out"), lit(0L)).as("moved_out"),
         (coalesce(col("moved_in"), lit(0L)) > 0 ||
           coalesce(col("moved_out"), lit(0L)) > 0).as("needs_rewrite"))
-      .orderBy("cell")
   }
 
   /** [[writeCellPartitioned]] with TRAINED centroids — the layout a
@@ -1460,7 +1445,6 @@ object VectorOps {
     quantized(embeddings).select("vec_id").join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("nn_id"), col("cos"),
         coalesce(col("cos") >= threshold, lit(false)).as("is_dup"))
-      .orderBy("vec_id")
   }
 
   /** s10 — IVF index drift monitor: the MONITOR step of the index
@@ -1511,7 +1495,6 @@ object VectorOps {
           .as("mean_d2_new"),
         expr("CAST(n_new AS DOUBLE) / t_new - CAST(n_base AS DOUBLE) / t_base")
           .as("share_shift"))
-      .orderBy("cell")
   }
 
   /** d12 — SemDeDup-style semantic dedup (Abbas et al. 2023,
@@ -1597,7 +1580,6 @@ object VectorOps {
     ranked.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"), col("cent_cos"),
         col("is_dropped").isNull.as("keep"))
-      .orderBy("vec_id")
   }
 
   /** The base-trained centroid frame shared by the d14 family:
@@ -1727,6 +1709,5 @@ object VectorOps {
       .select(col("vec_id"), col("c_id"), col("cent_cos"),
         (col("dup_base").isNull && col("dup_new").isNull).as("keep"),
         col("dup_base").isNotNull.as("dup_of_base"))
-      .orderBy("vec_id")
   }
 }

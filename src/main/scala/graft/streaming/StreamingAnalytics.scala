@@ -783,8 +783,20 @@ object StreamingAnalytics {
     * time-ordered wave split the emitted multiset equals the batch q36
     * pair walk (convergence spec aggregates the emissions and compares
     * counts). Output is LINEAR in arrivals — the matrix roll-up
-    * downstream is one keyed streaming count, never a re-walk. */
-  def eventTransitionsStream(events: Dataset[TransEv]): Dataset[Transition] = {
+    * downstream is one keyed streaming count, never a re-walk.
+    *
+    * Arrival contract, ENFORCED (r13 ADVICE): events must arrive in
+    * per-user monotone (ts_us, event_id) order ACROSS micro-batches
+    * (within a batch they are sorted here). An event at or before the
+    * stored last event is DROPPED — emitting it would invert a
+    * transition and rewinding state would diverge every later pair from
+    * batch q36 — and counted on `oooCounter` so a rehearsal gate can
+    * assert the contract actually held (zero drops) instead of trusting
+    * it. Cross-batch reordering buffers belong upstream (watermark
+    * delay + sort, the standard Structured Streaming recipe). */
+  def eventTransitionsStream(events: Dataset[TransEv],
+      oooCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Transition] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -793,9 +805,14 @@ object StreamingAnalytics {
           var last = state.getOption
           val out = Seq.newBuilder[Transition]
           sorted.foreach { e =>
-            last.foreach(l => out += Transition(
-              userId, l.event_type, e.event_type, e.ts_us, e.event_id))
-            last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+            if (last.exists(l => e.ts_us < l.ts_us ||
+                (e.ts_us == l.ts_us && e.event_id <= l.event_id))) {
+              oooCounter.foreach(_.add(1L)) // late straggler: drop, keep state
+            } else {
+              last.foreach(l => out += Transition(
+                userId, l.event_type, e.event_type, e.ts_us, e.event_id))
+              last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+            }
           }
           last.foreach(state.update)
           out.result().iterator

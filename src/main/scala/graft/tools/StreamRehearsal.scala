@@ -78,8 +78,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * and (r13) the crash-resume runs diverging from their uninterrupted
   * twins.
   *
-  * Crash-resume (VERDICT r12 #4): the two stateful heavyweights
-  * (curation_admission, qsketch_ingest) run a SECOND pass that stops the
+  * Crash-resume (VERDICT r12 #4, extended r14): the stateful chains —
+  * the two heavyweights (curation_admission, qsketch_ingest) and the two
+  * keyed-MAP-state chains (phash_keepers, event_transitions) — run a
+  * SECOND pass that stops the
   * query at the midpoint wave boundary and restarts it from its
   * checkpoint — the reference's failure-recovery semantics
   * (failure_recovery_test.py:227-349: kill mid-stream, restart, no
@@ -99,8 +101,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Env: SPARK_GRAFT_STREAM_COPIES (default 10),
   *      SPARK_GRAFT_STREAM_WAVES (default 8),
   *      SPARK_GRAFT_STREAM_OPS (default all),
-  *      SPARK_GRAFT_STREAM_RESUME (default curation_admission,qsketch_ingest;
-  *      set empty to skip the resume passes).
+  *      SPARK_GRAFT_STREAM_RESUME (default curation_admission,
+  *      qsketch_ingest,phash_keepers,event_transitions; set empty to
+  *      skip the resume passes).
   * Writes one JSON line to stdout AND to outJson (default BENCH_stream.json).
   */
 object StreamRehearsal {
@@ -365,14 +368,20 @@ object StreamRehearsal {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(allOps.toSet)
     require(opsSel.subsetOf(allOps.toSet), s"unknown ops: ${opsSel -- allOps}")
-    // crash-resume passes (r13): the two stateful heavyweights by
-    // default; empty to skip (e.g. a targeted single-op run)
+    // crash-resume passes (r13, extended r14 per VERDICT #4): the two
+    // stateful heavyweights PLUS the two keyed-MAP-state chains —
+    // phash_keepers (per-bucket phash→min-doc maps) and event_transitions
+    // (last-event per user) are precisely where a lost or doubly-applied
+    // micro-batch silently corrupts keeper assignments / transition
+    // counts. Empty to skip (e.g. a targeted single-op run).
+    val resumeDefault = Set("curation_admission", "qsketch_ingest",
+      "phash_keepers", "event_transitions")
     val resumeSel: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_RESUME")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("curation_admission", "qsketch_ingest"))
+      .getOrElse(resumeDefault)
       .intersect(opsSel)
-    require(resumeSel.subsetOf(Set("curation_admission", "qsketch_ingest")),
-      s"resume supports the stateful heavyweights only, got $resumeSel")
+    require(resumeSel.subsetOf(resumeDefault),
+      s"resume supports the stateful chains only, got $resumeSel")
 
     // ---- the deployed batch artifacts the streams run against --------
     // (trained on the PIPELINE INPUT corpus — the full slice — matching
@@ -562,7 +571,7 @@ object StreamRehearsal {
         Some(stats)
       }
 
-    // the two resume-rehearsed chains keep named transforms so the
+    // the resume-rehearsed chains keep named transforms so the
     // uninterrupted and resumed passes run the IDENTICAL query
     val curMk: DataFrame => DataFrame = df =>
       graft.streaming.StreamingAnalytics.curationAdmissionStream(
@@ -570,6 +579,21 @@ object StreamRehearsal {
     val qsMk: DataFrame => DataFrame = df =>
       graft.streaming.StreamingAnalytics.qsketchIngestStream(
         df, k = 64, windowLength = "1 minute", watermarkDelay = "2 minutes")
+    val pkMk: DataFrame => DataFrame = df =>
+      graft.streaming.StreamingAnalytics.phashKeeperStream(
+        df.select("doc_id", "text")).toDF()
+    // arrival-contract accumulator (r13 ADVICE): the stream DROPS any
+    // per-user out-of-order event instead of emitting an inverted
+    // transition; the gate below asserts the rehearsal feed never
+    // tripped it (time-octile waves are monotone by construction)
+    val trOoo = spark.sparkContext.longAccumulator("transitions_out_of_order")
+    val trMk: DataFrame => DataFrame = { df =>
+      import spark.implicits._
+      graft.streaming.StreamingAnalytics.eventTransitionsStream(
+        df.select("user_id", "event_type", "ts_us", "event_id")
+          .as[graft.streaming.StreamingAnalytics.TransEv],
+        oooCounter = Some(trOoo)).toDF()
+    }
 
     val curStats = rehearse("curation_admission", docWaveDirs,
       fileSink = true)(curMk)
@@ -581,9 +605,7 @@ object StreamRehearsal {
       graft.streaming.StreamingAnalytics.phashNearDupStream(
         df.select("doc_id", "text")).toDF())
     val pkStats = rehearse("phash_keepers", docWaveDirs,
-      fileSink = true)(df =>
-      graft.streaming.StreamingAnalytics.phashKeeperStream(
-        df.select("doc_id", "text")).toDF())
+      fileSink = true)(pkMk)
     val blStats = rehearse("bloom_decontaminate", docWaveDirs)(df =>
       graft.streaming.StreamingAnalytics.bloomDecontaminationStream(df, bloomBits))
     val lmStats = rehearse("lm_quality_admission", docWaveDirs)(df =>
@@ -611,12 +633,7 @@ object StreamRehearsal {
     // file sink: emissions are linear in arrivals (one per event after a
     // user's first) — millions of rows at 100×, the deployment shape
     val trStats = rehearse("event_transitions", evtWaveDirs,
-      fileSink = true) { df =>
-      import spark.implicits._
-      graft.streaming.StreamingAnalytics.eventTransitionsStream(
-        df.select("user_id", "event_type", "ts_us", "event_id")
-          .as[graft.streaming.StreamingAnalytics.TransEv]).toDF()
-    }
+      fileSink = true)(trMk)
 
     // ---- crash-resume passes (r13, VERDICT r12 #4) ---------------------
     // Re-run the stateful heavyweights with a clean stop + checkpoint
@@ -625,11 +642,16 @@ object StreamRehearsal {
     // running counter, sketches their retained samples — any replayed or
     // lost row diverges).
     val restartAfter = waves / 2 - 1
+    val resumeUniverse: Map[String, (DataFrame => DataFrame, Seq[String])] =
+      Map("curation_admission" -> ((curMk, docWaveDirs)),
+        "qsketch_ingest" -> ((qsMk, docWaveDirs)),
+        "phash_keepers" -> ((pkMk, docWaveDirs)),
+        "event_transitions" -> ((trMk, evtWaveDirs)))
     val resumeResults: Seq[(String, Double, Long, Boolean)] =
       resumeSel.toSeq.sorted.map { name =>
-        val mk = if (name == "curation_admission") curMk else qsMk
+        val (mk, dirs) = resumeUniverse(name)
         val t0r = System.nanoTime()
-        val (_, rRows) = runOp(spark, name, docWaveDirs, workDir,
+        val (_, rRows) = runOp(spark, name, dirs, workDir,
           fileSink = true, suffix = "__resume",
           restartAfterWave = restartAfter)(mk)
         val wall = (System.nanoTime() - t0r) / 1e9
@@ -790,6 +812,11 @@ object StreamRehearsal {
         .agg(count(lit(1)).as("n_trans"))
       if (want.exceptAll(got).count() != 0L || got.exceptAll(want).count() != 0L)
         fails += "transitions:matrix_divergence"
+      // arrival contract held: the monotone-feed rehearsal must never
+      // trip the out-of-order drop path (a non-zero count here means
+      // either the feed or the checkpoint recovery reordered events)
+      if (trOoo.value != 0L)
+        fails += s"transitions:out_of_order_drops(${trOoo.value})"
     }
 
     val failList = fails.result()

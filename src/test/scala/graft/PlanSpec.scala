@@ -531,24 +531,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("big-output operator APIs carry no global sort — gate sorts live in the registry") {
-    // x20/x32/x34/x35 return UNORDERED frames by contract (r8): a global
-    // orderBy exists only for the driver's hash gate and would be the
-    // single most expensive node of these otherwise-narrow plans at
-    // 100 TB, so it lives in the registry wrapper, never in the API.
-    // (t12's envelope already follows this — its sort is registry-side.)
-    val docs = Tables.documents(spark, sfDir)
-    val apis = Seq(
-      "x20_chunkSliding" -> graft.data.TextOps.chunkSliding(docs),
-      "x32_spanScrub" -> graft.data.TextOps.spanScrub(docs),
-      "x34_shardExport" -> graft.data.TextOps.shardExport(docs),
-      "x35_budgetCap" -> graft.data.TextOps.budgetCap(docs))
-    for ((name, df) <- apis) {
-      val globalSorts = df.queryExecution.optimizedPlan.collect {
-        case srt: org.apache.spark.sql.catalyst.plans.logical.Sort if srt.global => srt
+  test("NO production API carries a global sort — gate sorts live in the registry") {
+    // The r8 rule, extended to the WHOLE data-pipeline API surface in r14:
+    // every DataQueries entry is built from an UNORDERED production API
+    // (the terminal orderBy exists only for the driver's hash gate and
+    // would be the single most expensive node of these otherwise-narrow
+    // plans at 100 TB) — DataQueries.gateSort re-adds the order in the
+    // registry wrapper, never in the API. The only global Sort a
+    // production plan may carry is one feeding a Limit (top-N semantics:
+    // x6 vocab, distinct-KMV's kth element, CMS/bm25 heavy-hitter
+    // selection — TakeOrderedAndProject at execution, never a full sort).
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort => LSort,
+      GlobalLimit, LocalLimit}
+    assert(graft.data.DataQueries.gateSort.keySet.subsetOf(
+      graft.data.DataQueries.unsorted.keySet),
+      "gateSort names a query absent from the registry")
+    def offendingSorts(p: LogicalPlan, underLimit: Boolean): Seq[LSort] = {
+      val self = p match {
+        case s: LSort if s.global && !underLimit => Seq(s)
+        case _ => Seq.empty
       }
-      assert(globalSorts.isEmpty,
-        s"$name: production API must not globally sort (found ${globalSorts.size})")
+      val below = underLimit || p.isInstanceOf[GlobalLimit] || p.isInstanceOf[LocalLimit]
+      self ++ p.children.flatMap(offendingSorts(_, below))
+    }
+    for (name <- graft.data.DataQueries.unsorted.keys.toSeq.sorted) {
+      val df = graft.data.DataQueries.unsorted(name)(spark, sfDir)
+      val bad = offendingSorts(df.queryExecution.optimizedPlan, underLimit = false)
+      assert(bad.isEmpty,
+        s"$name: production API must not globally sort outside a Limit " +
+          s"(found ${bad.size}: ${bad.map(_.order.map(_.sql).mkString("[", ",", "]")).mkString("; ")})")
     }
   }
 }

@@ -50,7 +50,7 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
     // layout-invariance: the manifest derives from x34's deterministic
     // positions, so any input layout yields byte-identical manifests
     val results = layouts.map { case (name, d) =>
-      name -> TextOps.shardManifest(d).collect().map(_.toString).toSeq
+      name -> TextOps.shardManifest(d).collect().map(_.toString).sorted.toSeq
     }
     val (refName, ref) = results.head
     for ((name, r) <- results.tail)
@@ -145,7 +145,7 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
       "one-partition" -> emb.coalesce(1),
       "seven-random" -> emb.repartition(7))
     val results = layouts.map { case (name, d) =>
-      name -> VectorOps.semDedup(d).collect().map(_.toString).toSeq
+      name -> VectorOps.semDedup(d).collect().map(_.toString).sorted.toSeq
     }
     val (refName, ref) = results.head
     for ((name, r) <- results.tail)
@@ -157,7 +157,7 @@ class ExportLayoutInvarianceSpec extends AnyFunSuite {
     // per-round gradients are keyed aggregations, so arrival order and
     // partition split must not reach the weights
     val results = layouts.map { case (name, d) =>
-      name -> TextOps.perceptronFilter(d).collect().map(_.toString).toSeq
+      name -> TextOps.perceptronFilter(d).collect().map(_.toString).sorted.toSeq
     }
     val (refName, ref) = results.head
     for ((name, r) <- results.tail)

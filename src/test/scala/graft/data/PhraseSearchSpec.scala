@@ -49,7 +49,8 @@ class PhraseSearchSpec extends AnyFunSuite {
         if starts.nonEmpty
       } yield (p, id, starts.size.toLong, starts.min + 1L)).sorted
       val got = TextOps.phraseSearch(docs(corpus: _*), phrases).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
       assert(got == expect, s"trial $trial diverged (phrases=$phrases)")
     }
   }

@@ -70,7 +70,7 @@ class SplitBlocksSpec extends AnyFunSuite {
       (2L, q + " " + p), // block 1 unique, block 2 shared with doc 1
       (3L, "short doc under sixteen words stays out entirely"),
     ).toDF("doc_id", "text")).collect()
-    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
     val byId = rows.map(r => r.getLong(0) ->
       ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
     assert(byId(1L) === ((2L, 2L, true)))
@@ -123,6 +123,53 @@ class SplitBlocksSpec extends AnyFunSuite {
       .filter(col("doc_id") <= 120)
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(appended === bySplit)
+  }
+
+  test("x53 bridging append merges clusters as a unit (r13 ADVICE)") {
+    // A later doc that is a near-dup of TWO previously-separate clusters
+    // merges them; the merged component takes the SMALLER min-member id,
+    // so the higher-id side is reassigned AS A UNIT to the surviving
+    // cluster's split — the documented (and only) way an append can move
+    // an existing assignment. Construction: A and B share a 19-word
+    // prefix (jaccard ≈ 0.46, below the 0.5 edge threshold — separate
+    // clusters), C = A ++ B is ≈ 0.69-jaccard to each (two edges).
+    // The band collisions are md5-deterministic; these exact texts were
+    // chosen by replaying the minhash/band math offline so both C-edges
+    // collide in at least one of the 4 bands.
+    import spark.implicits._
+    val p = (1 to 19).map(i => s"p$i").mkString(" ")
+    val aTxt = p + " " + (1 to 10).map(i => s"q0x$i").mkString(" ")
+    val bTxt = p + " " + (1 to 10).map(i => s"r0x$i").mkString(" ")
+    val filler = (2L to 40L).map(id =>
+      (id, (1 to 25).map(i => s"u${id}x$i").mkString(" ")))
+    val base = ((1L, aTxt) +: (51L, bTxt) +: filler).toDF("doc_id", "text")
+    val before = TextOps.clusterSplit(base).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(4)))).toMap
+    assert(before(1L)._1 === 1L, "A must start as its own cluster")
+    assert(before(51L)._1 === 51L, "B must start as its own cluster")
+
+    val appended = base.union(Seq((200L, aTxt + " " + bTxt))
+      .toDF("doc_id", "text"))
+    // vacuity guard: the bridge doc must actually edge to BOTH sides
+    val pairs = TextOps.lshDupPairs(appended)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 200L)) && pairs.contains((51L, 200L)),
+      s"bridge doc failed to edge to both clusters: $pairs")
+    assert(!pairs.contains((1L, 51L)), "A-B edged directly — not a bridge")
+
+    val after = TextOps.clusterSplit(appended).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(4)))).toMap
+    // merged as a unit under the SURVIVING (smaller) cluster id = 1
+    assert(after(1L)._1 === 1L && after(51L)._1 === 1L && after(200L)._1 === 1L)
+    // the surviving side keeps its pre-append split; the merged side and
+    // the bridge FOLLOW it (they may have moved — that is the documented
+    // behavior, not a stability violation)
+    assert(after(1L)._2 === before(1L)._2, "surviving cluster's split moved")
+    assert(after(51L)._2 === after(1L)._2 && after(200L)._2 === after(1L)._2,
+      "merged cluster must share one split")
+    // every doc OUTSIDE the merged cluster is untouched
+    filler.foreach { case (id, _) => assert(after(id) === before(id)) }
   }
 
   // ----------------------------------------------------------- q35/q36

@@ -237,8 +237,8 @@ class VectorOpsSpec extends AnyFunSuite {
     // ~60 blocks per cluster at sf0.001 — the multi-block regime the
     // default width only reaches at scale
     val e = Tables.embeddings(spark, sfDir)
-    val narrow = VectorOps.semDedup(e, blockWidth = 2L).collect().map(_.toString).toSeq
-    val default = VectorOps.semDedup(e).collect().map(_.toString).toSeq
+    val narrow = VectorOps.semDedup(e, blockWidth = 2L).collect().map(_.toString).sorted.toSeq
+    val default = VectorOps.semDedup(e).collect().map(_.toString).sorted.toSeq
     assert(narrow == default, "block width must not change any verdict")
   }
 
