@@ -167,9 +167,32 @@ object ComposedRehearsal {
     val materializeSec = (System.nanoTime() - t2) / 1e9
 
     // ---- the composed curation run -------------------------------------
+    // The budget must ENGAGE (the r12 stream-rehearsal lesson: derive it
+    // from measured pre-gate pressure, never a hand-picked "∝ corpus"
+    // constant — this corpus's verbatim copies make decontamination cut
+    // far deeper than the base corpus, and 95k×copies sat above every
+    // source's surviving pressure). Replicate the chain's own gates up
+    // to the budget stage and take half the MINIMUM source's tokens:
+    // every source exhausts it mid-stream, the first admitted doc per
+    // source still admits, so neither direction can go vacuous.
     val t3 = System.nanoTime()
+    val gatedPressure = {
+      import graft.data.TextOps
+      val kept = corpus.join(
+        TextOps.filterFlags(corpus).filter(col("keep")).select("doc_id"), "doc_id")
+      val deduped = kept.join(
+        TextOps.dedupExact(kept).select(col("keeper").as("doc_id")), "doc_id")
+      deduped.join(
+          TextOps.decontaminateAgainst(deduped, corpus)
+            .filter(!col("is_contaminated")).select("doc_id"), "doc_id")
+        .join(TextOps.tokenCount(corpus).select("doc_id", "bpe_tokens"), "doc_id")
+        .groupBy("source").agg(sum("bpe_tokens").as("t"))
+        .agg(min("t")).collect()(0).getLong(0)
+    }
+    val budgetTokens = math.max(1L, gatedPressure / 2)
+    println(s"[composed] derived budget=$budgetTokens (min-source pressure $gatedPressure)")
     val rep = CurationPipeline.run(corpus, None,
-      CurationPipeline.Config(budgetTokens = 95000L * copies,
+      CurationPipeline.Config(budgetTokens = budgetTokens,
         semDedupMaxIter = 8), s"$workDir/export")
     val curateSec = (System.nanoTime() - t3) / 1e9
     if (!rep.manifestVerified) fails += "composed:manifest_unverified"
@@ -187,6 +210,7 @@ object ComposedRehearsal {
       s"""{"metric":"composed_rehearsal","value":$total,"unit":"sec",""" +
         s""""copies":$copies,"src":"$src","n_total":$nTotal,""" +
         s""""n_deleted":$nDeleted,"n_live":$nLive,"restarts":$restarts,""" +
+        s""""budget_tokens":$budgetTokens,""" +
         s""""feed_sec":$feedSec,"consume_sec":$consumeSec,""" +
         s""""materialize_sec":$materializeSec,"curate_sec":$curateSec,""" +
         s""""funnel":${rep.stageCounts.map { case (n, c) =>
