@@ -40,6 +40,15 @@ object AsOfJoin {
     * @param keys      optional equi-keys present on both sides: the as-of
     *                  match is resolved independently per key group (e.g.
     *                  per table)
+    * @param foldLeft  fold ALL left columns through the in-bucket
+    *                  aggregation instead of re-joining them afterwards —
+    *                  map-side partial aggregation collapses the per-bucket
+    *                  fan-out before the shuffle, so the left frame crosses
+    *                  the wire ONCE instead of twice (agg + join-back).
+    *                  Profitable when left is NARROW (a key + a timestamp):
+    *                  the fold's max(struct(...)) comparisons touch every
+    *                  carried byte, so wide CDC frames measured FASTER on
+    *                  the join-back path — they keep the default.
     * @return left columns + `asof_ts`, `asof_val` (null when no right row
     *         precedes the left timestamp). Ties on rightTs resolve to the
     *         greatest rightVal.
@@ -52,7 +61,8 @@ object AsOfJoin {
       rightTs: String,
       rightVal: String,
       bucketUs: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      foldLeft: Boolean = false): DataFrame = {
 
     val keyCols = keys.map(col)
 
@@ -90,14 +100,28 @@ object AsOfJoin {
     // join-back costs a second left-key shuffle but keeps the aggregate
     // narrow — measured faster than folding wide left rows through max()
     // aggregates.
-    val inBucket = l
+    val fanned = l
       .join(r, grpCols, "left")
       .withColumn("__cand",
         when(col("__rts") <= col(leftTs), struct(col("__rts"), col("__rval"))))
-      .groupBy(leftKey)
-      .agg(max(col("__cand")).as("__in"))
 
-    l.join(inBucket, Seq(leftKey))
+    val resolved = if (foldLeft) {
+      // one left-key shuffle total: every left column rides the partial
+      // aggregation (leftKey is unique, so max() of a constant-per-group
+      // column is that column), no join-back
+      val carried = l.columns.filter(_ != leftKey).toSeq // includes __bucket
+      fanned.groupBy(leftKey)
+        .agg(max(col("__cand")).as("__in"),
+          carried.map(c => max(col(c)).as(c)): _*)
+    } else {
+      // narrow aggregation + join-back: only the candidate struct rides
+      // the shuffle; the second left-key shuffle re-attaches the wide
+      // left columns (measured faster for wide frames — see @param)
+      val inBucket = fanned.groupBy(leftKey).agg(max(col("__cand")).as("__in"))
+      l.join(inBucket, Seq(leftKey))
+    }
+
+    resolved
       .join(prevCum, grpCols, "left")
       .withColumn("__best", greatest(col("__in"), col("__prev")))
       .withColumn("asof_ts", col("__best.__rts"))

@@ -221,7 +221,7 @@ object MultimodalOps {
     val toks = documents
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
       .withColumn("pos", col("pos0") + 1)
-      .withColumn("th", expr(s"(${TextOps.hex13NumFragment("md5(w)")}) % $M"))
+      .withColumn("th", expr(s"(${TextOps.hex13NumSpark("md5(w)")}) % $M"))
     val withB = toks
       .withColumn("t1", lag("th", 1).over(byDoc))
       .withColumn("t2", lag("th", 2).over(byDoc))

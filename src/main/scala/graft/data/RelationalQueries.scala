@@ -525,18 +525,25 @@ object RelationalQueries {
           .withColumn("sid", sum("brk").over(
             wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       }
-      val v = sess.filter(col("event_type") === "view")
-        .groupBy("user_id", "sid").agg(min("ts_us").as("tv"))
-      val c = sess.join(v, Seq("user_id", "sid"))
-        .filter(col("event_type") === "click" && col("ts_us") > col("tv"))
-        .groupBy("user_id", "sid").agg(min("ts_us").as("tc"))
-      val p = sess.join(c, Seq("user_id", "sid"))
-        .filter(col("event_type") === "purchase" && col("ts_us") > col("tc"))
-        .groupBy("user_id", "sid").agg(min("ts_us").as("tp"))
-      sess.select("user_id", "sid").distinct()
-        .join(v, Seq("user_id", "sid"), "left")
-        .join(c, Seq("user_id", "sid"), "left")
-        .join(p, Seq("user_id", "sid"), "left")
+      // r14: the three stage aggs + three join-backs collapse into three
+      // STACKED full-partition windows over ONE read of the sessionized
+      // frame — stage k+1's "strictly after stage k" predicate reads the
+      // previous window's min directly (null tv ⇒ null comparison ⇒ tc
+      // stays null, exactly the old inner-join semantics). All windows
+      // and both rollups share the session key, and the memoized frame
+      // is already hash-partitioned by user_id, so the whole funnel runs
+      // without a single new exchange where the join form read the frame
+      // 4× and built three session-scaled broadcast join-backs.
+      val wS = Window.partitionBy("user_id", "sid")
+      val staged = sess
+        .withColumn("tv", min(when(col("event_type") === "view",
+          col("ts_us"))).over(wS))
+        .withColumn("tc", min(when(col("event_type") === "click" &&
+          col("ts_us") > col("tv"), col("ts_us"))).over(wS))
+        .withColumn("tp", min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("tc"), col("ts_us"))).over(wS))
+      staged.groupBy("user_id", "sid")
+        .agg(max("tv").as("tv"), max("tc").as("tc"), max("tp").as("tp"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
           sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
@@ -704,16 +711,20 @@ object RelationalQueries {
     "q21_waiting_suppliers" -> t { (spark, dir) =>
       // TPC-H Q21 shape (exists + not-exists against the same fact table)
       // decorrelated into ONE pass: per (order, supplier) return flags,
-      // then per-order stats — the double correlated subquery becomes two
-      // keyed aggregations and a dimension join (AQE-sized).
+      // then per-order stats AS A WINDOW over the same frame — the r14
+      // form. The previous groupBy+self-join consumed `flags` twice
+      // (unpersisted: the lineitem scan + (orderkey, suppkey) aggregation
+      // ran twice) and re-shuffled both arms on orderkey for the join; the
+      // window computes n_supp/n_ret in the single orderkey exchange the
+      // join needed anyway. One scan, two exchanges, no self-join.
       val li = Tables.lineitem(spark, dir)
       val flags = li.groupBy("l_orderkey", "l_suppkey")
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
-      val ordStats = flags.groupBy("l_orderkey")
-        .agg(count(lit(1)).as("n_supp"), sum("ret").as("n_ret"))
-        .filter(col("n_supp") >= 2 && col("n_ret") === 1)
-      flags.filter(col("ret") === 1)
-        .join(ordStats, "l_orderkey")
+      val wOrd = Window.partitionBy("l_orderkey")
+      flags
+        .withColumn("n_supp", count(lit(1)).over(wOrd))
+        .withColumn("n_ret", sum("ret").over(wOrd))
+        .filter(col("n_supp") >= 2 && col("n_ret") === 1 && col("ret") === 1)
         .join(Tables.supplier(spark, dir),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
@@ -749,15 +760,26 @@ object RelationalQueries {
       // for that part, in exact cents. The correlation decorrelates into
       // a window MIN keyed by part (high-cardinality, never global) and
       // an equality filter — no self-join, one extra shuffle at most.
+      //
+      // r14: the selective part predicate (ECONOMY, size ≤ 15) is pushed
+      // BELOW the aggregation as a semi-join on the scan — the per-part
+      // window min is unaffected by dropping whole partkeys, so both
+      // exchanges (the (partkey, suppkey) aggregation and the partkey
+      // window) now carry only qualifying parts' rows instead of the
+      // full fact table (guide §2.3: shuffle fewer bytes). No hint: the
+      // part projection is SF-scaled, AQE sizes the join (broadcast at
+      // bench SFs, shuffle at 100 TB).
+      val parts = Tables.part(spark, dir)
+        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+        .select("p_partkey", "p_name")
       val ps = Tables.lineitem(spark, dir)
+        .join(parts.select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(expr(s"min($priceC)").as("cost_c"))
       val winners = ps
         .withColumn("min_c", min("cost_c").over(Window.partitionBy("l_partkey")))
         .filter(col("cost_c") === col("min_c"))
-      val parts = Tables.part(spark, dir)
-        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
-        .select("p_partkey", "p_name")
       winners
         .join(parts, col("l_partkey") === col("p_partkey"))
         .join(Tables.supplier(spark, dir),
@@ -800,16 +822,27 @@ object RelationalQueries {
       // AQE-sized since both sides scale with SF). The part-supplier
       // relation reduces to DISTINCT pairs before any join — no row
       // multiplication downstream.
-      val pairs = Tables.lineitem(spark, dir)
-        .select("l_partkey", "l_suppkey").distinct()
+      //
+      // r14: both dimension predicates move BELOW the distinct — the
+      // part semi-join (selective brand/size set) and the supplier
+      // anti-join drop fact rows on the scan side, so the (partkey,
+      // suppkey) distinct exchange carries only qualifying rows (guide
+      // §2.3). Distinct-then-filter and filter-then-distinct commute, so
+      // the surviving pair set is identical. No hints: all sides are
+      // SF-scaled, AQE sizes the joins.
       val excl = Tables.supplier(spark, dir)
         .filter(col("s_name").like("%7")).select("s_suppkey")
       val parts = Tables.part(spark, dir)
         .filter(col("p_brand") =!= "Brand#1" &&
           col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
         .select("p_partkey", "p_brand", "p_type", "p_size")
-      pairs
+      val pairs = Tables.lineitem(spark, dir)
+        .select("l_partkey", "l_suppkey")
+        .join(parts.select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .distinct()
+      pairs
         .join(parts, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
@@ -967,28 +1000,40 @@ object RelationalQueries {
       // orders side is a single-column key projection, shuffled on custkey
       // (AQE-sized: at SF the key set scales with orders, so no forced
       // broadcast — at 100 TB that projection is ~10^11 rows).
+      //
+      // r14: ONE pass instead of two — the previous semi + anti arms each
+      // scanned customer and orders and shuffled both, then full-outer
+      // joined the two segment aggregates back together. A left join
+      // against the DISTINCT order keys preserves customer row count
+      // exactly (≤1 match per key), so both counts come out of one
+      // conditional aggregation: half the scans, half the join shuffles,
+      // no outer-join reconciliation.
       val cust = Tables.customer(spark, dir)
-      val ordKeys = Tables.orders(spark, dir).select("o_custkey")
-      val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
-      val withoutO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
-      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
-        .select(col("c_mktsegment"),
-          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
-          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      val ordKeys = Tables.orders(spark, dir).select("o_custkey").distinct()
+      cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"))
         .orderBy("c_mktsegment")
     },
     "q14_set_ops" -> t { (spark, dir) =>
-      def buyers(y: Int) = Tables.orders(spark, dir)
-        .filter(expr(s"CAST(o_orderdate AS DATE) >= DATE '$y-01-01' AND CAST(o_orderdate AS DATE) < DATE '${y + 1}-01-01'"))
-        .select("o_custkey").distinct()
-      val c96 = buyers(1996)
-      val c97 = buyers(1997)
-      c96.union(c97).distinct().agg(count(lit(1)).as("n_union"))
-        .crossJoin(c96.intersect(c97).agg(count(lit(1)).as("n_intersect")))
-        .crossJoin(c96.except(c97).agg(count(lit(1)).as("n_only_1996")))
-        .crossJoin(c97.except(c96).agg(count(lit(1)).as("n_only_1997")))
+      // r14: the union/intersect/except formulation scanned orders 6×
+      // and shuffled each buyer set up to 3× (24 exchanges in the before
+      // plan). All four counts are functions of one per-customer flag
+      // pair, so ONE scan + ONE custkey aggregation + ONE global
+      // count-rollup replaces the whole set-algebra tree. Counts are
+      // identical: in96/in97 mark membership in each year's distinct
+      // buyer set.
+      val flags = Tables.orders(spark, dir)
+        .withColumn("od", expr("CAST(o_orderdate AS DATE)"))
+        .filter(expr("od >= DATE '1996-01-01' AND od < DATE '1998-01-01'"))
+        .groupBy("o_custkey")
+        .agg(max(when(expr("od < DATE '1997-01-01'"), 1).otherwise(0)).as("in96"),
+          max(when(expr("od >= DATE '1997-01-01'"), 1).otherwise(0)).as("in97"))
+      flags.agg(count(lit(1)).as("n_union"),
+        sum(when(col("in96") === 1 && col("in97") === 1, 1L).otherwise(0L)).as("n_intersect"),
+        sum(when(col("in96") === 1 && col("in97") === 0, 1L).otherwise(0L)).as("n_only_1996"),
+        sum(when(col("in96") === 0 && col("in97") === 1, 1L).otherwise(0L)).as("n_only_1997"))
     },
     "q15_asof_heartbeat" -> t { (spark, dir) =>
       // position every event against the last heartbeat at or before it —
@@ -999,8 +1044,11 @@ object RelationalQueries {
       val dat = ev.filter(col("event_type") =!= "view").select("event_id", "ts_us")
       // heartbeat mean gap is ~2 min at sf0.1: a 10-min bucket keeps O(1)
       // beacons per bucket so the in-bucket join stays linear
+      // foldLeft (r14): dat is narrow (key + ts), so folding it through
+      // the in-bucket aggregation crosses the wire once — the join-back
+      // path's second event_id shuffle of the event frame is gone
       AsOfJoin.lastBefore(dat, "event_id", "ts_us", hb, "hb_ts_us", "hb_serial",
-        bucketUs = 600L * 1000000L)
+        bucketUs = 600L * 1000000L, foldLeft = true)
         .select(col("event_id"), col("ts_us"),
           col("asof_ts").as("hb_ts_us"), col("asof_val").as("hb_serial"))
         .orderBy("event_id")

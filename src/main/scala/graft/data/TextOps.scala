@@ -106,27 +106,33 @@ object TextOps {
     * shuffles are keyed by (doc, token) with map-side partials, never
     * wider than the tokenized corpus. */
   def repetition(documents: DataFrame): DataFrame = {
-    val words = documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val perDoc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as("n_words"),
-        count(lit(1)).as("n_distinct_words"),
-        max("c").as("top_word_n"))
-    val tris = documents
+    // r14: words and trigrams ride ONE generator over one corpus scan —
+    // index i ≤ n emits word i, index i > n emits trigram i − n (only
+    // generated when n ≥ 3, since the bound is max(n, 2n−2); `grp`
+    // disambiguates a word that equals a trigram string). The previous
+    // two-branch form scanned+exploded the corpus twice, paid two
+    // (doc, token) exchanges and joined the halves back; this pays one
+    // exchange per level and no join. Null semantics preserved: a
+    // trigram-less doc has no grp=1 rows, so the all-null conditional
+    // sums keep dup_trigram_frac NULL exactly like the old left join.
+    val toks = documents
       .withColumn("ws", split(col("text"), " "))
-      // docs under 3 words yield no trigrams: DuckDB's generate_series(1, n<=0)
-      // is empty but Spark's sequence(1, 0) DESCENDS and would index element 0
-      .filter(size(col("ws")) >= 3)
-      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 2)))
-      .select(col("doc_id"),
-        concat_ws(" ", element_at(col("ws"), col("i")),
-          element_at(col("ws"), col("i") + 1),
-          element_at(col("ws"), col("i") + 2)).as("t"))
-    val triDoc = tris.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("n", size(col("ws")))
+      // sequence(1, 0) would DESCEND (DuckDB's generate_series is empty),
+      // so the bound never drops below n ≥ 1
+      .withColumn("i", explode(sequence(lit(1), greatest(col("n"), col("n") * 2 - 2))))
+      .select(col("doc_id"), (col("i") > col("n")).as("grp"),
+        when(col("i") <= col("n"), element_at(col("ws"), col("i")))
+          .otherwise(concat_ws(" ", element_at(col("ws"), col("i") - col("n")),
+            element_at(col("ws"), col("i") - col("n") + 1),
+            element_at(col("ws"), col("i") - col("n") + 2))).as("tok"))
+    toks.groupBy("doc_id", "grp", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
-        sum("c").as("n_tris"),
-        count(lit(1)).as("n_distinct_tris"))
-    perDoc.join(triDoc, Seq("doc_id"), "left")
+        sum(when(!col("grp"), col("c"))).as("n_words"),
+        count(when(!col("grp"), lit(1))).as("n_distinct_words"),
+        max(when(!col("grp"), col("c"))).as("top_word_n"),
+        sum(when(col("grp"), col("c"))).as("n_tris"),
+        count(when(col("grp"), lit(1))).as("n_distinct_tris"))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"), col("top_word_n"),
         expr("CAST(n_words - n_distinct_words AS DOUBLE) / n_words").as("dup_word_frac"),
         expr("CAST(top_word_n AS DOUBLE) / n_words").as("top_word_frac"),
@@ -162,13 +168,26 @@ object TextOps {
   /** Big-endian numeric value of the first 13 hex chars (52 bits) of the
     * column `col`, as a portable SQL fragment (instr/substring arithmetic
     * — no engine-specific hex-parse function). */
-  private def hex13Num(col: String): String = {
+  /** Engine-portable positional expansion of the first 13 hex chars
+    * (52 bits) — works verbatim in BOTH Spark and DuckDB, so the oracle
+    * bodies splice THIS form ([[hex13NumFragment]]). */
+  private def hex13NumPortable(col: String): String = {
     val terms = (1 to 13).map { i =>
       val w = 1L << (4 * (13 - i))
       s"(instr('0123456789abcdef', substring($col, $i, 1)) - 1) * CAST($w AS BIGINT)"
     }
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
+
+  /** Spark-side form of the same 52-bit value: ONE conv() instead of 13
+    * instr+substring chains (r14 — the probe/bucket paths evaluate this
+    * per shingle or per word, so the 13-term form was ~27 string ops per
+    * row where one base conversion suffices). Value-identical to
+    * [[hex13NumPortable]]: conv(hex, 16, 10) is the same positional
+    * expansion, and 13 hex digits (2^52) fit a BIGINT exactly. DuckDB
+    * has no conv(), so the oracle keeps the portable text. */
+  private def hex13Num(col: String): String =
+    s"CAST(conv(substring($col, 1, 13), 16, 10) AS BIGINT)"
 
   /** x9 — distinct-token estimation by a KMV (k-minimum-values) sketch,
     * the mergeable-sketch shape a 100 TB pipeline uses where exact
@@ -201,7 +220,11 @@ object TextOps {
 
   /** The same fragment, exposed for the oracle (identical text in both
     * dialects — instr and substring behave the same in Spark and DuckDB). */
-  def hex13NumFragment(col: String): String = hex13Num(col)
+  def hex13NumFragment(col: String): String = hex13NumPortable(col)
+
+  /** The Spark-only fast form, for consumers outside this object whose
+    * expression runs in Spark (never spliced into DuckDB SQL). */
+  def hex13NumSpark(col: String): String = hex13Num(col)
 
   /** Every seeded operator splices its seed into SQL expression text
     * (`md5(concat('<seed>:...', ...))`), so a seed containing a quote
@@ -308,14 +331,18 @@ object TextOps {
     val restAll = hashed.filter(col("doc_id") >= benchMaxId)
     val rest = if (training eq benchSource) restAll
       else restAll.join(training.select("doc_id"), Seq("doc_id"), "left_semi")
-    val overlap = rest.join(broadcast(bench), col("h") === col("bh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    rest.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .join(overlap, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        expr("CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_sh").as("overlap_frac"),
-        (coalesce(col("n_overlap"), lit(0L)) > 0).as("is_contaminated"))
+    // r14: ONE left join + ONE keyed aggregation. bench is distinct, so
+    // the left join preserves rest's row count exactly (≤1 match per
+    // hash) — n_sh = rows, n_overlap = matched rows, from the same pass.
+    // The previous two-agg + join-back shape paid a second doc_id
+    // exchange and a join for numbers available in one aggregation.
+    rest.join(broadcast(bench), col("h") === col("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"),
+        expr("CAST(n_overlap AS DOUBLE) / n_sh").as("overlap_frac"),
+        (col("n_overlap") > 0).as("is_contaminated"))
   }
 
   /** x52 — Bloom-filter decontamination calibration (VERDICT r11 #3):
@@ -350,21 +377,34 @@ object TextOps {
     * no window. */
   def decontaminateBloom(documents: DataFrame, benchMaxId: Long = 10,
       mBits: Int = 4096, kHash: Int = 3): DataFrame = {
-    val pos = shinglesShared(documents)
-      .withColumn("j", explode(sequence(lit(0), lit(kHash - 1))))
-      .withColumn("p", expr(
-        s"(${hex13Num("md5(concat(CAST(j AS STRING), ':', sh))")}) % $mBits"))
-    val bits = pos.filter(col("doc_id") < benchMaxId)
-      .select(col("p").as("bp")).distinct()
-    val rest = pos.filter(col("doc_id") >= benchMaxId)
-    // a shingle bloom-hits iff ALL kHash of its positions are set
-    val perShingle = rest
-      .join(broadcast(bits), col("p") === col("bp"), "left")
-      .groupBy("doc_id", "sh")
-      .agg(sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_set"))
-    val perDoc = perShingle.groupBy("doc_id")
+    // per-shingle probe positions as kHash COLUMNS, not exploded rows
+    // (r14): the kHash probes of one shingle never needed to leave their
+    // row, so probing them as columns against the (reused) broadcast bit
+    // set removes the ×kHash row fan-out AND the per-(doc, shingle)
+    // re-aggregation exchange the exploded form paid — the only
+    // remaining shuffles are the ≤ m-row bit-set distinct and the
+    // per-doc rollup. Bit positions are unchanged (same md5 discipline),
+    // so the oracle replay is bit-for-bit identical.
+    def posJ(j: Int): org.apache.spark.sql.Column = expr(
+      s"(${hex13Num(s"md5(concat('$j', ':', sh))")}) % $mBits")
+    val sh = shinglesShared(documents)
+    val bits = sh.filter(col("doc_id") < benchMaxId)
+      .select(explode(array((0 until kHash).map(posJ): _*)).as("bp"))
+      .distinct()
+    val bcBits = broadcast(bits)
+    // a shingle bloom-hits iff ALL kHash of its positions are set: kHash
+    // left probes against the SAME broadcast build (ReuseExchange — the
+    // build side is identical, so it is shipped once)
+    val probed = (0 until kHash).foldLeft(
+      sh.filter(col("doc_id") >= benchMaxId)
+        .select((col("doc_id") +: (0 until kHash).map(j => posJ(j).as(s"p$j"))): _*)) {
+      case (df, j) =>
+        df.join(bcBits.select(col("bp").as(s"bp$j")), col(s"p$j") === col(s"bp$j"), "left")
+    }
+    val allSet = (0 until kHash).map(j => col(s"bp$j").isNotNull).reduce(_ && _)
+    val perDoc = probed.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("n_set") === kHash, 1L).otherwise(0L)).as("n_bloom_hits"))
+        sum(when(allSet, 1L).otherwise(0L)).as("n_bloom_hits"))
     perDoc
       .join(decontaminate(documents, benchMaxId)
         .select(col("doc_id"), col("is_contaminated").as("exact_contaminated")),
@@ -2095,11 +2135,16 @@ object TextOps {
     val sw = documents
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
-      .persist() // feeds corpus re-aggs AND the contribution join
-    val corpus = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      .persist() // feeds the per-source totals AND the contribution pass
+    // r14: the corpus-wide word count is a WINDOW over the (source, w)
+    // frame, not an agg + join-back — the window's group is one row per
+    // source that uses the word (≤ #sources rows, bounded at any corpus
+    // size, so no hub hazard), and it removes a full exchange + hash
+    // join of the vocabulary-scaled frame. n_tot re-aggregates the
+    // O(#sources) totals frame instead of sw (one fewer pass over sw).
     val totals = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
-    val tot = sw.agg(sum("c_sw").as("n_tot"))
-    sw.join(corpus, "w")
+    val tot = totals.agg(sum("n_s").as("n_tot"))
+    sw.withColumn("c_w", sum("c_sw").over(Window.partitionBy("w")))
       .join(totals, "source")
       .crossJoin(broadcast(tot))
       .withColumn("term_q", expr(

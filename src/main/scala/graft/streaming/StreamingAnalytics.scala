@@ -257,7 +257,7 @@ object StreamingAnalytics {
   def cmsIngestStream(docs: DataFrame, depth: Int = 4, width: Int = 64,
       windowLength: String = "1 minute",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val cellExpr = graft.data.TextOps.hex13NumFragment(
+    val cellExpr = graft.data.TextOps.hex13NumSpark(
       "md5(concat(CAST(j AS STRING), ':', term))")
     docs
       .select(col("ts_us"), explode(split(col("text"), " ")).as("term"))
@@ -291,7 +291,7 @@ object StreamingAnalytics {
   def qsketchIngestStream(docs: DataFrame, k: Int = 64,
       windowLength: String = "1 minute",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val hv = graft.data.TextOps.hex13NumFragment(
+    val hv = graft.data.TextOps.hex13NumSpark(
       "md5(concat(CAST(doc_id AS STRING), ':qs'))")
     docs
       .select(col("ts_us"), col("source"), expr(hv).as("hv"),
@@ -985,7 +985,7 @@ object StreamingAnalytics {
     graft.data.TextOps.validateSeed(seed) // spliced into SQL text below
     val spark = docs.sparkSession
     import spark.implicits._
-    val hv = graft.data.TextOps.hex13NumFragment(
+    val hv = graft.data.TextOps.hex13NumSpark(
       s"md5(concat('$seed:rs:', CAST(doc_id AS STRING)))")
     val scored = docs
       .withColumn("ws", split(col("text"), " "))
@@ -997,7 +997,7 @@ object StreamingAnalytics {
       .select(col("doc_id"), col("u_q"),
         expr("concat(element_at(ws, i), ' ', element_at(ws, i + 1))").as("bgr"))
       .withColumn("bucket", expr(
-        s"${graft.data.TextOps.hex13NumFragment("md5(bgr)")} % $buckets"))
+        s"${graft.data.TextOps.hex13NumSpark("md5(bgr)")} % $buckets"))
       .join(bucketWeights, Seq("bucket"), "left")
       .select(col("doc_id"), col("u_q"),
         coalesce(col("w_q"), lit(0L)).as("w"))
@@ -1054,7 +1054,7 @@ object StreamingAnalytics {
     val spark = docs.sparkSession
     import spark.implicits._
     val buckets = bucketWeights.size
-    val uExpr = graft.data.TextOps.hex13NumFragment(
+    val uExpr = graft.data.TextOps.hex13NumSpark(
       s"md5(concat('$seed:rs:', CAST(doc_id AS STRING)))")
     val scored = docs
       .withColumn("ws", split(col("text"), " "))
@@ -1084,7 +1084,7 @@ object StreamingAnalytics {
         "IF(size(ws) < 2, array(), transform(" +
           "transform(sequence(1, size(ws) - 1)," +
           " i -> md5(concat(element_at(ws, i), ' ', element_at(ws, i + 1))))," +
-          s" h -> ${graft.data.TextOps.hex13NumFragment("h")} % $buckets))"))
+          s" h -> ${graft.data.TextOps.hex13NumSpark("h")} % $buckets))"))
       .withColumn("__w", typedLit(bucketWeights))
       .withColumn("score_q", expr(
         "aggregate(bks, CAST(0 AS BIGINT)," +

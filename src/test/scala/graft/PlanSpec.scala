@@ -511,7 +511,7 @@ class PlanSpec extends AnyFunSuite {
       "t32_catchup_bound" -> 3,    // saved position + offsets ×2
       "t33_heartbeat_search" -> 6, // target serial ×2 + heartbeat offsets ×4
       "x12_decontaminate" -> 1,    // benchmark shingles: fixed 10-doc eval set
-      "x52_bloom_decontaminate" -> 2, // Bloom bit positions: ≤ min(|bench|·kHash, mBits) rows — m-bounded at ANY benchmark size — + x12's benchmark-shingle hint inherited through the exact-verdict join
+      "x52_bloom_decontaminate" -> 4, // Bloom bit positions: ≤ min(|bench|·kHash, mBits) rows — m-bounded at ANY benchmark size — ×kHash=3 tree refs (r14 column-probe form: one left probe per hash, same broadcast build reused) + x12's benchmark-shingle hint inherited through the exact-verdict join
       "x15_pack_sequences" -> 1,   // packing offsets: O(#partitions)
       "x28_dsir_importance" -> 1,  // bucket weights: O(#buckets)
       "x50_importance_resample" -> 1, // inherits x28's bucket-weight hint: O(#buckets)

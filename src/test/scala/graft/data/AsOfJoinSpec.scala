@@ -23,6 +23,15 @@ class AsOfJoinSpec extends AnyFunSuite {
         if (keyed) l else l.drop("k"), "id", "ts",
         if (keyed) r else r.drop("k"), "rts", "rval", bucketUs, keys)
       .select("id", "asof_ts", "asof_val")
+    // the r14 fold-through-agg path must be row-identical to the
+    // join-back path on every case this spec covers
+    val folded = AsOfJoin.lastBefore(
+        if (keyed) l else l.drop("k"), "id", "ts",
+        if (keyed) r else r.drop("k"), "rts", "rval", bucketUs, keys,
+        foldLeft = true)
+      .select("id", "asof_ts", "asof_val")
+    assert(fast.exceptAll(folded).isEmpty && folded.exceptAll(fast).isEmpty,
+      "foldLeft path diverges from join-back path")
     val slow = (if (keyed) l.join(r, "k") else l.drop("k").crossJoin(r.drop("k")))
       .withColumn("__c", when(col("rts") <= col("ts"), struct(col("rts"), col("rval"))))
       .groupBy("id").agg(max("__c").as("__m"))
