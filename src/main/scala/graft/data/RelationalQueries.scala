@@ -1148,13 +1148,23 @@ object RelationalQueries {
     val distinctUe = events.select("user_id", "event_type").distinct()
     val ue = SharedFrames.memoPersisted(distinctUe, "q35-user-types")(distinctUe)
     val singles = ue.groupBy("event_type").agg(count(lit(1)).as("n_single"))
-    val users = ue.select("user_id").distinct()
-      .agg(count(lit(1)).as("n_users"))
-    ue.as("a").join(ue.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+    // r14: pairs from a per-user SORTED type array instead of the
+    // self-join — the collect_list buffer is bounded by the enumerable
+    // event-type vocabulary (never data-scaled), the array is strictly
+    // increasing (ue is distinct), so (i < j) positions reproduce the
+    // (a.type < b.type) join predicate exactly, and the pair fan-out
+    // happens map-side: ONE user-keyed exchange where the join paid two
+    // (plus the user-count distinct, now a row count of the same frame).
+    val grouped = ue.groupBy("user_id")
+      .agg(sort_array(collect_list("event_type")).as("ts"))
+    val users = grouped.agg(count(lit(1)).as("n_users"))
+    grouped
+      .filter(size(col("ts")) >= 2) // sequence(1, 0) would descend
+      .withColumn("i", explode(sequence(lit(1), size(col("ts")) - 1)))
+      .withColumn("j", explode(sequence(col("i") + 1, size(col("ts")))))
+      .select(element_at(col("ts"), col("i")).as("type_a"),
+        element_at(col("ts"), col("j")).as("type_b"))
+      .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_ab"))
       .join(singles.toDF("type_a", "n_a"), "type_a")
       .join(singles.toDF("type_b", "n_b"), "type_b")
