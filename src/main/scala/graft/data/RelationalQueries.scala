@@ -457,11 +457,18 @@ object RelationalQueries {
           col("l_linenumber"), col("running_revenue"))
     },
     "q08_top_parts_per_brand" -> t { (spark, dir) =>
+      // r14: aggregate the fact table by partkey BEFORE the part join —
+      // partkey determines brand, so grouping by partkey alone and
+      // attaching p_brand to the one-row-per-part aggregate is identical
+      // to grouping by (brand, partkey) after the join. At 100 TB this
+      // keeps raw lineitem out of the join shuffle entirely (the join
+      // carries one row per part); the revenue sum is exact integers, so
+      // the re-association is value-identical.
       val li = Tables.lineitem(spark, dir)
       val part = Tables.part(spark, dir)
-      val byPart = li.join(part, col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_partkey")
+      val byPart = li.groupBy(col("l_partkey").as("p_partkey"))
         .agg(expr(s"CAST(sum($revU) AS DOUBLE) / 10000").as("revenue"))
+        .join(part.select("p_partkey", "p_brand"), "p_partkey")
       byPart
         .withColumn("rnk", row_number()
           .over(Window.partitionBy("p_brand")
@@ -802,18 +809,26 @@ object RelationalQueries {
         .filter(col("p_name").like("%widget%"))
         .select("p_partkey", "p_retailprice")
         .withColumn("retail_c", expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"))
+      // r14: pre-aggregate by (orderkey, nation) BEFORE the orders join —
+      // the one honest fact-fact shuffle now carries one row per
+      // (order, nation) instead of one per lineitem (~4× fewer rows at
+      // any scale). amount stays an exact BIGINT, so summing the partial
+      // sums after the join is value-identical.
       Tables.lineitem(spark, dir)
         .join(parts, col("l_partkey") === col("p_partkey"))
         .join(Tables.supplier(spark, dir),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, dir)),
           col("s_nationkey") === col("n_nationkey"))
+        .groupBy("l_orderkey", "n_name")
+        .agg(expr(s"sum($revU - retail_c * $qtyC)").as("amt_q"),
+          count(lit(1)).as("n_i"))
         .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"),
           expr("CAST(year(CAST(o_orderdate AS DATE)) AS INT)").as("o_year"))
-        .agg(expr(s"CAST(sum($revU - retail_c * $qtyC) AS DOUBLE) / 10000").as("profit"),
-          count(lit(1)).as("n_items"))
+        .agg(expr("CAST(sum(amt_q) AS DOUBLE) / 10000").as("profit"),
+          sum("n_i").as("n_items"))
         .orderBy(col("n_name"), col("o_year").desc)
     },
     "q16_supplier_parts_count" -> t { (spark, dir) =>
@@ -860,11 +875,16 @@ object RelationalQueries {
         .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(expr(s"sum($qtyC)").as("pair_qty_c"))
-      val totals = shipped.groupBy("l_partkey")
-        .agg(sum("pair_qty_c").as("total_qty_c"), count(lit(1)).as("n_supp"))
       val redParts = Tables.part(spark, dir)
         .filter(col("p_name").like("red%")).select("p_partkey")
-      val promo = shipped.join(totals, "l_partkey")
+      // r14: per-part totals as a window over the (part, supplier) frame
+      // (the q21 shape) — the group is one row per supplier of the part,
+      // so the unpersisted shipped agg no longer computes twice and the
+      // agg+join-back's extra partkey exchange is gone.
+      val wPart = Window.partitionBy("l_partkey")
+      val promo = shipped
+        .withColumn("total_qty_c", sum("pair_qty_c").over(wPart))
+        .withColumn("n_supp", count(lit(1)).over(wPart))
         .filter(col("pair_qty_c") * 2 > col("total_qty_c") && col("n_supp") >= 3)
         .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .select("l_suppkey").distinct()
