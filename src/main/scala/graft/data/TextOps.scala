@@ -24,7 +24,15 @@ object TextOps {
 
   /** Portable token-count expression: occurrences of `w` in the
     * space-tokenized text. */
-  private def cnt(w: String): String = s"size(filter(split(text, ' '), x -> x = '$w'))"
+  /** Whole-word occurrence count. size(split) − size(array_remove) and
+    * not a filter(...) lambda (r14): higher-order functions drop out of
+    * whole-stage codegen and force the WHOLE projection interpreted,
+    * while split/array_remove/size stay codegen'd — and subexpression
+    * elimination then evaluates split(text) once per row however many
+    * stopwords the sum spans. Same value, so the oracle (which keeps its
+    * own list_filter text) is unaffected. */
+  private def cnt(w: String): String =
+    s"(size(split(text, ' ')) - size(array_remove(split(text, ' '), '$w')))"
   private def cntSum(ws: Seq[String]): String = ws.map(cnt).mkString(" + ")
 
   /** Argmax with deterministic tie-break (en > de > es), shared with the
