@@ -1967,22 +1967,38 @@ object TextOps {
     * vocab head is small); the per-doc sum combines map-side. T reaches
     * the plan via one broadcast single-row frame, not a collected
     * constant baked into the query. */
-  def unigramSurprisal(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("w"))
-    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = vocab.agg(sum("c").as("t_total"))
-    val bits = vocab.crossJoin(broadcast(tot))
-      .withColumn("b", expr(
-        "CAST(floor(log2(CAST(t_total AS DOUBLE) / c) * 1048576e0) AS BIGINT)"))
-      .select("w", "b")
-    tok.join(bits, "w")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("b").as("bits_q"))
-      .withColumn("bits_per_token",
-        expr("CAST(bits_q AS DOUBLE) / n_tokens / 1048576e0"))
-      .select("doc_id", "n_tokens", "bits_q", "bits_per_token")
-  }
+  def unigramSurprisal(documents: DataFrame): DataFrame =
+    // session memo (r14): x25 and x33 both consume this per-doc frame —
+    // the langId/shingles pay-once discipline; at 100 TB this is a
+    // written model-scored projection. memoReleasing: the inner tf
+    // persist is freed the moment the memoized result is self-contained
+    // (consumers are sort/aggregate shaped, so checkpoint stats-unknown
+    // sizing is harmless here).
+    SharedFrames.memoReleasing(documents, "unigram-surprisal") {
+      // r14: aggregate the token stream to per-(doc, word) tf FIRST —
+      // the vocab model table then joins back against per-doc DISTINCT
+      // words (b·tf reassociates exactly in BIGINT), so the w-keyed join
+      // moves ~2× fewer rows than the raw token stream and the (doc, w)
+      // exchange map-side-combines repeats. Value-identical:
+      // Σ_tokens b(w) = Σ_(w) tf·b(w).
+      val tf = documents.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .persist() // feeds the vocab aggregation AND the scoring join
+      val vocab = tf.groupBy("w").agg(sum("tf").as("c"))
+      val tot = vocab.agg(sum("c").as("t_total"))
+      val bits = vocab.crossJoin(broadcast(tot))
+        .withColumn("b", expr(
+          "CAST(floor(log2(CAST(t_total AS DOUBLE) / c) * 1048576e0) AS BIGINT)"))
+        .select("w", "b")
+      val perDoc = tf.join(bits, "w")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"), expr("sum(tf * b)").as("bits_q"))
+        .withColumn("bits_per_token",
+          expr("CAST(bits_q AS DOUBLE) / n_tokens / 1048576e0"))
+        .select("doc_id", "n_tokens", "bits_q", "bits_per_token")
+      (perDoc, () => { tf.unpersist(); () })
+    }
 
   /** x48 — interpolated BIGRAM-LM surprisal: one model order past x25's
     * unigram score, the next rung toward CCNet's KenLM perplexity filter
