@@ -1146,14 +1146,19 @@ object TextOps {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val cands = if (sampleOneIn <= 1) allCands
+    // deterministic pair-hash sampling commutes with distinct: filtering
+    // BEFORE the dedup exchange means it only carries kept pairs
+    val sampled = if (sampleOneIn <= 1) allCands
       else allCands.filter(
         pmod(xxhash64(col("doc_a"), col("doc_b")), lit(sampleOneIn)) === 0)
     val estExpr = (1 to 12)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val est = cands
+    // est_matches is pair-determined, so it rides the candidate spine:
+    // attach it right after the dedup and let the verification join-chain
+    // carry it (one extra BIGINT per pair row) to the output — the old
+    // pair-keyed est⋈common re-join and its exchanges disappear.
+    val cands = sampled.distinct()
       .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), estExpr.as("est_matches"))
@@ -1163,12 +1168,11 @@ object TextOps {
     val common = shA
       .join(cands, "doc_a")
       .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b", "est_matches") // est is a pair function
       .agg(count(lit(1)).as("common"))
     common.join(sizes.toDF("doc_a", "sa"), "doc_a")
       .join(sizes.toDF("doc_b", "sb"), "doc_b")
       .withColumn("jac_exact", expr("CAST(common AS DOUBLE) / (sa + sb - common)"))
-      .join(est, Seq("doc_a", "doc_b"))
       .withColumn("jac_est", expr("CAST(est_matches AS DOUBLE) / 12"))
       .withColumn("err", expr("CAST(est_matches AS DOUBLE) / 12 - jac_exact"))
       .select("doc_a", "doc_b", "est_matches", "jac_est",
