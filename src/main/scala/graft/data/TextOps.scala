@@ -2197,45 +2197,53 @@ object TextOps {
     * BIGINT sum of those — order-independent where a float Σ over terms
     * would depend on aggregation order.
     *
-    * Plan shape: the term filter lands directly on the exploded token
-    * stream (a posting-list scan, not a corpus scan — at 100 TB this is
-    * the inverted-index access path: only rows matching the query terms
-    * survive the first projection); per-(doc,term) tf is one keyed agg;
-    * df and the corpus length stats are O(terms)+O(1) aggregates
-    * broadcast back; final top-k is a TakeOrdered over one row per
-    * matching doc. */
+    * Plan shape (r14): ONE corpus pass — the query-term set is a fixed,
+    * enumerable list, so every per-term tf is a conditional sum riding
+    * the same doc_id aggregation that counts dl (map-side combined; the
+    * shuffle carries one narrow row per document). The old shape paid a
+    * second full scan for dl, a (doc, term)-keyed posting aggregation,
+    * and a doc-keyed join of the posting frame back against the length
+    * frame — at 100 TB that join shuffles every document row anyway, so
+    * the fused pass strictly dominates. df/idf and the corpus length
+    * stats collapse to ONE 1-row bounded broadcast attach (O(terms)
+    * columns); final top-k is a TakeOrdered over one row per matching
+    * doc. Score identity: each term's quantized contribution is the
+    * same fixed-shape IEEE expression as before and the per-doc score
+    * is an exact BIGINT sum, so the fused form is value-identical. */
   def bm25TopK(documents: DataFrame,
       terms: Seq[String] = Seq("spark", "shuffle", "hash", "merge"),
       k: Int = 10): DataFrame = {
-    val lens = documents
-      .withColumn("dl", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
-      .select("doc_id", "dl")
-      .persist() // feeds the corpus stats AND the per-posting join
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = documents
+    // Column-API comparison, not interpolated SQL: a term containing a
+    // quote must stay a literal, never concatenate into a parsed
+    // predicate (only the INDEX is ever interpolated below)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === lit(t), 1L).otherwise(0L)).as(s"tf_$i") }
+    val aggs = count(lit(1)).as("dl") +: tfCols
+    val perDoc = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      // isin, not interpolated SQL: a term containing a quote must stay a
-      // literal, never concatenate into the parsed predicate
-      .filter(col("w").isin(terms: _*))
-      .groupBy("doc_id", "w")
-      .agg(count(lit(1)).as("tf"))
-      .persist() // feeds df counts AND the scoring join
-    val idf = tf.groupBy("w")
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_q", expr(
-        """CAST(floor(ln(1e0 + (CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
-           * 1048576e0) AS BIGINT)"""))
-      .select("w", "idf_q")
-    tf.join(lens, "doc_id")
-      .join(broadcast(idf), "w")
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib_q", expr(
-        """CAST(floor(CAST(idf_q AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2e0)
-           / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl AS DOUBLE)
-              / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS BIGINT)"""))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("contrib_q").as("score_q"))
+      .agg(aggs.head, aggs.tail: _*)
+      .persist() // feeds the corpus stats AND the scoring pass
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val idfCols = terms.indices.map(i => expr(
+      s"""CAST(floor(ln(1e0 + (CAST(n_docs - df_$i AS DOUBLE) + 0.5e0) / (CAST(df_$i AS DOUBLE) + 0.5e0))
+         * 1048576e0) AS BIGINT)""").as(s"idf_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      .select(col("n_docs") +: col("sum_dl") +: idfCols: _*)
+    val contrib = terms.indices.map(i => expr(
+      s"""CASE WHEN tf_$i > 0 THEN
+           CAST(floor(CAST(idf_$i AS DOUBLE) * (CAST(tf_$i AS DOUBLE) * 2.2e0)
+           / (CAST(tf_$i AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl AS DOUBLE)
+              / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END""")).reduce(_ + _)
+    val nTerms = terms.indices.map(i =>
+      when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("n_terms", nTerms)
+      .filter(col("n_terms") > 0)
+      .withColumn("score_q", contrib)
       .withColumn("score", expr("CAST(score_q AS DOUBLE) / 1048576e0"))
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)

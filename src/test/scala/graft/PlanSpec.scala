@@ -272,29 +272,27 @@ class PlanSpec extends AnyFunSuite {
       "x28 weight join must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
   }
 
-  test("x29 BM25 term filter prunes the exploded stream before any shuffle") {
-    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
-    import org.apache.spark.sql.catalyst.plans.logical.Filter
+  test("x29 BM25 is one corpus pass — per-term tfs ride the doc_id agg, no data-scaled join") {
     val (s, _) = planOf("x29_bm25_topk")
-    // idf + corpus stats are broadcast; the only window ranks the ≤k rows
-    assert(s.contains("BroadcastHashJoin"),
-      "x29 idf/stats joins must broadcast:\n" + s.linesIterator.take(40).mkString("\n"))
+    // corpus stats + idf are a 1-row bounded broadcast attach; nothing
+    // data-scaled is ever shuffle-joined (r14: the fused single-pass form)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      "x29 must not shuffle-join anything data-scaled:\n" +
+        s.linesIterator.take(40).mkString("\n"))
     val opt = SparkEntry.queries("x29_bm25_topk")(spark, sfDir)
       .queryExecution.optimizedPlan
-    // the posting stage is persisted, so the term filter lives BELOW the
-    // InMemoryRelation boundary (cachedPlan) — inspect both levels
-    val hasTermFilter = opt.collect { case f: Filter => f }.exists(_.condition.exists {
-      case _: In | _: InSet => true
-      case _ => false
-    }) || opt.collect {
+    // the single persisted pass: the cached plan aggregates the exploded
+    // token stream by doc_id ALONE (one exchange, conditional tf sums),
+    // never by (doc, term), and contains no join below the memo boundary
+    val rels = opt.collect {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
-    }.exists { r =>
-      val ps = r.cachedPlan.toString
-      ps.contains("INSET") || ps.contains(" IN (")
     }
-    assert(hasTermFilter,
-      "x29 must filter tokens to the query terms before aggregating:\n" +
-        opt.treeString.take(2000))
+    assert(rels.nonEmpty, "x29's per-doc frame must be persisted")
+    val ps = rels.head.cachedPlan.toString
+    assert(ps.contains("hashpartitioning(doc_id"),
+      "the cached pass must aggregate by doc_id:\n" + ps.take(1500))
+    assert(!ps.contains("Join"),
+      "the cached pass joins nothing:\n" + ps.take(1500))
   }
 
   test("q29 cohort windows stay partitioned — never an unpartitioned sort of events") {
@@ -518,7 +516,7 @@ class PlanSpec extends AnyFunSuite {
       "x34_shard_export" -> 1,     // rank offsets: O(#partitions × #shards)
       "x44_shard_manifest" -> 1,   // inherits x34's rank-offset hint: O(#partitions × #shards)
       "x35_budget_cap" -> 1,       // cumsum offsets: O(#partitions × #sources)
-      "x29_bm25_topk" -> 1         // query-term idf: O(#query terms)
+      "x29_bm25_topk" -> 1         // 1-row corpus stats + idf: O(#query terms) cols
     ).withDefaultValue(0)
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.size >= 120, s"registry shrank to ${names.size} entries")
