@@ -166,4 +166,152 @@ class TextOpsPropertySpec extends AnyFunSuite {
       assert(want.values.exists(_._2 > 0), s"trial $trial degenerate: no dup spans")
     }
   }
+
+  // ---- d10 (r14: est_matches rides the candidate spine) ---------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Straight-line d10 reference: shingles → 12 keyed-md5 minima → 4×3
+    * band keys → band-collision candidate pairs → per-pair signature
+    * match count + exact shingle jaccard. Mirrors TextOps exactly:
+    * lexicographic min over lowercase hex == Spark's UTF8String min. */
+  private def referenceCalibration(docs: Seq[(Long, String)])
+      : Map[(Long, Long), (Long, Double, Long, Long, Long, Double, Double)] = {
+    val sh: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> (if (ws.length < 3) Set.empty[String]
+             else (1 to ws.length - 2).map(i =>
+               s"${ws(i - 1)} ${ws(i)} ${ws(i + 1)}").toSet)
+    }.toMap
+    val withSh = sh.filter(_._2.nonEmpty)
+    val mh: Map[Long, IndexedSeq[String]] = withSh.map { case (id, s) =>
+      id -> (1 to 12).map(i => s.map(x => md5hex(s"$i:$x")).min)
+    }
+    val bands: Map[Long, IndexedSeq[(Int, String)]] = mh.map { case (id, h) =>
+      id -> (0 until 4).map(b =>
+        b -> md5hex((0 until 3).map(r => h(b * 3 + r)).mkString("|")))
+    }
+    val ids = bands.keys.toSeq.sorted
+    val out = for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.size
+      a = ids(ai); b = ids(bi)
+      if bands(a).exists { case (bd, sig) => bands(b).contains((bd, sig)) }
+      common = (sh(a) intersect sh(b)).size.toLong
+      if common > 0 // inner verification join: zero-overlap pairs drop out
+    } yield {
+      val est = (0 until 12).count(i => mh(a)(i) == mh(b)(i)).toLong
+      val (sa, sb) = (sh(a).size.toLong, sh(b).size.toLong)
+      val jac = common.toDouble / (sa + sb - common)
+      (a, b) -> ((est, est.toDouble / 12, common, sa, sb, jac, est.toDouble / 12 - jac))
+    }
+    out.toMap
+  }
+
+  test("d10 calibration agrees with the in-memory reference on planted near-dup corpora") {
+    import spark.implicits._
+    val rnd = new Random(0xD10)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 3).foreach { trial =>
+      val base = Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0L until 16L).map { id =>
+        val text =
+          if (id % 4 == 0) base.mkString(" ") // exact dups: est = 12
+          else if (id % 4 == 1) // near dup: one word perturbed
+            base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+          else if (id == 7L) vocab(rnd.nextInt(vocab.size)) // sub-shingle doc
+          else Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (id, text)
+      }
+      val want = referenceCalibration(docs)
+      val got = TextOps.minhashCalibration(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getDouble(7), r.getDouble(8))))
+        .toMap
+      assert(got == want, s"trial $trial diverged on ${
+        got.keySet.union(want.keySet).filter(k => got.get(k) != want.get(k))}")
+      assert(want.nonEmpty, s"trial $trial degenerate: no candidate pairs")
+      assert(want.values.exists(_._1 == 12L), s"trial $trial: no exact-dup pair")
+    }
+  }
+
+  test("d10 sampling commutes with the candidate dedup (filter-below-distinct, r14)") {
+    import spark.implicits._
+    val rnd = new Random(0xD10b)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val base = Seq.fill(14)(vocab(rnd.nextInt(vocab.size)))
+    val docs = (0L until 12L).map { id =>
+      (id, if (id % 2 == 0) base.mkString(" ")
+           else base.updated(id.toInt % base.size, vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val full = TextOps.minhashCalibration(docs, sampleOneIn = 1)
+    // the sampled output must equal the full output filtered by the SAME
+    // deterministic pair-hash rule — i.e. sampling before the dedup
+    // exchange selects exactly the pairs sampling after it would
+    val wantRows = full.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("doc_a"),
+            org.apache.spark.sql.functions.col("doc_b")),
+          org.apache.spark.sql.functions.lit(3)) === 0)
+      .collect().toSet
+    val gotRows = TextOps.minhashCalibration(docs, sampleOneIn = 3).collect().toSet
+    assert(gotRows == wantRows)
+  }
+
+  // ---- x29 (r14: single-pass BM25 with conditional per-term tf) -------
+
+  /** Straight-line x29 reference replicating the quantized expression
+    * shapes exactly (same IEEE evaluation order as the Spark SQL text). */
+  private def referenceBm25(docs: Seq[(Long, String)], terms: Seq[String], k: Int)
+      : Seq[(Int, Long, Long, Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val nDocs = docs.size.toLong
+    val sumDl = toks.map(_._2.size.toLong).sum
+    val tf: Map[Long, Map[String, Long]] = toks.map { case (id, ws) =>
+      id -> terms.map(t => t -> ws.count(_ == t).toLong).filter(_._2 > 0).toMap
+    }.toMap
+    val df: Map[String, Long] = terms.map(t =>
+      t -> tf.values.count(_.contains(t)).toLong).toMap
+    val idfQ: Map[String, Long] = terms.map { t =>
+      t -> math.floor(math.log(1.0 + ((nDocs - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5))
+        * 1048576.0).toLong
+    }.toMap
+    val scored = toks.collect { case (id, ws) if tf(id).nonEmpty =>
+      val dl = ws.size.toLong
+      val scoreQ = tf(id).map { case (t, f) =>
+        math.floor(idfQ(t).toDouble * (f.toDouble * 2.2)
+          / (f.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / (sumDl.toDouble / nDocs)))).toLong
+      }.sum
+      (id, tf(id).size.toLong, scoreQ)
+    }
+    scored.sortBy { case (id, _, s) => (-s, id) }.take(k).zipWithIndex.map {
+      case ((id, nt, s), i) => (i + 1, id, nt, s, s.toDouble / 1048576.0)
+    }
+  }
+
+  test("x29 BM25 agrees with the in-memory reference on random corpora, arbitrary terms") {
+    import spark.implicits._
+    val rnd = new Random(0x29B)
+    // a quote-bearing term pins the literal-safety path (Column API, no
+    // SQL interpolation of term text)
+    val termSets = Seq(Seq("aa", "bb", "cc", "dd"), Seq("a'b", "ee", "zz-not-present"))
+    for (terms <- termSets; k <- Seq(2, 5)) {
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "a'b")
+      val docs = (0L until 25L).map { id =>
+        val n = 1 + rnd.nextInt(30)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val want = referenceBm25(docs, terms, k)
+      val got = TextOps.bm25TopK(docs.toDF("doc_id", "text"), terms, k)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSeq
+      assert(got == want, s"terms=$terms k=$k:\n got=$got\nwant=$want")
+      assert(want.nonEmpty, s"terms=$terms degenerate: no matching docs")
+    }
+  }
 }
