@@ -39,6 +39,26 @@ object SharedFrames {
 
   private val cache = TrieMap.empty[(Int, LogicalPlan, String), Memoized]
 
+  /** Wall-clock seconds each memo entry's compute thunk took, keyed by
+    * tag (summed when the same tag materializes for several inputs, e.g.
+    * two scale factors in one session). Diagnostics only — Bench prints
+    * this after its warmup pass so amortized medians stay auditable (the
+    * r14 verdict's memo-accounting rule: a memo added to a query moves
+    * its build cost into the untimed warmup, and that move must be
+    * visible in the bench output, not discovered by plan archaeology). */
+  private val buildLog = TrieMap.empty[String, Double]
+
+  private def logged[T](tag: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    buildLog.put(tag, buildLog.getOrElse(tag, 0.0) + s)
+    r
+  }
+
+  /** Snapshot of per-tag build seconds (only tags whose compute ran). */
+  def buildSeconds: Map[String, Double] = buildLog.toMap
+
   /** `localCheckpoint` PRESERVES attribute ids, so two callers of the same
     * memo entry — or two different memo entries derived from one another
     * (quantized → cellAssigned) — would share expr-ids and trip Spark's
@@ -73,7 +93,7 @@ object SharedFrames {
   def memo(input: DataFrame, tag: String)(compute: => DataFrame): DataFrame = {
     val key = (System.identityHashCode(input.sparkSession),
       input.queryExecution.analyzed.canonicalized, tag)
-    val fresh = new Memoized(() => compute.localCheckpoint(true, MemoLevel))
+    val fresh = new Memoized(() => logged(tag)(compute.localCheckpoint(true, MemoLevel)))
     freshIds(cache.putIfAbsent(key, fresh).getOrElse(fresh).value)
   }
 
@@ -94,7 +114,7 @@ object SharedFrames {
   def memoPersisted(input: DataFrame, tag: String)(compute: => DataFrame): DataFrame = {
     val key = (System.identityHashCode(input.sparkSession),
       input.queryExecution.analyzed.canonicalized, tag)
-    val fresh = new Memoized(() => {
+    val fresh = new Memoized(() => logged(tag) {
       // SER, same as [[MemoLevel]]: the InMemoryRelation's stats are real
       // at any storage level, and the deserialized default's 3-4× larger
       // blocks starved execution memory at the 10× rehearsal (storage
@@ -117,7 +137,7 @@ object SharedFrames {
       compute: => (DataFrame, () => Unit)): DataFrame = {
     val key = (System.identityHashCode(input.sparkSession),
       input.queryExecution.analyzed.canonicalized, tag)
-    val fresh = new Memoized(() => {
+    val fresh = new Memoized(() => logged(tag) {
       val (df, release) = compute
       try df.localCheckpoint(true, MemoLevel) finally release()
     })
@@ -142,7 +162,7 @@ object SharedFrames {
   def memoValue[T](input: DataFrame, tag: String)(compute: => T): T = {
     val key = (System.identityHashCode(input.sparkSession),
       input.queryExecution.analyzed.canonicalized, tag)
-    val fresh = new MemoizedValue(() => compute)
+    val fresh = new MemoizedValue(() => logged(tag)(compute))
     valueCache.putIfAbsent(key, fresh).getOrElse(fresh).value.asInstanceOf[T]
   }
 
